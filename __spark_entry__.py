@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001 (smoke check, rows > 0).
+queries()     — every implemented operator from SURVEY.md §2 as (spark, sf_dir) → DataFrame.
+oracle_sql()  — matching DuckDB ANSI-SQL for the value-hash correctness gate.
+
+Implementations live in duckdb_ml_spark/; this module only collects them.
 """
 
 from __future__ import annotations
@@ -14,25 +14,43 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _all_query_specs():
+    """Collect QuerySpec registries from every engine module."""
+    from duckdb_ml_spark.plans.relational import RELATIONAL_QUERIES
+
+    specs = {}
+    specs.update(RELATIONAL_QUERIES)
+    for modname in (
+        "duckdb_ml_spark.operators.dedup",
+        "duckdb_ml_spark.operators.similarity",
+        "duckdb_ml_spark.operators.text",
+        "duckdb_ml_spark.operators.multimodal",
+        "duckdb_ml_spark.functions.queries",
+        "duckdb_ml_spark.streaming.queries",
+    ):
+        try:
+            import importlib
+
+            mod = importlib.import_module(modname)
+            specs.update(getattr(mod, "QUERIES", {}))
+        except ImportError:
+            continue  # module not built yet
+    return specs
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's autompg pipeline pattern (scaling params → min-max
+    scale → MLP train + predict) on sf0.001 lineitem, Spark-first."""
+    from duckdb_ml_spark.flagship import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.builder for name, spec in _all_query_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in _all_query_specs().items() if spec.oracle is not None
+    }

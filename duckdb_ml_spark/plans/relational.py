@@ -1,0 +1,591 @@
+"""Relational query surface (SURVEY.md §2.3) as paired (Spark builder, DuckDB oracle).
+
+Every query the reference's pipeline exercises — scans, computed projections,
+global/grouped aggregation, multi-column agg expansion, cross-join parameter
+broadcast, min-max scaling, CTEs, arrays, range generation — plus the relational
+operators any complete analytics engine needs (joins, windows, set ops, rollup,
+semi/anti joins, percentiles, JSON extraction, time bucketing).
+
+Design rules (hash-match discipline):
+- every computed column is aliased IDENTICALLY in the Spark builder and the SQL;
+- double-typed aggregates are `round(...)`-ed on BOTH sides (Spark and DuckDB both
+  use IEEE doubles, but summation order differs; rounding makes the hash stable);
+- timestamps are bucketed/cast identically under UTC session timezone.
+
+Scale notes are inline per query: these run on sf0.01..0.1 locally but are written
+for 100 TB — filters first (parquet pushdown), broadcast hints on dimension tables,
+aggregate before join where semantics allow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.tables import load
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One verifiable query: Spark builder + equivalent DuckDB oracle SQL.
+
+    oracle=None → not SQL-expressible; the driver records a rows-only check.
+    """
+
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+RELATIONAL_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        RELATIONAL_QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scan / projection / filter  (SURVEY §2.3 #5, #7, #8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.03
+    """,
+    doc="Parquet scan with pushed-down filter + computed projection (SURVEY §2.3 #5,#7,#8). "
+    "Both the shipdate and discount predicates reach the parquet reader (PushedFilters). "
+    "Per-row arithmetic is NOT rounded: the same IEEE expression is bit-identical across "
+    "engines, while round() implementations diverge at decimal boundaries.",
+    tags=("scan", "projection", "filter"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (F.col("l_discount") > 0.03)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 pattern; SURVEY §2.3 #9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filtered scan → hash aggregate with map-side "
+    "partial aggregation; 6 groups means the shuffle is tiny at any scale.",
+    tags=("aggregate", "groupby"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SCALE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _scaling_params_oracle() -> str:
+    parts = []
+    for c in _SCALE_COLS:
+        parts += [
+            f"round(avg({c}), 6) AS avg_{c}",
+            f"round(stddev_pop({c}), 6) AS std_{c}",
+            f"round(min({c}), 6) AS min_{c}",
+            f"round(max({c}), 6) AS max_{c}",
+        ]
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
+@_register(
+    "scaling_params",
+    _scaling_params_oracle(),
+    doc="Global (no GROUP BY) multi-column aggregates — the reference's scaling_params "
+    "macro with COLUMNS() expansion (autompg.sql:4-10; SURVEY §2.3 #9,#10). The "
+    "COLUMNS('\\0'-template) expansion is a Python list comprehension in Spark.",
+    tags=("aggregate", "global", "columns-expansion"),
+)
+def scaling_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _SCALE_COLS:  # COLUMNS(...) expansion, reference autompg.sql:7-10
+        aggs += [
+            F.round(F.avg(c), 6).alias(f"avg_{c}"),
+            F.round(F.stddev_pop(c), 6).alias(f"std_{c}"),
+            F.round(F.min(c), 6).alias(f"min_{c}"),
+            F.round(F.max(c), 6).alias(f"max_{c}"),
+        ]
+    return li.agg(*aggs)
+
+
+def _minmax_scaled_oracle() -> str:
+    scaled = ", ".join(
+        f"({c} - min_{c}) / nullif(max_{c} - min_{c}, 0) AS scaled_{c}" for c in _SCALE_COLS
+    )
+    mins = ", ".join(f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in _SCALE_COLS)
+    return f"""
+    WITH params AS (SELECT {mins} FROM lineitem)
+    SELECT l_orderkey, l_linenumber, {scaled}
+    FROM lineitem JOIN params ON true
+    """
+
+
+@_register(
+    "minmax_scaled",
+    _minmax_scaled_oracle(),
+    doc="The reference's flagship preprocessing pattern (autompg.sql:14-16,67): 1-row "
+    "global params cross-joined onto every row, min-max scaling with a nullif "
+    "div-by-zero guard (SURVEY §2.3 #7,#8,#14,#15). Spark plans the 1-row side as a "
+    "BroadcastNestedLoopJoin — no shuffle of the fact table at any scale.",
+    tags=("cross-join", "broadcast", "scaling", "cte"),
+)
+def minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    params = li.agg(
+        *[x for c in _SCALE_COLS for x in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))]
+    )
+    scaled = [
+        (
+            (F.col(c) - F.col(f"min_{c}"))
+            / F.nullif(F.col(f"max_{c}") - F.col(f"min_{c}"), F.lit(0))
+        ).alias(f"scaled_{c}")
+        for c in _SCALE_COLS
+    ]
+    return li.crossJoin(F.broadcast(params)).select("l_orderkey", "l_linenumber", *scaled)
+
+
+# ---------------------------------------------------------------------------
+# Arrays / casts (SURVEY §2.3 #16, #17, #18)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_features",
+    """
+    SELECT l_orderkey, l_linenumber,
+           [l_quantity::REAL, l_extendedprice::REAL, l_discount::REAL, l_tax::REAL][1] AS f1,
+           len([l_quantity, l_extendedprice, l_discount, l_tax]) AS n_features
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    doc="LIST(FLOAT) feature-vector construction + 1-based subscript + ::float cast — "
+    "the exact input shape of ml_train/ml_pred (autompg.test:16,19; SURVEY §2.3 #16-18).",
+    tags=("array", "cast"),
+)
+def array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    feats = F.array(*[F.col(c).cast("float") for c in _SCALE_COLS])
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(feats, 1).alias("f1"),  # 1-based, like DuckDB list subscript
+        F.size(F.array(*[F.col(c) for c in _SCALE_COLS])).alias("n_features"),
+    )
+
+
+@_register(
+    "range_ids",
+    "SELECT range AS id, (range * 7 + 3) % 97 AS h FROM range(0, 1000)",
+    doc="range(n) row generation (functions.test:14; SURVEY §2.3 #19) + deterministic "
+    "arithmetic (random() itself is oracle-checked rows-only via ml smoke paths).",
+    tags=("generator",),
+)
+def range_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(0, 1000).select(F.col("id"), ((F.col("id") * 7 + 3) % 97).alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast dims, semi/anti), CTE pipelines
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customers_by_region",
+    """
+    SELECT r_name,
+           count(*)                 AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal,
+           round(avg(c_acctbal), 6) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Snowflake dimension join: customer⋈nation⋈region with explicit broadcast of "
+    "both dims (25 / 5 rows — always broadcastable), then grouped agg. At 100 TB the "
+    "fact side never shuffles for the join; only the 5-group agg shuffles.",
+    tags=("join", "broadcast", "groupby"),
+)
+def customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@_register(
+    "segment_order_stats",
+    """
+    WITH co AS (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*)                 AS n_customers,
+           sum(n_orders)            AS n_orders,
+           round(sum(spend), 2)     AS total_spend,
+           round(avg(spend), 6)     AS avg_spend
+    FROM customer JOIN co ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="CTE pipeline (SURVEY §2.3 #14): pre-aggregate orders per customer BEFORE the "
+    "join (shrinks the shuffle from |orders| to |customers|), then join + regroup. "
+    "Runs through spark.sql to exercise the SQL front-end path.",
+    tags=("cte", "join", "groupby", "sql"),
+)
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH co AS (
+            SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               count(*)             AS n_customers,
+               sum(n_orders)        AS n_orders,
+               round(sum(spend), 2) AS total_spend,
+               round(avg(spend), 6) AS avg_spend
+        FROM customer JOIN co ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Anti join (left_anti): customers that never ordered. Spark plans a broadcast "
+    "or shuffled hash anti-join; distinct custkeys on the build side keep it small.",
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "parts_in_large_lineitems",
+    """
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45
+    )
+    GROUP BY p_brand
+    """,
+    doc="Semi join (left_semi) + grouped count: parts appearing in high-quantity "
+    "lineitems. The quantity filter pushes to the parquet scan before the join.",
+    tags=("join", "semi"),
+)
+def parts_in_large_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, ordering, percentiles, set ops, rollup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice AS totalprice, rk
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rk <= 5
+    """,
+    doc="Window function: top-5 orders per market segment with a deterministic "
+    "tie-break (orderkey). rank-filter pattern; at scale AQE handles partition skew.",
+    tags=("window", "join"),
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+@_register(
+    "price_quantiles_by_flag",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont, both linear interpolation). At 100 TB switch to approx_percentile "
+    "(t-digest) — exact percentile materializes per-group sorted values.",
+    tags=("aggregate", "percentile"),
+)
+def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@_register(
+    "set_ops_names",
+    """
+    SELECT n_name AS name FROM nation
+    UNION
+    SELECT r_name AS name FROM region
+    EXCEPT
+    SELECT 'ASIA' AS name
+    """,
+    doc="Set operations: UNION (distinct) + EXCEPT over dimension names.",
+    tags=("setop",),
+)
+def set_ops_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    reg = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    minus = spark.createDataFrame([("ASIA",)], "name string")
+    return nat.union(reg).distinct().subtract(minus)
+
+
+@_register(
+    "rollup_region_nation",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP grouping sets: per-nation, per-region subtotal, and grand total rows "
+    "(NULL-filled hierarchy levels match DuckDB semantics).",
+    tags=("rollup", "groupby", "join"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT — the simplest exact-dedup primitive (hash aggregate on the key).",
+    tags=("distinct",),
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@_register(
+    "conditional_agg_status",
+    """
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Pivot-style conditional aggregation (count FILTER / count_if) per segment.",
+    tags=("aggregate", "pivot"),
+)
+def conditional_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        *[
+            F.count_if(F.col("o_orderstatus") == s).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time / JSON (events table)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "orders_by_month",
+    """
+    SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Calendar bucketing: monthly order counts + revenue (UTC; DATE-typed bucket).",
+    tags=("time", "groupby"),
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 6)   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hourly tumbling-window aggregation over the events table — the batch twin of "
+    "the Structured Streaming pipeline in streaming/events.py (same grouping logic).",
+    tags=("time", "window-agg", "events"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k,
+           max(CAST(props->>'$.k' AS INTEGER))           AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON extraction from a string column (props) + aggregate per event type.",
+    tags=("json", "events"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
