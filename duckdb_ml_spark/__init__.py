@@ -16,6 +16,14 @@ Relational surface (SURVEY.md §2.3) lives in `plans.relational`;
 pipeline operators live in `operators.*`; streaming in `streaming.*`.
 """
 
+from duckdb_ml_spark.functions import (  # noqa: F401
+    ml_create,
+    ml_drop,
+    ml_list,
+    ml_pred,
+    ml_train,
+    register_all,
+)
 from duckdb_ml_spark.session import get_spark  # noqa: F401
 
 __version__ = "0.1.0"

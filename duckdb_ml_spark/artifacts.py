@@ -1,0 +1,62 @@
+"""Weights/config persistence: models/<name>/<UTC %Y%m%d_%H%M%S>/ per training run.
+
+Mirrors the reference's artifact layout (/root/reference/src/nn/mod.rs:111-117,
+train.rs:48-53,132) with NumPy .npz instead of burn MessagePack. Also fixes the
+reference's dead weights-load branch (lib.rs:50-60 is unreachable — SURVEY §2.1 #1):
+ml_create accepts weights_path for real here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+
+from duckdb_ml_spark.nn import TrainingConfig
+
+DEFAULT_ROOT = os.environ.get("DUCKDB_ML_SPARK_MODELS_DIR", "models")
+
+
+def artifact_dir(name: str, root: str = DEFAULT_ROOT, ts: datetime | None = None) -> str:
+    stamp = (ts or datetime.now(timezone.utc)).strftime("%Y%m%d_%H%M%S")
+    return os.path.join(root, name, stamp)
+
+
+def _flatten(params: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    return {f"layer{i}.{k}": v for i, p in enumerate(params) for k, v in p.items()}
+
+
+def _unflatten(arrays: dict[str, np.ndarray]) -> list[dict[str, np.ndarray]]:
+    layers: dict[int, dict[str, np.ndarray]] = {}
+    for key, v in arrays.items():
+        prefix, k = key.split(".", 1)
+        layers.setdefault(int(prefix.removeprefix("layer")), {})[k] = v
+    return [layers[i] for i in sorted(layers)]
+
+
+def save_model(
+    name: str,
+    spec_json: str,
+    params: list[dict[str, np.ndarray]],
+    config: TrainingConfig | None = None,
+    root: str = DEFAULT_ROOT,
+) -> str:
+    """Write weights.npz + spec.json (+ config.json) to a fresh timestamped dir."""
+    d = artifact_dir(name, root)
+    os.makedirs(d, exist_ok=True)
+    np.savez(os.path.join(d, "weights.npz"), **_flatten(params))
+    with open(os.path.join(d, "spec.json"), "w") as f:
+        f.write(spec_json)
+    if config is not None:
+        with open(os.path.join(d, "config.json"), "w") as f:
+            f.write(config.to_json())
+    return d
+
+
+def load_weights(path: str) -> list[dict[str, np.ndarray]]:
+    """Load weights from an artifact dir (or a direct .npz file path)."""
+    npz = path if path.endswith(".npz") else os.path.join(path, "weights.npz")
+    with np.load(npz) as arrays:
+        return _unflatten(dict(arrays.items()))

@@ -1,0 +1,110 @@
+"""Driver-checkable queries for the ML operator surface (SURVEY §2.1).
+
+ml_create / ml_list produce exact, SQL-expressible outputs → full value-hash
+oracles. ml_train / ml_pred outputs are float32 network outputs (not
+SQL-expressible) → rows-only checks, per FIXTURES.md §F7; their structural
+invariants (arity, row counts, loss decrease) are pytest-tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+
+SPEC_2_8_1 = '{"layers": [{"in": 2, "out": 8, "activation": "relu"}, {"in": 8, "out": 1}]}'
+SPEC_3_16_1 = '{"layers": [{"in": 3, "out": 16, "activation": "relu"}, {"in": 16, "out": 1}]}'
+
+
+def _ml_create_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark import functions as fn
+
+    result = fn.ml_create("q_create_mlp", SPEC_2_8_1)
+    return spark.createDataFrame([(result,)], "result string")
+
+
+def _ml_list_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark import registry
+
+    registry.clear()
+    fn.ml_create("q_list_a", SPEC_2_8_1)
+    fn.ml_create("q_list_b", SPEC_3_16_1)
+    return fn.ml_list(spark)
+
+
+def _ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship train→predict path on scaled lineitem features
+    (autompg.sql pattern); returns per-row predictions (rows-only check)."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.flagship import FEATURES, TARGET, scaled_lineitem
+
+    df = scaled_lineitem(spark, sf_dir)
+    xy = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(*[F.col(f"scaled_{c}").cast("float") for c in FEATURES]).alias("features"),
+        F.array(F.col(f"scaled_{TARGET}").cast("float")).alias("targets"),
+    )
+    fn.ml_create("q_train_mlp", SPEC_3_16_1)
+    pred = fn.ml_train(
+        spark,
+        "q_train_mlp",
+        xy,
+        config='{"epochs": 3, "batch_size": 512, "seed": 42, "learning_rate": 0.01}',
+        save=False,
+    )
+    return pred.select(
+        "l_orderkey", "l_linenumber", F.element_at("prediction", 1).alias("predicted")
+    )
+
+
+def _ml_pred_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable ml_pred over range+random features — the reference's smoke test
+    (functions.test:13-14). Values are nondeterministic → rows-only check."""
+    from duckdb_ml_spark import functions as fn
+
+    fn.ml_create("q_sql_mlp", SPEC_2_8_1)
+    fn.register_all(spark)
+    return spark.sql(
+        "SELECT id, ml_pred('q_sql_mlp', array(cast(rand() as float), cast(rand() as float))) AS pred "
+        "FROM range(3)"
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ml_create_ok": QuerySpec(
+        name="ml_create_ok",
+        builder=_ml_create_ok,
+        oracle="SELECT 'Ok' AS result",
+        doc="ml_create returns 'Ok' (reference lib.rs:64-65).",
+        tags=("ml",),
+    ),
+    "ml_list_models": QuerySpec(
+        name="ml_list_models",
+        builder=_ml_list_models,
+        oracle=f"""
+        SELECT 'q_list_a' AS model, '{SPEC_2_8_1}' AS json
+        UNION ALL
+        SELECT 'q_list_b' AS model, '{SPEC_3_16_1}' AS json
+        """,
+        doc="ml_list emits (name, specjson) per registered model — exact golden "
+        "output, like the reference's only golden test (autompg.test:6-10).",
+        tags=("ml",),
+    ),
+    "ml_train_predict": QuerySpec(
+        name="ml_train_predict",
+        builder=_ml_train_predict,
+        oracle=None,  # float32 training output — rows-only (FIXTURES §F7)
+        doc="End-to-end train→predict on scaled lineitem (autompg pipeline shape).",
+        tags=("ml",),
+    ),
+    "ml_pred_sql": QuerySpec(
+        name="ml_pred_sql",
+        builder=_ml_pred_sql,
+        oracle=None,  # rand() features — rows-only
+        doc="SQL-registered ml_pred over range(3)+rand() (functions.test:13-14).",
+        tags=("ml", "sql"),
+    ),
+}

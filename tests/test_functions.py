@@ -1,0 +1,133 @@
+"""ml_create / ml_list / ml_train / ml_pred operator tests against Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark import artifacts, functions as fn, nn, registry
+from duckdb_ml_spark.spec import parse_spec
+
+SPEC = '{"layers": [{"in": 2, "out": 8, "activation": "relu"}, {"in": 8, "out": 1}]}'
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    registry.clear()
+    yield
+    registry.clear()
+
+
+def _xy_df(spark, n=256, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, size=(n, 2)).astype(np.float32)
+    y = (x @ np.array([[1.5], [-0.5]], dtype=np.float32)) + 0.2
+    rows = [(x[i].tolist(), y[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "features array<float>, targets array<float>")
+
+
+def test_ml_create_returns_ok_and_registers(spark):
+    assert fn.ml_create("m1", SPEC) == "Ok"
+    rows = fn.ml_list(spark).collect()
+    assert [(r.model, r.json) for r in rows] == [("m1", SPEC)]
+
+
+def test_ml_create_rejects_bad_spec():
+    from duckdb_ml_spark.spec import SpecError
+
+    with pytest.raises(SpecError):
+        fn.ml_create("bad", '{"layers": [{"in": 2}]}')
+
+
+def test_ml_pred_shapes_and_determinism(spark):
+    fn.ml_create("m2", SPEC, seed=42)
+    df = _xy_df(spark, 64)
+    out1 = fn.ml_pred(df, "m2").select("prediction").collect()
+    out2 = fn.ml_pred(df, "m2").select("prediction").collect()
+    assert all(len(r.prediction) == 1 for r in out1)
+    assert [r.prediction for r in out1] == [r.prediction for r in out2]
+
+
+def test_ml_pred_ragged_input_raises(spark):
+    fn.ml_create("m3", SPEC)
+    df = spark.createDataFrame(
+        [([0.1, 0.2],), ([0.1, 0.2, 0.3],)], "features array<float>"
+    )
+    with pytest.raises(Exception, match="identical length|expected length"):
+        fn.ml_pred(df, "m3").collect()
+
+
+def test_ml_pred_wrong_dim_raises(spark):
+    fn.ml_create("m4", SPEC)
+    df = spark.createDataFrame([([0.1, 0.2, 0.3],)], "features array<float>")
+    with pytest.raises(Exception, match="expected length 2"):
+        fn.ml_pred(df, "m4").collect()
+
+
+def test_ml_train_improves_fit_and_returns_predictions(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(artifacts, "DEFAULT_ROOT", str(tmp_path))
+    fn.ml_create("m5", SPEC)
+    df = _xy_df(spark, 512)
+    before = fn.ml_pred(df, "m5").select(F.col("prediction")[0].alias("p"), F.col("targets")[0].alias("t"))
+    mse_before = before.select(F.avg((F.col("p") - F.col("t")) ** 2).alias("m")).first().m
+    pred = fn.ml_train(spark, "m5", df, config='{"epochs": 40, "batch_size": 64}')
+    assert pred.count() == 512
+    after = fn.ml_pred(df, "m5").select(F.col("prediction")[0].alias("p"), F.col("targets")[0].alias("t"))
+    mse_after = after.select(F.avg((F.col("p") - F.col("t")) ** 2).alias("m")).first().m
+    assert mse_after < mse_before / 5
+    # artifact written with weights + spec + config
+    m = registry.get_model("m5")
+    assert m.artifacts, "training must save an artifact dir"
+    loaded = artifacts.load_weights(m.artifacts[-1])
+    spec = parse_spec(SPEC)
+    x = np.zeros((2, 2), dtype=np.float32)
+    np.testing.assert_array_equal(
+        nn.forward(spec, loaded, x)[0], nn.forward(spec, m.params, x)[0]
+    )
+
+
+def test_ml_create_with_weights_path(spark, tmp_path):
+    fn.ml_create("src", SPEC)
+    d = artifacts.save_model("src", SPEC, registry.get_model("src").params, root=str(tmp_path))
+    fn.ml_create("dst", SPEC, weights_path=d)
+    df = _xy_df(spark, 16)
+    a = fn.ml_pred(df, "src").select("prediction").collect()
+    b = fn.ml_pred(df, "dst").select("prediction").collect()
+    assert [r.prediction for r in a] == [r.prediction for r in b]
+
+
+def test_sql_registered_ml_pred(spark):
+    fn.ml_create("msql", SPEC)
+    fn.register_all(spark)
+    rows = spark.sql(
+        "SELECT ml_pred('msql', array(cast(0.5 as float), cast(0.5 as float))) AS p FROM range(3)"
+    ).collect()
+    assert len(rows) == 3 and all(len(r.p) == 1 for r in rows)
+
+
+def test_ml_drop(spark):
+    fn.ml_create("gone", SPEC)
+    assert fn.ml_drop("gone") is True
+    assert fn.ml_drop("gone") is False
+    assert fn.ml_list(spark).count() == 0
+
+
+def test_ml_train_distributed_avg_and_grad(spark, tmp_path, monkeypatch):
+    from duckdb_ml_spark.functions.distributed import ml_train_distributed
+
+    monkeypatch.setattr(artifacts, "DEFAULT_ROOT", str(tmp_path))
+    df = _xy_df(spark, 1024).repartition(4)
+    for mode, epochs in (("avg", 30), ("grad", 80)):
+        registry.clear()
+        fn.ml_create("md", SPEC)
+        before = fn.ml_pred(df, "md").select(
+            F.avg((F.col("prediction")[0] - F.col("targets")[0]) ** 2).alias("m")
+        ).first().m
+        ml_train_distributed(
+            spark, "md", df, config=f'{{"epochs": {epochs}, "learning_rate": 0.02}}', mode=mode
+        )
+        after = fn.ml_pred(df, "md").select(
+            F.avg((F.col("prediction")[0] - F.col("targets")[0]) ** 2).alias("m")
+        ).first().m
+        assert after < before / 2, f"mode={mode}: {before} -> {after}"
