@@ -1,0 +1,359 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json north star).
+
+Five families, each a `queries()` entry with a DuckDB oracle on `documents` /
+`embeddings`:
+
+- exact:        md5(normalized text) group-keys, keep min(doc_id) — ONE shuffle.
+- MinHash+LSH:  word-3-gram shingles → k=16 md5 minhashes → 4 bands → bucket
+                self-join → estimated-Jaccard filter. The classic near-dup path:
+                candidate generation never compares all pairs, so it scales to
+                100 TB (band join only collides near-dups).
+- SimHash:      60-bit sign-of-weighted-bits fingerprint; near-dups differ in
+                few bits. SQL-expressible via a 60-row bit table (JVM-side).
+- n-gram Jaccard: exact set overlap via shingle self-join — the verifier for
+                LSH candidates (quadratic in colliding docs; use after LSH at scale).
+- embedding cosine: near-dup pairs above a cosine threshold over `embeddings`.
+
+Determinism contract: all hashing is md5-of-string (identical in Spark and
+DuckDB); minhash order uses LEXICOGRAPHIC min over hex strings — a valid uniform
+order on the hash domain that both engines agree on byte-for-byte. For raw
+throughput at scale, `minhash_signatures(..., hash_fn="xxhash64")` swaps in the
+cheaper 64-bit JVM hash (same plan shape, no oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.operators.textnorm import norm_text, norm_text_sql, shingles, tokens, tokens_sql
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+MINHASH_K = 16
+BAND_SIZE = 4
+N_BANDS = MINHASH_K // BAND_SIZE
+
+# Shared oracle CTE fragments ------------------------------------------------
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+)
+"""
+
+_SIG_SELECT = ", ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i:02d}" for i in range(MINHASH_K)
+)
+_SIG_CTE = f"sig AS (SELECT doc_id, {_SIG_SELECT} FROM sh GROUP BY doc_id)"
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(norm_text(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """API form: drop exact duplicates, keeping the lowest id per normalized text.
+
+    Window-free: a groupBy(min_id) + semi-join back, so the only wide exchange is
+    on the 128-bit text hash (uniform — no skew) and the full text never shuffles.
+    """
+    keys = (
+        df.select(F.md5(norm_text(F.col(text_col))).alias("__h"), F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keys.select(id_col), on=id_col, how="left_semi")
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """k minhashes per doc in ONE explode + ONE groupBy (k min-aggs share the pass).
+
+    hash_fn="md5": lexicographic min over hex digests — DuckDB-parity path.
+    hash_fn="xxhash64": numeric min over 64-bit JVM hashes — the 100 TB path
+    (one cheap hash per (seed, shingle) instead of an md5).
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i:02d}")
+            for i in range(k)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i:02d}") for i in range(k)]
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    band_size: int = BAND_SIZE,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """LSH banding: band-hash bucket self-join → distinct candidates → estimated
+    Jaccard (= fraction of equal minhashes) filter. Only bucket-colliding docs are
+    ever paired, so candidate generation is linear-ish in docs, not quadratic."""
+    n_bands = k // band_size
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[f"mh{b * band_size + j:02d}" for j in range(band_size)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i:02d}").alias(f"a{i:02d}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i:02d}").alias(f"b{i:02d}") for i in range(k)])
+    est = sum(F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0) for i in range(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (est.cast("double") / F.lit(float(k))).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_minhash_signatures_q(spark, sf_dir))
+
+
+def _minhash_lsh_oracle() -> str:
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(f"mh{b * BAND_SIZE + j:02d}" for j in range(BAND_SIZE)),
+        )
+        for b in range(N_BANDS)
+    )
+    est = " + ".join(f"(sa.mh{i:02d} = sb.mh{i:02d})::INT" for i in range(MINHASH_K))
+    return f"""
+    WITH {_SHINGLES_CTE}, {_SIG_CTE},
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ({est})::DOUBLE / {MINHASH_K}.0 AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+    WHERE ({est})::DOUBLE / {MINHASH_K}.0 >= 0.3
+    """
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (token-occurrence weighted sign bits).
+
+    Token hash = first 15 hex chars of md5 parsed as int (both engines agree).
+    The 60-row bit table is broadcast; everything stays in JVM expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    bits = spark.createDataFrame([(b, 1 << b) for b in range(60)], "b int, p bigint")
+    per_bit = (
+        toks.select("doc_id", h.alias("h"))
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "p")
+        .agg(F.sum(F.when(F.col("h").bitwiseAND(F.col("p")) != 0, 1).otherwise(-1)).alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("p")).otherwise(F.lit(0))).alias("simhash")
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+),
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (SELECT b, (1::BIGINT << b) AS p FROM generate_series(0, 59) AS t(b)),
+per_bit AS (
+    SELECT doc_id, p, sum(CASE WHEN (h & p) != 0 THEN 1 ELSE -1 END) AS s
+    FROM hashed, bits
+    GROUP BY doc_id, p
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+# --- exact n-gram Jaccard ----------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingle sets for pairs sharing ≥1 shingle.
+
+    Quadratic in docs-per-shingle — the exact VERIFIER stage; at 100 TB run it only
+    on LSH candidates (minhash_lsh_pairs), never on the full corpus."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.05
+"""
+
+
+# --- embedding cosine near-dup ------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Pairs of embeddings with cosine > threshold (double math, JVM higher-order
+    functions — no Python in the loop). Brute-force N²/2 pairs: correct baseline;
+    the scale path is the LSH-bucketed variant in operators/similarity.py."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .where(F.col("cos") > threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+_EMB_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_keys": QuerySpec(
+        name="dedup_exact_keys",
+        builder=exact_dedup_keys,
+        oracle=f"""
+        SELECT md5({norm_text_sql("text")}) AS text_hash,
+               min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+        """,
+        doc="Exact dedup keys: md5(normalized text) → keeper id + dup count.",
+        tags=("dedup",),
+    ),
+    "dedup_minhash_signatures": QuerySpec(
+        name="dedup_minhash_signatures",
+        builder=_minhash_signatures_q,
+        oracle=f"WITH {_SHINGLES_CTE}, {_SIG_CTE} SELECT * FROM sig",
+        doc="16 md5-minhashes per doc over word-3-gram shingles (one groupBy pass).",
+        tags=("dedup", "minhash"),
+    ),
+    "dedup_minhash_lsh_pairs": QuerySpec(
+        name="dedup_minhash_lsh_pairs",
+        builder=_minhash_lsh_pairs_q,
+        oracle=_minhash_lsh_oracle(),
+        doc="LSH-banded near-dup candidate pairs with estimated-Jaccard filter.",
+        tags=("dedup", "minhash", "lsh"),
+    ),
+    "dedup_simhash": QuerySpec(
+        name="dedup_simhash",
+        builder=simhash_docs,
+        oracle=_SIMHASH_ORACLE,
+        doc="60-bit SimHash fingerprint per document.",
+        tags=("dedup", "simhash"),
+    ),
+    "dedup_ngram_jaccard_pairs": QuerySpec(
+        name="dedup_ngram_jaccard_pairs",
+        builder=ngram_jaccard_pairs,
+        oracle=_NGRAM_JACCARD_ORACLE,
+        doc="Exact 3-gram Jaccard similarity pairs (threshold 0.05).",
+        tags=("dedup", "jaccard"),
+    ),
+    "dedup_embedding_pairs": QuerySpec(
+        name="dedup_embedding_pairs",
+        builder=embedding_neardup_pairs,
+        oracle=_EMB_NEARDUP_ORACLE,
+        doc="Embedding-cosine near-duplicate pairs (cosine > 0.4, double math).",
+        tags=("dedup", "embedding"),
+    ),
+}

@@ -1,0 +1,229 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting, BPE-ish token counting.
+
+All hot-path expressions are JVM-side built-ins (regexp_*, higher-order list
+functions) — no Python UDFs — so they pipeline inside whole-stage codegen and
+scale linearly with input. Each query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.operators.textnorm import norm_text, norm_text_sql, tokens, tokens_sql
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+# Tiny per-language stopword lists for the n-gram/stopword language heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est", "dans", "pour", "que"),
+    "es": ("el", "la", "y", "de", "un", "una", "es", "en", "por", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "in", "zu", "mit"),
+}
+_LANG_ORDER = ("en", "fr", "es", "de")  # deterministic argmax tie-break
+
+
+def _hits(toks, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(w, t -> t IN ({inlist})))"
+
+
+# --- token stats -------------------------------------------------------------
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(norm_text(F.col("text"))).alias("n_norm_chars"),
+    )
+
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({tokens_sql("text")}) AS n_tokens,
+       len(list_distinct({tokens_sql("text")})) AS n_uniq_tokens,
+       length({norm_text_sql("text")}) AS n_norm_chars
+FROM documents
+"""
+
+
+# --- quality score -----------------------------------------------------------
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality components + combined score, all integer/double exact.
+
+    score = 0.4·alpha_ratio + 0.3·uniq_ratio + 0.3·stopword_presence
+    (alpha-heavy text, lexical diversity, and natural-language stopword rate —
+    the standard cheap pre-filters in LLM data pipelines)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_hits = _hits(toks, STOPWORDS["en"])
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    uniq_ratio = n_uniq.cast("double") / n_tokens
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (0.4 * alpha_ratio + 0.3 * uniq_ratio + 0.3 * stop_ratio).alias("quality_score"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           {tokens_sql("text")} AS w,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+    FROM documents
+)
+SELECT doc_id,
+       n_alpha::DOUBLE / n_chars AS alpha_ratio,
+       len(list_distinct(w))::DOUBLE / len(w) AS uniq_ratio,
+       {_hits_sql(STOPWORDS["en"])}::DOUBLE / len(w) AS stop_ratio,
+       0.4 * (n_alpha::DOUBLE / n_chars)
+     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+     + 0.3 * ({_hits_sql(STOPWORDS["en"])}::DOUBLE / len(w)) AS quality_score
+FROM t
+"""
+
+
+# --- language ID -------------------------------------------------------------
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit argmax language heuristic with deterministic tie-break order."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hit_cols = {lang: _hits(toks, STOPWORDS[lang]).alias(f"{lang}_hits") for lang in _LANG_ORDER}
+    df = docs.select("doc_id", "lang", *hit_cols.values())
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties (>=)
+        cond = F.col(f"{lang}_hits") > 0
+        better = F.col(f"{lang}_hits") >= best_hits
+        best = F.when(cond & better, F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(F.col(f"{lang}_hits"), best_hits)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"{lang}_hits") for lang in _LANG_ORDER],
+        best.alias("pred_lang"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n       ".join(f"{_hits_sql(STOPWORDS[lang])} AS {lang}_hits" for lang in _LANG_ORDER)
+    # same reversed-fold semantics: earlier languages win ties
+    expr = "'unknown'"
+    best = "0"
+    for lang in reversed(_LANG_ORDER):
+        expr = (
+            f"CASE WHEN {lang}_hits > 0 AND {lang}_hits >= {best} THEN '{lang}' ELSE {expr} END"
+        )
+        best = f"greatest({lang}_hits, {best})"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {tokens_sql("text")} AS w FROM documents),
+    h AS (SELECT doc_id, lang, {hits} FROM t)
+    SELECT doc_id, lang AS labeled_lang, en_hits, fr_hits, es_hits, de_hits,
+           {expr} AS pred_lang
+    FROM h
+    """
+
+
+# --- fingerprint -------------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of normalized text + min shingle hash (1-perm
+    minhash) — the cheap join key for cross-corpus containment checks."""
+    from duckdb_ml_spark.operators.textnorm import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"))
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        F.md5(norm_text(F.col("text"))).alias("fingerprint"),
+        min_sh.alias("min_shingle_hash"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {tokens_sql("text")} AS w FROM documents)
+SELECT doc_id,
+       md5({norm_text_sql("text")}) AS fingerprint,
+       list_min(list_transform(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> md5(s))) AS min_shingle_hash
+FROM t
+"""
+
+
+# --- BPE-ish token counting ----------------------------------------------------
+
+_BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting with a BPE-flavored regex (letters runs,
+    capitalized runs, digit runs, single punctuation) — the cheap proxy for
+    tokenizer-cost estimation over a corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpeish"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).alias("n_spaces"),
+    )
+
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpeish,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(
+        "text_token_stats", token_stats, _TOKEN_STATS_ORACLE,
+        doc="Char/token/unique-token counts per document.", tags=("text",),
+    ),
+    "text_quality_score": QuerySpec(
+        "text_quality_score", quality_score, _QUALITY_ORACLE,
+        doc="Alpha/uniq/stopword ratios + combined quality score.", tags=("text",),
+    ),
+    "text_lang_id": QuerySpec(
+        "text_lang_id", lang_id, _lang_id_oracle(),
+        doc="Stopword-argmax language heuristic (en/fr/es/de).", tags=("text",),
+    ),
+    "text_fingerprint": QuerySpec(
+        "text_fingerprint", doc_fingerprint, _FINGERPRINT_ORACLE,
+        doc="md5 content fingerprint + 1-perm minhash per doc.", tags=("text",),
+    ),
+    "text_token_count_bpe": QuerySpec(
+        "text_token_count_bpe", token_count_bpe, _BPE_ORACLE,
+        doc="BPE-ish regex token counting.", tags=("text",),
+    ),
+}
