@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every `queries()` entry end-to-end and prints ONE
+JSON line for the driver.
+
+Each query is materialized with a `noop`-format write (forces full computation
+of every column on the executors, no driver collect cost, no result caching —
+the fairest "execute the whole plan" measure Spark offers). ML queries that
+collect/train on the driver are timed the same way they'd run in production
+(collect + NumPy loop + distributed predict).
+
+Env:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_ONLY           comma-separated query names to restrict to
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _materialize(df) -> int:
+    """Force full plan execution; returns row count (cheap side output)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from duckdb_ml_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
+
+    # Warm the JVM + parquet footer caches so per-query numbers measure the
+    # queries, not first-touch JIT/IO (the driver compares totals round-over-round).
+    from duckdb_ml_spark.tables import load
+
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+        try:
+            _materialize(load(spark, sf_dir, t).limit(1))
+        except Exception:
+            pass
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            _materialize(fn(spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench: {name} FAILED: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+            times[name] = -1.0
+
+    ok = {k: v for k, v in times.items() if v >= 0}
+    result = {
+        "metric": "sum_query_wall_sec",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "n_failed": len(times) - len(ok),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

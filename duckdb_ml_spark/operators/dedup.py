@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_ml_spark.operators.textnorm import norm_text, norm_text_sql, shingles, tokens, tokens_sql
+from duckdb_ml_spark.operators.textnorm import (
+    exploded_shingles,
+    norm_text,
+    norm_text_sql,
+    tokens,
+    tokens_sql,
+)
 from duckdb_ml_spark.plans.relational import QuerySpec
 from duckdb_ml_spark.tables import load
 
@@ -95,7 +101,7 @@ def minhash_signatures(
     hash_fn="xxhash64": numeric min over 64-bit JVM hashes — the 100 TB path
     (one cheap hash per (seed, shingle) instead of an md5).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+    sh = exploded_shingles(df, text_col=text_col, id_col=id_col)
     if hash_fn == "md5":
         aggs = [
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i:02d}")
@@ -164,7 +170,10 @@ def minhash_lsh_pairs(
 
 
 def _minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_minhash_signatures_q(spark, sf_dir))
+    # The signature relation feeds three subplans (bands, sa, sb); persist so the
+    # shingle explode + 16 min-aggs run once. At 100 TB this is a checkpointed
+    # signatures table — k·8 bytes/doc, orders smaller than the corpus.
+    return minhash_lsh_pairs(_minhash_signatures_q(spark, sf_dir).persist())
 
 
 def _minhash_lsh_oracle() -> str:
@@ -196,20 +205,27 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (token-occurrence weighted sign bits).
 
     Token hash = first 15 hex chars of md5 parsed as int (both engines agree).
-    The 60-row bit table is broadcast; everything stays in JVM expressions."""
+    One groupBy with 60 partial-aggregating sum columns — no row blowup, no
+    second shuffle (vs. the naive tokens × bit-table crossJoin, which multiplies
+    the token stream 60× before aggregating). `h` is materialized in its own
+    projection so the md5 runs once per token, not once per bit."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    bits = spark.createDataFrame([(b, 1 << b) for b in range(60)], "b int, p bigint")
-    per_bit = (
-        toks.select("doc_id", h.alias("h"))
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "p")
-        .agg(F.sum(F.when(F.col("h").bitwiseAND(F.col("p")) != 0, 1).otherwise(-1)).alias("s"))
+    hashed = toks.select("doc_id", h.alias("h"))
+    per_bit = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"s{b:02d}")
+            for b in range(60)
+        ]
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("p")).otherwise(F.lit(0))).alias("simhash")
-    )
+    simhash = None
+    for b in range(60):
+        term = F.when(F.col(f"s{b:02d}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return per_bit.select("doc_id", simhash.alias("simhash"))
 
 
 _SIMHASH_ORACLE = f"""
@@ -239,9 +255,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     Quadratic in docs-per-shingle — the exact VERIFIER stage; at 100 TB run it only
     on LSH candidates (minhash_lsh_pairs), never on the full corpus."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    # distinct shingle set feeds three subplans (sizes + both join sides): persist.
+    sh = exploded_shingles(docs).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -278,28 +293,18 @@ WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.05
 # --- embedding cosine near-dup ------------------------------------------------
 
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    nb = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
-    return dot / (F.sqrt(na) * F.sqrt(nb))
-
-
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
-    """Pairs of embeddings with cosine > threshold (double math, JVM higher-order
-    functions — no Python in the loop). Brute-force N²/2 pairs: correct baseline;
-    the scale path is the LSH-bucketed variant in operators/similarity.py."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .where(F.col("cos") > threshold)
-        .select("vec_a", "vec_b")
-    )
+    """Pairs of embeddings with cosine > threshold — broadcast-matrix kernel
+    (operators/vec.py): the corpus streams partition-by-partition against a
+    broadcast tile, so no vector ever crosses a shuffle. Bit-identical to the
+    sequential-fold expression form, hence oracle-hash stable. At 100 TB the
+    broadcast side becomes corpus tiles looped outside Spark (block matmul);
+    the bounded-candidate alternative is minhash/LSH above."""
+    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_pairs_vs_broadcast
+
+    emb = load(spark, sf_dir, "embeddings")
+    ids, M = collect_matrix(emb, "vec_id")
+    return cosine_pairs_vs_broadcast(emb, ids, M, "vec_id", threshold=threshold)
 
 
 _EMB_NEARDUP_ORACLE = """

@@ -30,33 +30,44 @@ N_PROBE = 3
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Sequential-fold cosine in doubles (deterministic order on both engines)."""
+    """Sequential-fold cosine in doubles (deterministic order on both engines).
+
+    HOF form — kept as the API for ad-hoc array columns; the operator hot paths
+    below use the bit-identical unpacked-column codegen kernels (operators/vec.py).
+    """
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     nb = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
-def _as_double(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+def _flat(df: DataFrame, id_alias: str, prefix: str, dim: int, id_col: str = "vec_id") -> DataFrame:
+    """(id, {prefix}0..{dim-1}, n{prefix}) — unpacked doubles + squared norm."""
+    from duckdb_ml_spark.operators.vec import sqnorm, unpack
+
+    flat = unpack(
+        df.select(F.col(id_col).alias(id_alias), "embedding"),
+        "embedding", dim, prefix, keep=[id_alias],
+    )
+    return flat.select("*", sqnorm(prefix, dim).alias(f"n{prefix}"))
 
 
 def brute_force_topk(
-    emb: DataFrame, queries: DataFrame, k: int = TOP_K, id_col: str = "vec_id"
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K, id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine), rank-windowed.
 
-    The corpus side streams; queries are broadcast (small by construction). At
-    100 TB this is one map-side join + per-query top-k — no corpus shuffle.
+    The corpus streams partition-by-partition against the broadcast query
+    matrix (vec.py kernel — sequential-fold, bit-identical to the expression
+    form); only (corpus_row, query, cos) scores reach the top-k window. At
+    100 TB this is one map-side pass + per-query top-k — no corpus shuffle.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double("embedding").alias("qe")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double("embedding").alias("ce"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_scores_vs_broadcast
+
+    q_ids, Q = collect_matrix(queries, id_col)
+    scored = cosine_scores_vs_broadcast(emb, q_ids, Q, id_col).select(
+        "query_id", F.col("row_id").alias("neighbor_id"), "cos"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -67,8 +78,11 @@ def brute_force_topk(
 
 
 def _brute_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.operators.vec import embedding_dim
+
     emb = load(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
+    dim = embedding_dim(emb, cache_key=sf_dir)
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim)
 
 
 _BRUTE_ORACLE = f"""
@@ -91,49 +105,71 @@ def ivf_topk(
     stride: int = CENTROID_STRIDE,
     nprobe: int = N_PROBE,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to nearest coarse centroid, probe the
-    query's nprobe nearest buckets, exact-rerank only those candidates."""
-    cent = emb.where(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("c_id"), _as_double("embedding").alias("c_e")
+    query's nprobe nearest buckets, exact-rerank only those candidates.
+
+    Plan shape (the one that scales): centroids + queries are tiny → their
+    probe lists are computed on the driver in NumPy (same sequential-fold
+    cosine, same tie-break — bit-identical to the SQL window form). Only the
+    corpus-side work is distributed: one broadcast-matrix assignment pass (no
+    shuffle), a broadcast semi-join onto probed buckets, and a rerank of the
+    candidates against their own query vector. The corpus is never crossJoined
+    or windowed with vectors attached."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.vec import (
+        _seq_cosine_matrix,
+        collect_matrix,
+        cosine_scores_vs_broadcast,
+        cosine_to_assigned_query,
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), _as_double("embedding").alias("ce"))
-    # bucket assignment: nearest centroid per corpus vector (broadcast centroids)
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id", "ce", "c_id", cosine(F.col("ce"), F.col("c_e")).alias("c_cos")
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "ce", F.col("c_id").alias("bucket"))
+
+    cent_ids, CM = collect_matrix(emb.where(F.col(id_col) % stride == 0), id_col)
+    order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
+    cent_ids, CM = cent_ids[order], CM[order]
+
+    # bucket assignment: nearest centroid per corpus vector (broadcast centroids);
+    # max_by(struct(cos, -c_id)) == row_number(ORDER BY cos DESC, c_id ASC) = 1
+    scores = cosine_scores_vs_broadcast(emb, cent_ids, CM, id_col, skip_equal_ids=False)
+    assigned = scores.groupBy(F.col("row_id").alias("neighbor_id")).agg(
+        F.max_by(
+            F.col("query_id"), F.struct(F.col("cos"), (-F.col("query_id")).alias("neg"))
+        ).alias("bucket")
     )
-    # query probe lists: nprobe nearest centroids per query
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double("embedding").alias("qe"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qe", "c_id", cosine(F.col("qe"), F.col("c_e")).alias("c_cos"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qe", F.col("c_id").alias("bucket"))
-    )
-    # rerank within probed buckets only
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+
+    # query probe lists: nprobe nearest centroids per query — driver NumPy
+    q_ids, QM = collect_matrix(queries, id_col)
+    qc = _seq_cosine_matrix(QM, CM)
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        # sort by cos DESC then c_id ASC (c_id order pre-sorted, stable sort keeps it)
+        top = np.argsort(-qc[qi], kind="stable")[:nprobe]
+        probe_rows.extend((int(qid), int(cent_ids[ci])) for ci in top)
+    probes = emb.sparkSession.createDataFrame(probe_rows, "query_id bigint, bucket bigint")
+
+    # rerank candidates in probed buckets against their own query vector
+    cand = (
         assigned.join(F.broadcast(probes), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
-        .withColumn("rank", F.row_number().over(w_rank))
+        .join(emb.select(F.col(id_col).alias("neighbor_id"), "embedding"), "neighbor_id")
+    )
+    rer = cosine_to_assigned_query(cand, q_ids, QM, "query_id", "neighbor_id")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("row_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select("query_id", F.col("row_id").alias("neighbor_id"), "rank")
     )
 
 
 def _ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.operators.vec import embedding_dim
+
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
+    dim = embedding_dim(emb, cache_key=sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim)
 
 
 _IVF_ORACLE = f"""

@@ -156,12 +156,15 @@ def _lang_id_oracle() -> str:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 of normalized text + min shingle hash (1-perm
     minhash) — the cheap join key for cross-corpus containment checks."""
-    from duckdb_ml_spark.operators.textnorm import shingles
+    from duckdb_ml_spark.operators.textnorm import shingles_from_tokens
 
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(F.col("text"))
+    # tokens materialized in their own projection: the shingle lambda references
+    # the array many times, and an inlined tokenizer would re-run per extract.
+    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("__w"))
+    sh = shingles_from_tokens(F.col("__w"))
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
+    return toked.select(
         "doc_id",
         F.md5(norm_text(F.col("text"))).alias("fingerprint"),
         min_sh.alias("min_shingle_hash"),

@@ -33,15 +33,45 @@ def tokens_sql(expr: str) -> str:
 
 # --- word n-gram shingles ---------------------------------------------------
 
-def shingles(col, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings; empty array when < n tokens."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)  # 0-based start positions
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column.
+
+    `w` must be a plain attribute (e.g. `F.col("w")` from a prior projection),
+    never the raw `tokens(text)` expression: every `element_at` in the lambda
+    re-evaluates its array child, so an inlined tokenizer would re-run
+    lower→regexp_replace→split O(shingles × n) times per row. With an attribute
+    the extracts are O(1) and the tokenizer runs exactly once per row — this is
+    the difference between linear and quadratic cost in document length.
+    """
+    idx = F.sequence(F.lit(0), F.size(w) - n)  # 0-based start positions
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
     )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """(id, shingle) rows via a two-step projection that materializes tokens.
+
+    The intermediate `__w` is referenced many times by the shingle expression, so
+    Catalyst's CollapseProject keeps the tokenizer in its own (single-eval)
+    projection instead of re-inlining it — verified via explain().
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    return toked.select(
+        id_col, F.explode(shingles_from_tokens(F.col("__w"), n)).alias("shingle")
+    )
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings; empty array when < n tokens.
+
+    NOTE: inlines the tokenizer into every element extract — fine for one-shot
+    scalar use, but hot paths must use exploded_shingles / shingles_from_tokens
+    (see that docstring for why).
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

@@ -1,0 +1,241 @@
+"""Unpacked-column vector math for embedding operators.
+
+Spark's array higher-order functions (aggregate/zip_with/transform) are
+CodegenFallback — every element op is interpreted with boxing, which makes an
+N²-pair cosine 30-60× slower than DuckDB's vectorized list kernels. Unpacking a
+fixed-dim embedding into `dim` scalar DOUBLE columns turns the same math into a
+flat expression tree that whole-stage codegen compiles to straight-line JVM
+multiply-adds — the fastest shape Spark offers without leaving the JVM.
+
+Float contract: `seq_sum` folds terms left-to-right starting from 0.0 — exactly
+the evaluation order of `F.aggregate(xs, lit(0.0), (acc, v) -> acc + v)` — so
+swapping the HOF implementation for this one is bit-identical, and parity with
+sequential-loop oracle kernels (DuckDB list_cosine_similarity) is preserved.
+
+At 100 TB: unpacking is a per-row map (no shuffle); the pair generation around
+it (LSH buckets, IVF probes, broadcast queries) is what bounds cost — these
+kernels just make the per-pair constant ~100× smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def seq_sum(terms: list[Column]) -> Column:
+    """Left-fold sum starting at 0.0 (matches F.aggregate's order exactly)."""
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim(df: DataFrame, arr_col: str = "embedding", cache_key: str | None = None) -> int:
+    """Probe the (uniform) embedding dimensionality with a 1-row job.
+
+    Pass cache_key (e.g. the sf_dir) to skip repeat probe jobs for the same
+    source — dim is a dataset property, not a per-query one.
+    """
+    if cache_key is not None and cache_key in _DIM_CACHE:
+        return _DIM_CACHE[cache_key]
+    row = df.select(F.size(arr_col).alias("d")).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: '{arr_col}' has no rows")
+    dim = int(row["d"])
+    if cache_key is not None:
+        _DIM_CACHE[cache_key] = dim
+    return dim
+
+
+def unpack(df: DataFrame, arr_col: str, dim: int, prefix: str, keep: list[str]) -> DataFrame:
+    """Project array<float> into `dim` scalar DOUBLE columns `{prefix}0..{dim-1}`."""
+    cols = [
+        F.element_at(F.col(arr_col), i + 1).cast("double").alias(f"{prefix}{i}")
+        for i in range(dim)
+    ]
+    return df.select(*keep, *cols)
+
+
+def sqnorm(prefix: str, dim: int) -> Column:
+    return seq_sum([F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}") for i in range(dim)])
+
+
+def dot(pa: str, pb: str, dim: int) -> Column:
+    return seq_sum([F.col(f"{pa}{i}") * F.col(f"{pb}{i}") for i in range(dim)])
+
+
+def cosine_cols(pa: str, pb: str, na: str, nb: str, dim: int) -> Column:
+    """cosine(a, b) from unpacked columns + precomputed squared norms.
+
+    Precomputing norms per ROW (not per pair) removes 2/3 of the pair work; the
+    value is unchanged — same expression, same fold order, evaluated earlier.
+    """
+    return dot(pa, pb, dim) / (F.sqrt(F.col(na)) * F.sqrt(F.col(nb)))
+
+
+# --- broadcast-matrix kernels (mapInPandas) ----------------------------------
+#
+# For all-pairs / query-set scoring the expensive shape is the JOIN: a
+# pair-materializing join ships O(pairs)·dim floats through the shuffle (~1 GB
+# at just 2k×2k×64). Broadcasting one side as a NumPy matrix and scoring each
+# corpus partition against it ships O(rows) only — pairs never carry vectors.
+# At 100 TB the broadcast side is a block (queries, centroids, or a corpus
+# tile); the per-partition kernel is unchanged — this IS the block-matmul
+# pattern, with the outer loop over tiles expressed as Spark partitioning.
+#
+# Parity contract: accumulation is a sequential fold over the dim axis
+# (vectorized across rows), so every pairwise sum is added in the exact order
+# of F.aggregate / cosine_cols / DuckDB's sequential list kernels — results
+# are bit-identical to the expression versions, keeping the value-hash oracle.
+
+
+def _seq_cosine_matrix(A, B):  # (n,d) x (m,d) -> (n,m) cosine, sequential-fold order
+    import numpy as np
+
+    n, m = A.shape[0], B.shape[0]
+    dot = np.zeros((n, m))
+    na = np.zeros(n)
+    nb = np.zeros(m)
+    for i in range(A.shape[1]):
+        dot += np.multiply.outer(A[:, i], B[:, i])
+        na += A[:, i] * A[:, i]
+        nb += B[:, i] * B[:, i]
+    return dot / np.multiply.outer(np.sqrt(na), np.sqrt(nb))
+
+
+def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding"):
+    """(ids int64 array, float64 matrix) from a SMALL DataFrame (driver collect).
+
+    The broadcast side of the matrix kernels. At scale, tile the input and loop.
+    """
+    import numpy as np
+
+    pdf = df.select(id_col, arr_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+    return ids, M
+
+
+def cosine_pairs_vs_broadcast(
+    df: DataFrame,
+    ids,
+    M,
+    id_col: str,
+    arr_col: str = "embedding",
+    threshold: float = 0.4,
+    upper_only: bool = True,
+):
+    """(id_a, id_b) pairs with cosine > threshold between df rows and the
+    broadcast (ids, M) matrix — mapInPandas, no vector ever shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        ids_b, Mb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            ids_a = pdf[id_col].to_numpy()
+            cos = _seq_cosine_matrix(A, Mb)
+            mask = cos > threshold
+            if upper_only:
+                mask &= np.less.outer(ids_a, ids_b)
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame({"vec_a": ids_a[ai], "vec_b": ids_b[bi]})
+
+    return df.select(id_col, arr_col).mapInPandas(gen, "vec_a bigint, vec_b bigint")
+
+
+def cosine_to_assigned_query(
+    df: DataFrame,
+    ids,
+    M,
+    query_col: str,
+    id_col: str,
+    arr_col: str = "embedding",
+):
+    """(id, query_id, cos) where each row is scored against ONLY the broadcast
+    vector named by its own `query_col` — the rerank stage after candidate
+    generation (IVF probe join, LSH buckets). Vectorized per batch: rows are
+    gathered against their query's matrix row, then dim-folded sequentially."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        ids_b, Mb = bc.value
+        pos = {int(v): i for i, v in enumerate(ids_b)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            qidx = pdf[query_col].map(pos).to_numpy(dtype=np.int64)
+            Qsel = Mb[qidx]
+            n = len(A)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(A.shape[1]):
+                dot += A[:, i] * Qsel[:, i]
+                na += A[:, i] * A[:, i]
+                nb += Qsel[:, i] * Qsel[:, i]
+            yield pd.DataFrame(
+                {
+                    "row_id": pdf[id_col].to_numpy(),
+                    "query_id": pdf[query_col].to_numpy(),
+                    "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+
+    return df.select(id_col, query_col, arr_col).mapInPandas(
+        gen, "row_id bigint, query_id bigint, cos double"
+    )
+
+
+def cosine_scores_vs_broadcast(
+    df: DataFrame,
+    ids,
+    M,
+    id_col: str,
+    arr_col: str = "embedding",
+    skip_equal_ids: bool = True,
+):
+    """(row_id, query_id, cos) scores of every df row against every broadcast
+    vector — the candidate-scoring stage of top-k search (rank downstream)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        ids_b, Mb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            ids_a = pdf[id_col].to_numpy()
+            cos = _seq_cosine_matrix(A, Mb)
+            n, m = cos.shape
+            out = pd.DataFrame(
+                {
+                    "row_id": np.repeat(ids_a, m),
+                    "query_id": np.tile(ids_b, n),
+                    "cos": cos.ravel(),
+                }
+            )
+            if skip_equal_ids:
+                out = out[out["row_id"] != out["query_id"]]
+            yield out
+
+    return df.select(id_col, arr_col).mapInPandas(gen, "row_id bigint, query_id bigint, cos double")
