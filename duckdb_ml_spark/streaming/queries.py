@@ -1,0 +1,110 @@
+"""Oracle-checkable queries for the streaming surface (batch forms).
+
+Spark's unified semantics mean each streaming operator is DEFINED by a batch
+plan; the driver's value-hash gate runs that batch form against a DuckDB
+oracle, and tests/test_streaming.py proves the identical plan produces the
+identical rows under readStream (availableNow) — so the streaming surface gets
+full value-level correctness coverage, not just rows-only.
+
+Session-window oracle: Spark merges events whose gap is ≤ gapDuration
+(boundary-inclusive, verified empirically), so the islands break condition is
+strictly `ts - prev > gap`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.streaming.stream import (
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    user_state,
+)
+from duckdb_ml_spark.tables import load
+
+
+def _tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = """
+WITH e AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS tb, event_type FROM events),
+w AS (
+    SELECT unnest([tb, tb - INTERVAL '1 hour']) AS window_start, event_type FROM e
+)
+SELECT window_start, event_type, count(*) AS n_events FROM w GROUP BY 1, 2
+"""
+
+
+def _sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load(spark, sf_dir, "events"))
+
+
+_SESSIONS_ORACLE = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                     > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       max(ts) AS last_ts, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_state(load(spark, sf_dir, "events"))
+
+
+_USER_STATE_ORACLE = """
+SELECT user_id, count(*) AS n_events, max(value) AS max_value, max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling_hourly": QuerySpec(
+        "stream_tumbling_hourly", _tumbling_q, _TUMBLING_ORACLE,
+        doc="Tumbling 1h windows × event_type: counts + value aggregates.",
+        tags=("streaming", "window"),
+    ),
+    "stream_sliding_2h": QuerySpec(
+        "stream_sliding_2h", _sliding_q, _SLIDING_ORACLE,
+        doc="Sliding 2h/1h windows × event_type: counts (each event in 2 windows).",
+        tags=("streaming", "window"),
+    ),
+    "stream_sessions": QuerySpec(
+        "stream_sessions", _sessions_q, _SESSIONS_ORACLE,
+        doc="Per-user 30-minute-gap session windows (start, size, last event).",
+        tags=("streaming", "session"),
+    ),
+    "stream_user_state": QuerySpec(
+        "stream_user_state", _user_state_q, _USER_STATE_ORACLE,
+        doc="Final per-user state of the stateful accumulator (batch equivalent).",
+        tags=("streaming", "stateful"),
+    ),
+}

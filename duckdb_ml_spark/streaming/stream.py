@@ -1,0 +1,131 @@
+"""Streaming operators over the `events` table.
+
+Each operator is a plain DataFrame→DataFrame transformation, so the SAME
+function serves batch (oracle-checkable via queries.py) and streaming
+(readStream + availableNow in tests) — Spark's unified batch/stream semantics
+are the whole design: correctness is proven against the DuckDB oracle in batch
+mode, and the streaming tests prove the identical plan runs incrementally with
+watermarks and emits the same rows.
+
+Scale notes: windowed aggregations shuffle on (window, key) — at 100 TB/day the
+state store is bounded by the watermark horizon, not the stream length; session
+windows additionally merge per key, so skewed users are the thing to watch
+(cap with a max-session-length guard upstream if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs ts conversion as
+    the batch loader (tables.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file stream source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(ev: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Per-(hour, event_type) event counts + value aggregates (tumbling window).
+
+    Pass watermark (e.g. "2 hours") on streaming input to bound state; batch
+    input ignores it. avg is rounded: it is an aggregate, so ±1 ulp summation
+    noise between engines is absorbed (never round per-row values)."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "avg_value")
+    )
+
+
+def sliding_counts(
+    ev: DataFrame, width: str = "2 hours", slide: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide overlapping windows."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows(ev: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
+    """Per-user session windows (gap-based). A session breaks when the next
+    event is ≥ gap after the previous one; session_start = first event ts."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "last_ts", "sum_value")
+    )
+
+
+def user_state(ev: DataFrame) -> DataFrame:
+    """Batch-equivalent of the stateful per-user accumulator: final state per
+    user (event count, max value, last event time). The streaming twin keeps
+    this as per-key state via applyInPandasWithState (user_state_stream)."""
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+STATE_SCHEMA = "n bigint, max_value double, last_ts_us bigint"
+OUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, last_ts_us bigint"
+
+
+def user_state_stream(ev: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: per-user running (count, max, last_ts) kept in
+    the state store across micro-batches via applyInPandasWithState.
+
+    Emits the updated state for every user seen in each micro-batch; the final
+    emission per user equals user_state() of the whole input — asserted in
+    tests. State is O(users), not O(events): the 100 TB-safe shape."""
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        mx = None
+        last = None
+        if state.exists:
+            n, mx, last = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            bmx = pdf["value"].max()
+            mx = bmx if mx is None else max(mx, float(bmx))
+            blast = pdf["ts"].max()
+            blast_us = int(blast.value // 1000)  # pandas ns → µs
+            last = blast_us if last is None else max(last, blast_us)
+        state.update((n, float(mx), int(last)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx], "last_ts_us": [last]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "Update", timeout
+    )

@@ -1,0 +1,95 @@
+"""Streaming surface tests: the SAME plans that pass the batch oracle must
+produce the SAME rows when run incrementally under readStream (availableNow),
+and the stateful accumulator's final state must equal the batch aggregate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.streaming.stream import (
+    read_events_stream,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+    user_state,
+    user_state_stream,
+)
+from duckdb_ml_spark.tables import load
+
+
+def _run_stream_to_memory(sdf, name: str, output_mode: str = "complete"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.mark.parametrize(
+    "op,name,cols",
+    [
+        (
+            lambda ev: tumbling_counts(ev, watermark="2 hours"),
+            "t_tumbling",
+            ["window_start", "event_type", "n_events", "sum_value", "avg_value"],
+        ),
+        (
+            lambda ev: sliding_counts(ev, watermark="3 hours"),
+            "t_sliding",
+            ["window_start", "event_type", "n_events"],
+        ),
+        (
+            lambda ev: session_windows(ev, watermark="2 hours"),
+            "t_sessions",
+            ["user_id", "session_start", "n_events", "last_ts", "sum_value"],
+        ),
+    ],
+)
+def test_stream_matches_batch(spark, sf_dir, op, name, cols):
+    batch = op(load(spark, sf_dir, "events"))
+    stream = op(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    _run_stream_to_memory(stream, name)
+    got = _sorted_rows(spark.table(name), cols)
+    want = _sorted_rows(batch, cols)
+    assert got == want and len(got) > 0
+
+
+def test_stateful_user_state_matches_batch(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    _run_stream_to_memory(user_state_stream(ev), "t_state", output_mode="update")
+    # last emission per user == final state
+    final = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+            F.max("last_ts_us").alias("last_ts_us"),
+        )
+    )
+    got = _sorted_rows(final, ["user_id", "n_events", "max_value", "last_ts_us"])
+    want_df = user_state(load(spark, sf_dir, "events")).select(
+        "user_id",
+        "n_events",
+        "max_value",
+        (F.unix_micros("last_ts")).alias("last_ts_us"),
+    )
+    want = _sorted_rows(want_df, ["user_id", "n_events", "max_value", "last_ts_us"])
+    assert got == want and len(got) > 0
+
+
+def test_watermark_in_plan(spark, sf_dir):
+    ev = read_events_stream(spark, sf_dir)
+    agg = tumbling_counts(ev, watermark="2 hours")
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
