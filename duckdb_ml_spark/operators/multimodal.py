@@ -1,0 +1,240 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The testdata has no media files, so payloads are synthesized DETERMINISTICALLY
+from `documents.text` (utf-8 bytes) — every byte is reproducible in the DuckDB
+oracle (`text::BLOB`), which lets the metadata/validation/partitioning plumbing
+be value-hash checked end-to-end. The actual codec step (JPEG decode, audio
+resample, video frame extraction) requires libs this container doesn't ship, so
+`decode_media` is a clearly-marked STUB: `fake="bytes"` produces a deterministic
+pseudo-decode (tested, oracle-checkable at the metadata level), `fake=None`
+raises NotImplementedError where a real `PIL.Image.open` / `soundfile.read`
+call would go. Everything Spark-side — schema, Arrow batching via mapInPandas,
+partition-safe iteration, output shapes — is real and tested.
+
+Scale notes: media bytes are the heaviest column — the plans here always prune
+it at scan (metadata queries never read the payload; .explain shows ReadSchema
+without `media`), decode streams per Arrow batch (bounded memory ∝
+maxRecordsPerBatch × payload), and derived features (fixed-dim float arrays)
+are the only thing that ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+MEDIA_TYPES = ("image", "audio", "video")
+_DECODE_DIM = 16  # fake-decode feature dimensionality
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table: opaque binary payload + typed metadata struct.
+
+    media_type is assigned deterministically (doc_id % 3) so both engines agree;
+    payload = utf-8 bytes of the text (the oracle's text::BLOB)."""
+    docs = load(spark, sf_dir, "documents")
+    mt = F.element_at(F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.struct(
+            mt.alias("media_type"),
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item metadata + payload checksum — the catalog/inventory query.
+
+    Reads the payload only for the checksum; a metadata-only projection of this
+    plan prunes the binary column entirely at the parquet scan."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+        F.md5("media").alias("checksum"),
+    )
+
+
+_METADATA_ORACLE = """
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       octet_length(text::BLOB) AS n_bytes,
+       source AS origin,
+       md5(text) AS checksum  -- ASCII: md5(varchar) == md5 of payload bytes
+FROM documents
+"""
+
+
+def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inventory by media type — the partition-planning aggregate."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+_TYPE_STATS_ORACLE = """
+SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       count(*) AS n_items,
+       sum(octet_length(text::BLOB)) AS total_bytes,
+       max(octet_length(text::BLOB)) AS max_bytes
+FROM documents GROUP BY 1
+"""
+
+
+def decode_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: str | None = "bytes",
+) -> DataFrame:
+    """Decode binary payloads to fixed-dim float features via mapInPandas.
+
+    fake="bytes": deterministic pseudo-decode — first 16 payload bytes / 255.0
+    (zero-padded) — exercising the full Arrow-batched plumbing with checkable
+    output. fake=None: the REAL codec path, stubbed:
+
+        raise NotImplementedError  # PIL.Image.open(io.BytesIO(b)) → np.asarray
+
+    Output schema: (id, n_bytes, features array<float>). Batch-shaped exactly
+    like a production decoder: one Arrow batch in → one pandas frame out, no
+    per-row Python calls."""
+    import numpy as np
+    import pandas as pd
+
+    dim = _DECODE_DIM
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if fake is None:
+                # STUB: real decode needs PIL/soundfile/ffmpeg (not in container)
+                raise NotImplementedError(
+                    "real media decode unavailable: install PIL/soundfile and "
+                    "replace this branch with e.g. np.asarray(PIL.Image.open(...))"
+                )
+            payloads = pdf[media_col]
+            feats = np.zeros((len(pdf), dim), dtype=np.float32)
+            for j, b in enumerate(payloads):
+                head = np.frombuffer(bytes(b)[:dim], dtype=np.uint8)
+                feats[j, : len(head)] = head.astype(np.float32) / 255.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "n_bytes": payloads.map(len).to_numpy(),
+                    "features": list(feats),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        gen, "doc_id bigint, n_bytes bigint, features array<float>"
+    )
+
+
+def _decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode features, re-projected to scalars so the oracle can check
+    byte-level values (array<float> → first two feature values as doubles)."""
+    dec = decode_media(media_table(spark, sf_dir))
+    return dec.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+    )
+
+
+# ord of first/second utf-8 byte / 255, float32-rounded then widened — DuckDB
+# replicates the float32 rounding with ::FLOAT casts.
+_DECODE_ORACLE = """
+SELECT doc_id,
+       octet_length(text::BLOB) AS n_bytes,
+       (ord(substr(text, 1, 1))::FLOAT / 255.0::FLOAT)::FLOAT::DOUBLE AS f0,
+       (ord(substr(text, 2, 1))::FLOAT / 255.0::FLOAT)::FLOAT::DOUBLE AS f1
+FROM documents
+"""
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    frame_size: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads: split the byte stream into
+    fixed-size frames, keep every `stride`-th — one output row per kept frame.
+
+    The mapInPandas shape matches a real frame sampler (ffmpeg keyframe pull):
+    batch in, variable rows out, frame index carried for downstream alignment."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_ids, out_idx, out_bytes = [], [], []
+            for did, b in zip(pdf[id_col], pdf[media_col]):
+                raw = bytes(b)
+                n_frames = (len(raw) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    out_ids.append(did)
+                    out_idx.append(fi)
+                    out_bytes.append(raw[fi * frame_size : (fi + 1) * frame_size])
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame": out_bytes}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        gen, "doc_id bigint, frame_idx int, frame binary"
+    )
+
+
+def _frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = sample_frames(media_table(spark, sf_dir))
+    return fr.select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"), F.md5("frame").alias("frame_md5"))
+
+
+_FRAMES_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           unnest(generate_series(0, (octet_length(text::BLOB) + 63) // 64 - 1, 4)) AS frame_idx
+    FROM documents
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       octet_length(substr(d.text, frame_idx * 64 + 1, 64)::BLOB) AS frame_bytes,
+       md5(substr(d.text, frame_idx * 64 + 1, 64)) AS frame_md5
+FROM f JOIN documents d USING (doc_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mm_metadata": QuerySpec(
+        "mm_metadata", media_metadata, _METADATA_ORACLE,
+        doc="Media catalog: type, size, origin, payload checksum.", tags=("multimodal",),
+    ),
+    "mm_type_stats": QuerySpec(
+        "mm_type_stats", media_type_stats, _TYPE_STATS_ORACLE,
+        doc="Corpus inventory by media type (count/total/max bytes).", tags=("multimodal",),
+    ),
+    "mm_decode_features": QuerySpec(
+        "mm_decode_features", _decode_q, _DECODE_ORACLE,
+        doc="Arrow-batched fake-decode to fixed-dim features (stubbed codec).",
+        tags=("multimodal", "udf"),
+    ),
+    "mm_sample_frames": QuerySpec(
+        "mm_sample_frames", _frames_q, _FRAMES_ORACLE,
+        doc="Strided fixed-size frame sampling over binary payloads.",
+        tags=("multimodal", "udf"),
+    ),
+}

@@ -1,0 +1,173 @@
+"""Unit tests for the LLM-pipeline operator modules (dedup / similarity /
+text / multimodal) — structural and value checks beyond the driver's oracle
+gate, at sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.tables import load
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_dedup_exact_api_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "other doc"), (4, "HELLO  world?")],
+        "doc_id bigint, text string",
+    )
+    from duckdb_ml_spark.operators.dedup import dedup_exact
+
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    # 1, 2, 4 normalize identically -> keep 1; 3 unique
+    assert kept == [1, 3]
+
+
+def test_minhash_signatures_shape_and_determinism(spark, sf_dir):
+    from duckdb_ml_spark.operators.dedup import MINHASH_K, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    sig1 = minhash_signatures(docs).collect()
+    sig2 = minhash_signatures(docs).collect()
+    assert sorted(map(tuple, sig1)) == sorted(map(tuple, sig2))
+    assert len(sig1[0]) == 1 + MINHASH_K
+
+
+def test_minhash_xxhash64_variant_runs(spark, sf_dir):
+    from duckdb_ml_spark.operators.dedup import minhash_signatures
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    sig = minhash_signatures(docs, hash_fn="xxhash64")
+    assert sig.count() == 20
+    assert dict(sig.dtypes)["mh00"] == "bigint"
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every exact-Jaccard ≥ 0.5 pair must be caught by LSH banding (4 bands of
+    4: a pair agreeing on ≥ one full band always collides)."""
+    from duckdb_ml_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(minhash_signatures(docs).persist(), threshold=0.0).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).collect()
+    }
+    assert exact <= lsh
+
+
+def test_simhash_range(spark, sf_dir):
+    from duckdb_ml_spark.operators.dedup import simhash_docs
+
+    rows = simhash_docs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.simhash < (1 << 60)
+
+
+# --- vec kernels -------------------------------------------------------------
+
+
+def test_matrix_kernel_matches_hof_expression(spark, sf_dir):
+    """Broadcast-matrix cosine must be bit-identical to the sequential-fold
+    higher-order-function expression (the parity contract in vec.py)."""
+    from duckdb_ml_spark.operators.similarity import cosine
+    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_scores_vs_broadcast
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    ids, M = collect_matrix(q, "vec_id")
+    kernel = {
+        (r.row_id, r.query_id): r.cos
+        for r in cosine_scores_vs_broadcast(emb.limit(100), ids, M, "vec_id").collect()
+    }
+    a = emb.limit(100).select(F.col("vec_id").alias("row_id"), F.col("embedding").alias("ea"))
+    b = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eb"))
+    ed = lambda c: F.transform(c, lambda x: x.cast("double"))
+    hof = {
+        (r.row_id, r.query_id): r.cos
+        for r in a.crossJoin(F.broadcast(b))
+        .where(F.col("row_id") != F.col("query_id"))
+        .select("row_id", "query_id", cosine(ed(F.col("ea")), ed(F.col("eb"))).alias("cos"))
+        .collect()
+    }
+    assert kernel.keys() == hof.keys()
+    for k in kernel:
+        assert kernel[k] == hof[k]  # exact equality, not approx
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_decode_media_fake_values(spark):
+    from duckdb_ml_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame([(1, bytearray(b"AB")), (2, bytearray(bytes(range(20))))],
+                               "doc_id bigint, media binary")
+    rows = {r.doc_id: r for r in decode_media(df).collect()}
+    assert rows[1].n_bytes == 2
+    assert rows[1].features[0] == pytest.approx(ord("A") / 255.0)
+    assert rows[1].features[2] == 0.0  # zero-padded
+    assert rows[2].n_bytes == 20
+    assert len(rows[2].features) == 16  # truncated to dim
+
+
+def test_decode_media_real_path_is_stubbed(spark):
+    from duckdb_ml_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id bigint, media binary")
+    with pytest.raises(Exception) as ei:
+        decode_media(df, fake=None).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_sample_frames_strided(spark):
+    from duckdb_ml_spark.operators.multimodal import sample_frames
+
+    payload = bytes(300)  # 5 frames of 64 -> kept frames 0, 4
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id bigint, media binary")
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 4]
+    assert len(rows[0].frame) == 64
+    assert len(rows[1].frame) == 300 - 4 * 64
+
+
+def test_metadata_projection_prunes_payload(spark, sf_dir):
+    """Metadata-only access must not read the payload-bearing column at the
+    scan (column pruning reaches the parquet reader)."""
+    from duckdb_ml_spark.operators.multimodal import media_table
+
+    df = media_table(spark, sf_dir).select("doc_id", "meta.media_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+# --- text --------------------------------------------------------------------
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from duckdb_ml_spark.operators.text import quality_score
+
+    rows = quality_score(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0001
+
+
+def test_lang_id_detects_english_corpus(spark, sf_dir):
+    """The synthetic corpus text is English-like for every row (the `lang`
+    column is random metadata, not the text's language), so the stopword
+    heuristic should call 'en' for a clear majority and never another language."""
+    from duckdb_ml_spark.operators.text import lang_id
+
+    counts = {r.pred_lang: r.n for r in
+              lang_id(spark, sf_dir).groupBy("pred_lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("en", 0) / total > 0.8
+    assert set(counts) <= {"en", "unknown"}
