@@ -1,0 +1,76 @@
+"""Format readers + roundtrip oracle queries.
+
+Reference parity: CSV with header + type inference is §2.3 #5 in SURVEY.md
+(`autompg.sql:12`). The roundtrip queries prove the connectors preserve types
+and values: parquet view → export (deterministic) → re-read with inference →
+value-hash == original view.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp")
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
+    """CSV scan, header + inference by default (the reference's scan semantics);
+    pass `schema` to skip the inference pass (the at-scale default)."""
+    reader = spark.read.options(header=True, **options)
+    return reader.csv(path, schema=schema) if schema else reader.options(inferSchema=True).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
+    """JSON-lines scan; inferred schema unless one is provided."""
+    reader = spark.read.options(**options)
+    return reader.json(path, schema=schema) if schema else reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — full pushdown/pruning via the native source."""
+    return spark.read.parquet(path)
+
+
+def _export_once(df: DataFrame, fmt: str, out_dir: str) -> str:
+    """Deterministic single-file export used by the roundtrip queries (sorted
+    rows, one partition); skipped if already materialized."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        df.coalesce(1).write.format(fmt).options(header=True).mode("overwrite").save(out_dir)
+    return out_dir
+
+
+def _csv_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    out = _export_once(
+        sup.orderBy("s_suppkey"), "csv", os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "supplier_csv")
+    )
+    return read_csv(spark, out)
+
+
+def _jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    out = _export_once(
+        nat.orderBy("n_nationkey"), "json", os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "nation_jsonl")
+    )
+    # project to canonical column order (JSON objects carry no order)
+    return read_jsonl(spark, out).select(*nat.columns)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "source_csv_roundtrip": QuerySpec(
+        "source_csv_roundtrip", _csv_roundtrip_q, "SELECT * FROM supplier",
+        doc="CSV export → header+inference scan reproduces the table exactly (§2.3 #5).",
+        tags=("source", "csv"),
+    ),
+    "source_jsonl_roundtrip": QuerySpec(
+        "source_jsonl_roundtrip", _jsonl_roundtrip_q, "SELECT * FROM nation",
+        doc="JSONL export → inferred-schema scan reproduces the table exactly.",
+        tags=("source", "json"),
+    ),
+}
