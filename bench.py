@@ -58,6 +58,19 @@ def main() -> int:
             _materialize(load(spark, sf_dir, t).limit(1))
         except Exception:
             pass
+    # prewarm Python/Arrow workers (reused across queries) so the first
+    # pandas-UDF query measures the query, not worker spin-up
+    try:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("double")
+        def _warm(x):
+            return x
+
+        _materialize(spark.range(32).select(_warm(F.col("id").cast("double"))))
+    except Exception:
+        pass
 
     times: dict[str, float] = {}
     for name, fn in qs.items():

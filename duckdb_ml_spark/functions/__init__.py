@@ -103,6 +103,9 @@ def ml_train(
     """
     cfg = config if isinstance(config, nn.TrainingConfig) else nn.TrainingConfig.from_json(config)
     model = registry.get_model(name)
+    # the input feeds two passes (driver collect for training, distributed
+    # predict for the return value): persist so upstream plan runs once
+    df = df.persist()
     pdf = df.select(
         F.col(features_col).alias("__x"), F.col(targets_col).alias("__y")
     ).toPandas()
