@@ -314,6 +314,150 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 """
 
 
+# --- embedding LSH (random hyperplanes) --------------------------------------
+
+LSH_NBITS = 16
+
+
+def _hyperplane_sign(b: int, i: int) -> int:
+    """Deterministic ±1 hyperplane coefficient shared by Spark and the oracle:
+    parity of the first md5 nibble of 'b:i' (computed once in Python, inlined
+    as literals into BOTH expression trees — no cross-engine hash needed)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+
+
+LSH_BAND_BITS = 4  # 4 bands x 4 bits from the 16-bit signature
+
+
+def _hyperplanes(dim: int, nbits: int = LSH_NBITS):
+    import numpy as np
+
+    return np.array(
+        [[float(_hyperplane_sign(b, i)) for i in range(dim)] for b in range(nbits)]
+    )
+
+
+def embedding_lsh_signatures(spark: SparkSession, sf_dir: str, nbits: int = LSH_NBITS) -> DataFrame:
+    """nbits-bit random-hyperplane signature per embedding (sign-of-projection),
+    via a mapInPandas kernel: the sequential dim fold is bit-identical to
+    DuckDB's list_dot_product loop, and a 16x64-term codegen expression would
+    spend seconds in janino compiling the same math.
+
+    Cosine-similar vectors agree on most bits; banded into LSH_BAND_BITS-bit
+    sub-keys this is THE bounded-candidate scale path for embedding dedup (vs
+    the N^2/2 brute force): one narrow projection per row, no vector shuffle,
+    and the 100 TB pair stage is a groupBy on 2-byte band keys."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.vec import embedding_dim
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb, cache_key=sf_dir)
+    bc = spark.sparkContext.broadcast(_hyperplanes(dim, nbits))
+    weights = np.array([1 << b for b in range(nbits)], dtype=np.int64)
+
+    def gen(batches):
+        Hm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = np.zeros((len(A), len(Hm)))
+            for i in range(A.shape[1]):  # sequential fold over dims (parity)
+                proj += np.multiply.outer(A[:, i], Hm[:, i])
+            sig = ((proj > 0) @ weights).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "sig": sig})
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, "vec_id bigint, sig bigint")
+
+
+def _embedding_lsh_sig_oracle(dim: int = 64, nbits: int = LSH_NBITS) -> str:
+    bits = []
+    for b in range(nbits):
+        coefs = ", ".join(f"{float(_hyperplane_sign(b, i))}" for i in range(dim))
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{coefs}]::DOUBLE[]) > 0"
+            f" THEN {1 << b} ELSE 0 END"
+        )
+    return f"SELECT vec_id, ({' + '.join(bits)})::BIGINT AS sig FROM embeddings"
+
+
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Near-dup pairs from BANDED LSH buckets: candidates = pairs agreeing on
+    any 4-bit band of the 16-bit signature (full-signature equality has ~zero
+    recall at moderate thresholds), then exact-cosine verify. Output contract =
+    brute-force embedding_neardup_pairs restricted to LSH candidates; recall vs
+    brute force is pytest-measured."""
+    from duckdb_ml_spark.operators.similarity import cosine
+
+    n_bands = LSH_NBITS // LSH_BAND_BITS
+    sig = embedding_lsh_signatures(spark, sf_dir)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * LSH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cosine(F.col("ea"), F.col("eb")) > threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def _embedding_lsh_pairs_oracle() -> str:
+    n_bands = LSH_NBITS // LSH_BAND_BITS
+    mask = (1 << LSH_BAND_BITS) - 1
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * LSH_BAND_BITS}) & {mask} AS bv FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sig AS ({_embedding_lsh_sig_oracle()}),
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.4
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_keys": QuerySpec(
         name="dedup_exact_keys",
@@ -360,5 +504,19 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_EMB_NEARDUP_ORACLE,
         doc="Embedding-cosine near-duplicate pairs (cosine > 0.4, double math).",
         tags=("dedup", "embedding"),
+    ),
+    "dedup_embedding_lsh_sigs": QuerySpec(
+        name="dedup_embedding_lsh_sigs",
+        builder=embedding_lsh_signatures,
+        oracle=_embedding_lsh_sig_oracle(),
+        doc="16-bit random-hyperplane LSH signature per embedding (scale path).",
+        tags=("dedup", "embedding", "lsh"),
+    ),
+    "dedup_embedding_lsh_pairs": QuerySpec(
+        name="dedup_embedding_lsh_pairs",
+        builder=embedding_lsh_pairs,
+        oracle=_embedding_lsh_pairs_oracle(),
+        doc="Bucketed embedding near-dup pairs: LSH candidates + exact-cosine verify.",
+        tags=("dedup", "embedding", "lsh"),
     ),
 }

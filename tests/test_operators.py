@@ -71,6 +71,18 @@ def test_simhash_range(spark, sf_dir):
         assert 0 <= r.simhash < (1 << 60)
 
 
+def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Banded hyperplane-LSH pairs must be a subset of brute-force pairs (same
+    verify filter) with non-trivial recall at the configured threshold."""
+    from duckdb_ml_spark.operators.dedup import embedding_lsh_pairs, embedding_neardup_pairs
+
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_lsh_pairs(spark, sf_dir).collect()}
+    brute = {(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(spark, sf_dir).collect()}
+    assert lsh <= brute
+    if brute:
+        assert len(lsh & brute) / len(brute) > 0.3
+
+
 # --- vec kernels -------------------------------------------------------------
 
 
