@@ -1,0 +1,101 @@
+"""Scale-machinery tests: bucketed co-located joins (no exchange in plan),
+salted aggregation/join equivalence, partitioned sink layout, skew profiler.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.tables import load
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key must join with zero Exchange nodes —
+    the one-shuffle-amortized-forever storage layout for 100 TB joins."""
+    from duckdb_ml_spark.sinks import write_bucketed_table
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "t_orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed_table(li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the merge path
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle: bucket co-location
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from duckdb_ml_spark.plans.scale import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": (F.count, F.sum, "l_quantity"),
+            "sum_qty": (F.sum, F.sum, "l_quantity"),
+            "min_qty": (F.min, F.min, "l_quantity"),
+            "max_qty": (F.max, F.max, "l_quantity"),
+        },
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    key = lambda r: r.l_returnflag
+    s = {key(r): (r.n, round(r.sum_qty, 6), r.min_qty, r.max_qty) for r in salted.collect()}
+    p = {key(r): (r.n, round(r.sum_qty, 6), r.min_qty, r.max_qty) for r in plain.collect()}
+    assert s == p and len(s) > 0
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from duckdb_ml_spark.plans.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = salted_join(li, orders, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s")
+    )
+    plain = li.join(orders, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("s")
+    )
+    assert salted.collect() == plain.collect()
+
+
+def test_partitioned_parquet_layout(spark, sf_dir, tmp_path):
+    from duckdb_ml_spark.sinks import write_parquet_partitioned
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet_partitioned(docs, out, ["lang"])
+    subdirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert len(subdirs) >= 2
+    # partition pruning: filter on the partition column reads only that dir
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert back.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_key_skew_profile(spark, sf_dir):
+    from duckdb_ml_spark.plans.scale import key_skew_profile
+
+    prof = key_skew_profile(load(spark, sf_dir, "lineitem"), "l_returnflag", top=5)
+    rows = prof.collect()
+    assert 0 < len(rows) <= 5
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6  # few distinct keys: full mass
+    assert rows[0].n >= rows[-1].n
