@@ -328,6 +328,80 @@ def _hyperplane_sign(b: int, i: int) -> int:
     return 1 if int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
 
 
+# --- near-dup clustering (connected components) ------------------------------
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc gets
+    cluster_id = min doc_id reachable through pairs (the canonical "keep one
+    per duplicate cluster" key).
+
+    Iterative min-label propagation, one hop per round: labels join the edge
+    list, each node takes the min of its own and its neighbors' labels, stop
+    when a round changes nothing. Converges in graph-diameter rounds — near-dup
+    clusters are shallow (duplicates of a common source), so this is 2-4
+    rounds in practice; for adversarial long chains at 100 TB switch to the
+    large-star/small-star algorithm (same join primitives, log² rounds).
+    Labels/edges are persisted per round: each iteration reads the previous
+    round's materialization, not the whole lineage."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = _minhash_lsh_pairs_q(spark, sf_dir)
+    return dedup_clusters(docs, pairs)
+
+
+def _dedup_clusters_oracle() -> str:
+    # transitive closure via recursive CTE (UNION dedups -> terminates), then
+    # min reachable id per node; isolated docs cluster with themselves
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
 LSH_BAND_BITS = 4  # 4 bands x 4 bits from the 16-bit signature
 
 
@@ -504,6 +578,13 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_EMB_NEARDUP_ORACLE,
         doc="Embedding-cosine near-duplicate pairs (cosine > 0.4, double math).",
         tags=("dedup", "embedding"),
+    ),
+    "dedup_clusters": QuerySpec(
+        name="dedup_clusters",
+        builder=_dedup_clusters_q,
+        oracle=_dedup_clusters_oracle(),
+        doc="Connected-component cluster ids over MinHash-LSH near-dup pairs.",
+        tags=("dedup", "clustering"),
     ),
     "dedup_embedding_lsh_sigs": QuerySpec(
         name="dedup_embedding_lsh_sigs",

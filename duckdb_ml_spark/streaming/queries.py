@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_ml_spark.plans.relational import QuerySpec
 from duckdb_ml_spark.streaming.stream import (
+    dedup_events,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -86,7 +87,28 @@ FROM events GROUP BY user_id
 """
 
 
+def _dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return dedup_events(load(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+# event_id is unique in the source, so exact-once output == the full table
+# (duplicate-bearing inputs are exercised in tests/test_streaming.py by
+# unioning the stream with itself under dropDuplicatesWithinWatermark).
+_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_dedup_events": QuerySpec(
+        "stream_dedup_events", _dedup_events_q, _DEDUP_EVENTS_ORACLE,
+        doc="Exactly-once event stream: dedup by event_id (watermark-bounded state in streaming).",
+        tags=("streaming", "dedup"),
+    ),
     "stream_tumbling_hourly": QuerySpec(
         "stream_tumbling_hourly", _tumbling_q, _TUMBLING_ORACLE,
         doc="Tumbling 1h windows × event_type: counts + value aggregates.",

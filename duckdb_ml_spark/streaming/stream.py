@@ -93,6 +93,17 @@ def user_state(ev: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(ev: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids.
+
+    Batch: plain dropDuplicates. Streaming: dropDuplicatesWithinWatermark —
+    state holds only ids inside the watermark horizon (bounded memory at
+    100 TB/day; an unbounded streaming dropDuplicates would grow forever)."""
+    if watermark is not None and ev.isStreaming:
+        return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return ev.dropDuplicates(["event_id"])
+
+
 STATE_SCHEMA = "n bigint, max_value double, last_ts_us bigint"
 OUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, last_ts_us bigint"
 

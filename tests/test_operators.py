@@ -71,6 +71,17 @@ def test_simhash_range(spark, sf_dir):
         assert 0 <= r.simhash < (1 << 60)
 
 
+def test_dedup_clusters_chain_and_isolated(spark):
+    """Chain 1-2-3 collapses to cluster 1 (two propagation hops), separate pair
+    10-11 clusters to 10, isolated 99 keeps itself."""
+    from duckdb_ml_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id bigint")
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
     """Banded hyperplane-LSH pairs must be a subset of brute-force pairs (same
     verify filter) with non-trivial recall at the configured threshold."""

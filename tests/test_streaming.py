@@ -89,6 +89,25 @@ def test_stateful_user_state_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
+    """Union the stream with itself: every event arrives twice; the
+    watermark-bounded dedup must emit each event_id exactly once."""
+    from duckdb_ml_spark.streaming.stream import dedup_events
+
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(read_events_stream(spark, sf_dir))
+    deduped = dedup_events(doubled, watermark="2 hours")
+    q = (
+        deduped.select("event_id").writeStream.format("memory")
+        .queryName("t_dedup").outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup")
+    n_batch = load(spark, sf_dir, "events").count()
+    assert got.count() == n_batch
+    assert got.distinct().count() == n_batch
+
+
 def test_watermark_in_plan(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(ev, watermark="2 hours")
