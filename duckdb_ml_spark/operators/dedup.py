@@ -351,7 +351,9 @@ def dedup_clusters(
     large-star/small-star algorithm (same join primitives, log² rounds).
     Labels/edges are persisted per round: each iteration reads the previous
     round's materialization, not the whole lineage."""
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # both union branches read the pair pipeline: persist it so an expensive
+    # candidate generator (LSH) runs once, not twice
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -464,8 +466,17 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
     any 4-bit band of the 16-bit signature (full-signature equality has ~zero
     recall at moderate thresholds), then exact-cosine verify. Output contract =
     brute-force embedding_neardup_pairs restricted to LSH candidates; recall vs
-    brute force is pytest-measured."""
-    from duckdb_ml_spark.operators.similarity import cosine
+    brute force is pytest-measured.
+
+    The verify stage scores candidate (a, b) ID pairs against a broadcast
+    corpus matrix in one mapInPandas kernel (sequential-fold, oracle-parity):
+    vectors never join the candidate stream — an interpreted HOF cosine over
+    the joined candidates was ~10× slower. With 4-bit bands random pairs
+    collide at ~23%, so candidates stay near-quadratic on uncorrelated data:
+    at real scale use wider bands (8+ bits, targeting true near-dups at
+    cos ≥ 0.9) and tile the broadcast matrix per corpus block."""
+    import numpy as np
+    import pandas as pd
 
     n_bands = LSH_NBITS // LSH_BAND_BITS
     sig = embedding_lsh_signatures(spark, sf_dir)
@@ -496,17 +507,36 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .where(cosine(F.col("ea"), F.col("eb")) > threshold)
-        .select("vec_a", "vec_b")
-    )
+    from duckdb_ml_spark.operators.vec import collect_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    ids, M = collect_matrix(emb, "vec_id")
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def verify(batches):
+        ids_b, Mb = bc.value
+        pos = {int(v): i for i, v in enumerate(ids_b)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ai = pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)
+            bi = pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)
+            A, B = Mb[ai], Mb[bi]
+            n = len(A)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(A.shape[1]):  # sequential fold (oracle parity)
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos > threshold
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"].to_numpy()[keep], "vec_b": pdf["vec_b"].to_numpy()[keep]}
+            )
+
+    return cand.mapInPandas(verify, "vec_a bigint, vec_b bigint")
 
 
 def _embedding_lsh_pairs_oracle() -> str:
