@@ -1,0 +1,143 @@
+"""Temporal join operators Spark lacks natively: AS-OF join and range join.
+
+- **as_of_join**: point-in-time lookup (each left row gets the latest right
+  row at-or-before its timestamp, per key). Implemented with the union +
+  carry-forward-window pattern: tag both inputs, sort each key's timeline
+  once, `last(payload, ignorenulls=True)` over an unbounded-preceding window,
+  keep left rows. ONE shuffle on the key — no range explosion, no per-row
+  probing — the shape that survives 100 TB (contrast: an inequality join
+  multiplies left×right per key before filtering).
+
+- **range_pair_counts**: self range-join on time (pairs of events within a
+  window) via bucket candidates: each right row claims its own and the
+  previous bucket, equi-join on bucket, exact filter after. Candidates are
+  O(rows × bucket-density), not O(rows²); each qualifying pair matches in
+  exactly one bucket, so no distinct pass is needed.
+
+DuckDB oracles: native `ASOF LEFT JOIN` and a plain inequality join — fully
+independent implementations, value-hash compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """left LEFT AS-OF join right: latest right row with right_ts <= left_ts
+    per key. Right rows must be unique per (key, right_ts) for deterministic
+    payloads (pre-aggregate otherwise)."""
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload_cols],
+        "*",
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+    )
+    merged = l_tag.select(r_tag.columns).union(r_tag)
+    # right rows sort FIRST at equal timestamps → ties are inclusive (>=)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload_cols],
+    )
+    out_left = [c for c, _ in left.dtypes]
+    return carried.where(F.col("__is_right") == 0).select(
+        *out_left, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in payload_cols]
+    )
+
+
+def _asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    j = as_of_join(ev, orders, "user_id", "ts", "ots", ["last_orderkey", "ots"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "asof_last_orderkey",
+        F.col("asof_ots").alias("asof_order_ts"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS user_id, o_orderdate AS ots, max(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.last_orderkey AS asof_last_orderkey, o.ots AS asof_order_ts
+FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
+"""
+
+RANGE_SECONDS = 600  # 10-minute pairing window
+
+
+def range_pair_counts(spark: SparkSession, sf_dir: str, window_s: int = RANGE_SECONDS) -> DataFrame:
+    """Per-hour counts of ordered event pairs (a, b) with
+    ts_a <= ts_b < ts_a + window and different event ids — the bucket-join
+    range self-join (candidates from own + previous bucket only)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    us = F.unix_micros("ts")
+    bucket = (us / F.lit(window_s * 1_000_000)).cast("bigint")
+    a = ev.select(F.col("event_id").alias("id_a"), us.alias("us_a"), bucket.alias("b"),
+                  F.date_trunc("hour", "ts").alias("hour"))
+    b = ev.select(F.col("event_id").alias("id_b"), us.alias("us_b"), bucket.alias("b2"))
+    probes = b.select(
+        "id_b", "us_b", F.explode(F.array(F.col("b2") - 1, F.col("b2"))).alias("b")
+    )
+    pairs = a.join(probes, "b").where(
+        (F.col("us_b") >= F.col("us_a"))
+        & (F.col("us_b") < F.col("us_a") + window_s * 1_000_000)
+        & (F.col("id_a") != F.col("id_b"))
+    )
+    return pairs.groupBy("hour").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_RANGE_ORACLE = f"""
+SELECT date_trunc('hour', a.ts) AS hour, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL {RANGE_SECONDS} SECONDS
+ AND a.event_id != b.event_id
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "asof_last_order": QuerySpec(
+        "asof_last_order", _asof_q, _ASOF_ORACLE,
+        doc="AS-OF join: latest order at-or-before each event (union + carry-forward window).",
+        tags=("asof", "join", "temporal"),
+    ),
+    "range_event_pairs": QuerySpec(
+        "range_event_pairs", range_pair_counts, _RANGE_ORACLE,
+        doc="Range self-join via bucket candidates: event pairs within 10 minutes, per hour.",
+        tags=("range", "join", "temporal"),
+    ),
+}

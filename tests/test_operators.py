@@ -125,6 +125,49 @@ def test_matrix_kernel_matches_hof_expression(spark, sf_dir):
         assert kernel[k] == hof[k]  # exact equality, not approx
 
 
+# --- temporal joins ----------------------------------------------------------
+
+
+def test_as_of_join_boundaries(spark):
+    """Inclusive at-equal-ts, latest-before otherwise, null when nothing before,
+    keys never mix."""
+    import datetime as dt
+
+    from duckdb_ml_spark.operators.asof import as_of_join
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(5), "e1"), (1, t(10), "e2"), (1, t(2), "e0"), (2, t(30), "e3")],
+        "k bigint, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(9), 200), (2, t(40), 300)],
+        "k bigint, rts timestamp, val int",
+    )
+    out = {
+        r.ev: r.asof_val
+        for r in as_of_join(left, right, "k", "ts", "rts", ["val"]).collect()
+    }
+    assert out == {"e1": 100, "e2": 200, "e0": None, "e3": None}
+
+
+def test_range_pair_counts_crafted(spark, monkeypatch, tmp_path):
+    """3 events 5 minutes apart: (a,b) and (b,c) pair within 10 min, (a,c) at
+    exactly 10 min is excluded (half-open window)."""
+    import datetime as dt
+
+    from duckdb_ml_spark.operators import asof as asof_mod
+
+    rows = [(i, dt.datetime(2025, 1, 1, 0, 5 * i), 0, "x", 0.0, "{}") for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string")
+    out = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    # route tables.load("events") at this dir through plain parquet (no nanos)
+    monkeypatch.setattr(asof_mod, "load", lambda spark, sf, name: spark.read.parquet(f"{out}/{name}.parquet"))
+    got = asof_mod.range_pair_counts(spark, out).collect()
+    assert len(got) == 1 and got[0].n_pairs == 2
+
+
 # --- multimodal --------------------------------------------------------------
 
 
