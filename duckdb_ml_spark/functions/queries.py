@@ -73,7 +73,43 @@ def _ml_pred_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ml_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training path (per-partition training + sample-weighted
+    averaging via mapInPandas) — the 100 TB alternative to driver collect.
+    Float outputs → rows-only; avg-vs-local equivalence is pytest-covered."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.flagship import FEATURES, TARGET, scaled_lineitem
+    from duckdb_ml_spark.functions.distributed import ml_train_distributed
+
+    df = scaled_lineitem(spark, sf_dir)
+    xy = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array(*[F.col(f"scaled_{c}").cast("float") for c in FEATURES]).alias("features"),
+        F.array(F.col(f"scaled_{TARGET}").cast("float")).alias("targets"),
+    )
+    fn.ml_create("q_dist_mlp", SPEC_3_16_1)
+    pred = ml_train_distributed(
+        spark,
+        "q_dist_mlp",
+        xy,
+        config='{"epochs": 2, "batch_size": 512, "seed": 42, "learning_rate": 0.01}',
+        mode="avg",
+        save=False,
+    )
+    return pred.select(
+        "l_orderkey", "l_linenumber", F.element_at("prediction", 1).alias("predicted")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ml_train_distributed": QuerySpec(
+        name="ml_train_distributed",
+        builder=_ml_train_distributed,
+        oracle=None,  # float network outputs — rows-only
+        doc="Distributed MLP training (partition-train + weight averaging), no driver collect.",
+        tags=("ml", "distributed"),
+    ),
     "ml_create_ok": QuerySpec(
         name="ml_create_ok",
         builder=_ml_create_ok,
