@@ -1,0 +1,103 @@
+"""Deterministic sampling / splitting operators.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must land in
+the same split on every run, on any cluster, regardless of partitioning —
+which rules out `df.sample` (partition-order dependent RNG). These operators
+derive the decision from a hash of row identity, so they are pure column
+expressions: deterministic, re-runnable, pushdown-friendly, and expressible in
+any engine (DuckDB oracle included).
+
+Bucket function: first 8 hex chars of md5(salt || id) as a uint32 →
+bucket = h mod n. Uniform over ids, stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+N_BUCKETS = 100
+
+
+def hash_bucket(id_col: Column, salt: str = "split", n: int = N_BUCKETS) -> Column:
+    """Deterministic bucket 0..n-1 from md5 of (salt ':' id)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("bigint") % n).cast("int")
+
+
+def _hash_bucket_sql(id_expr: str, salt: str = "split", n: int = N_BUCKETS) -> str:
+    return f"(('0x' || substr(md5('{salt}:' || {id_expr}::VARCHAR), 1, 8))::BIGINT % {n})::INT"
+
+
+def split_train_test(
+    df: DataFrame, id_col: str, test_pct: int = 20, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Reproducible (100-test_pct)/test_pct split by id hash; disjoint and
+    exhaustive by construction, stable under re-partitioning and re-runs."""
+    b = hash_bucket(F.col(id_col), salt)
+    return df.where(b >= test_pct), df.where(b < test_pct)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, pct_by_stratum: dict[str, int], salt: str = "sample"
+) -> DataFrame:
+    """Per-stratum deterministic percentage sample (e.g. downsample dominant
+    languages, keep all of rare ones)."""
+    b = hash_bucket(F.col(id_col), salt)
+    keep = None
+    for stratum, pct in pct_by_stratum.items():
+        cond = (F.col(strata_col) == stratum) & (b < pct)
+        keep = cond if keep is None else keep | cond
+    others = ~F.col(strata_col).isin(*pct_by_stratum.keys())
+    return df.where(keep | others)
+
+
+def _split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split summary: per-split doc counts + char sums (proves disjoint +
+    exhaustive + deterministic against the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    train, test = split_train_test(docs, "doc_id")
+    t = train.select(F.lit("train").alias("split"), "doc_id", "n_chars")
+    s = test.select(F.lit("test").alias("split"), "doc_id", "n_chars")
+    return (
+        t.union(s)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_hash_bucket_sql("doc_id")} < 20 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
+def _stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep 30% of 'en' docs, 100% of everything else — the downsample-the-
+    dominant-language move; returns kept ids for exact parity."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 30}).select("doc_id", "lang")
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {_hash_bucket_sql("doc_id", "sample")} < 30) OR lang != 'en'
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sample_split_train_test": QuerySpec(
+        "sample_split_train_test", _split_q, _SPLIT_ORACLE,
+        doc="Reproducible hash-bucket 80/20 split (disjoint, partition-independent).",
+        tags=("sampling",),
+    ),
+    "sample_stratified": QuerySpec(
+        "sample_stratified", _stratified_q, _STRATIFIED_ORACLE,
+        doc="Deterministic stratified downsample (30% of 'en', all others kept).",
+        tags=("sampling",),
+    ),
+}

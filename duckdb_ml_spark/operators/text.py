@@ -208,7 +208,77 @@ FROM documents
 """
 
 
+# --- vocabulary --------------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document+total frequency — the
+    tokenizer-training / stopword-mining primitive. One explode + one groupBy
+    (map-side partial agg) + a k-row ordered limit: at 100 TB the shuffle
+    carries (token, partial counts), never documents."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH t AS (SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents)
+SELECT tok, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM t GROUP BY tok
+ORDER BY n_total DESC, tok ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup — the keep/drop decision table for corpus
+    curation (which sources produce short/degenerate documents)."""
+    q = quality_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        q.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("quality_score").alias("min_quality"),
+        )
+    )
+
+
+def _source_quality_oracle() -> str:
+    inner = _QUALITY_ORACLE.strip()
+    return f"""
+    WITH q AS ({inner})
+    SELECT d.source, count(*) AS n_docs,
+           round(avg(q.quality_score), 6) AS avg_quality,
+           round(avg(d.n_chars), 6) AS avg_chars,
+           min(q.quality_score) AS min_quality
+    FROM q JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_vocab_topk": QuerySpec(
+        "text_vocab_topk", vocab_topk, _VOCAB_ORACLE,
+        doc="Top-100 corpus vocabulary by frequency (+ document frequency).", tags=("text", "vocab"),
+    ),
+    "text_source_quality": QuerySpec(
+        "text_source_quality", source_quality, _source_quality_oracle(),
+        doc="Per-source quality rollup (corpus-curation decision table).", tags=("text",),
+    ),
     "text_token_stats": QuerySpec(
         "text_token_stats", token_stats, _TOKEN_STATS_ORACLE,
         doc="Char/token/unique-token counts per document.", tags=("text",),

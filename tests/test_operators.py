@@ -125,6 +125,37 @@ def test_matrix_kernel_matches_hof_expression(spark, sf_dir):
         assert kernel[k] == hof[k]  # exact equality, not approx
 
 
+# --- sampling ----------------------------------------------------------------
+
+
+def test_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from duckdb_ml_spark.operators.sampling import split_train_test
+
+    docs = load(spark, sf_dir, "documents")
+    train, test = split_train_test(docs, "doc_id")
+    n, tr, te = docs.count(), train.count(), test.count()
+    assert tr + te == n and 0 < te < n
+    # stable under repartitioning (partition-order independence)
+    tr_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    tr_ids2 = {
+        r.doc_id
+        for r in split_train_test(docs.repartition(13), "doc_id")[0].select("doc_id").collect()
+    }
+    assert tr_ids == tr_ids2
+
+
+def test_stratified_sample_keeps_other_strata(spark, sf_dir):
+    from duckdb_ml_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 30})
+    full_other = docs.where(F.col("lang") != "en").count()
+    assert kept.where(F.col("lang") != "en").count() == full_other
+    en_full = docs.where(F.col("lang") == "en").count()
+    en_kept = kept.where(F.col("lang") == "en").count()
+    assert 0.15 * en_full < en_kept < 0.45 * en_full  # ~30% with hash variance
+
+
 # --- temporal joins ----------------------------------------------------------
 
 
