@@ -147,3 +147,19 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(list(out))
 
     spark.udf.register("ml_pred", _ml_pred)
+
+    # SQL-callable table function: `SELECT * FROM ml_list()` — parity with the
+    # reference's UDTF (lib.rs:88-126). The UDTF body runs on an executor, so
+    # it iterates a frozen snapshot taken HERE on the driver (pure, retry-safe),
+    # exactly like the pandas_udf weights snapshot above.
+    from pyspark.sql.functions import udtf
+
+    listed = tuple((mname, sj) for mname, (sj, _p) in snapshot.items())
+
+    @udtf(returnType="model: string, json: string")
+    class MlListUDTF:
+        def eval(self):
+            for mname, sj in listed:
+                yield mname, sj
+
+    spark.udtf.register("ml_list", MlListUDTF)

@@ -108,6 +108,53 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir):
     assert got.distinct().count() == n_batch
 
 
+def test_parquet_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """File sink + checkpoint: re-running the query over an unchanged source
+    must be a no-op (exactly-once output), and the sink contents must equal
+    the batch answer."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        agg = tumbling_counts(read_events_stream(spark, sf_dir), watermark="2 hours")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same files, same checkpoint: nothing new to process
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+    # append-mode file sink only emits windows closed by the watermark: the
+    # emitted rows must be exactly-valued batch rows, missing only the tail
+    # windows (≤ one open hour per event_type) still inside the watermark
+    cols = ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+    sink_rows = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    batch_rows = {tuple(r) for r in tumbling_counts(load(spark, sf_dir, "events")).select(*cols).collect()}
+    n_types = load(spark, sf_dir, "events").select("event_type").distinct().count()
+    assert sink_rows <= batch_rows
+    assert len(batch_rows) - len(sink_rows) <= 3 * n_types
+
+
+def test_sql_ml_list_udtf(spark):
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark import registry
+
+    registry.clear()
+    fn.ml_create("udtf_a", '{"layers": [{"in": 2, "out": 4}, {"in": 4, "out": 1}]}')
+    fn.register_all(spark)
+    rows = spark.sql("SELECT * FROM ml_list()").collect()
+    assert [(r.model) for r in rows] == ["udtf_a"]
+    assert '"in": 2' in rows[0].json
+
+
 def test_watermark_in_plan(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(ev, watermark="2 hours")
