@@ -240,6 +240,47 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def keywords_topk(spark: SparkSession, sf_dir: str, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by TF-IDF-style score.
+
+    Ordering uses tf/df (double division of integers — IEEE correctly-rounded,
+    bit-identical across engines) instead of tf·log(N/df): same ranking as
+    log-IDF for fixed N, but free of libm ulp divergence that would break the
+    value-hash oracle. Ties break on token asc. Two shuffles: token df
+    (broadcast back), per-doc rank."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    from pyspark.sql.window import Window
+
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id", "tok", "tf", "df", (F.col("tf").cast("double") / F.col("df")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df")
+    )
+
+
+_KEYWORDS_ORACLE = f"""
+WITH t AS (SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+scored AS (
+    SELECT doc_id, tok, tf, df, tf::DOUBLE / df AS score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf::DOUBLE / df DESC, tok ASC) AS rank
+    FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, rank, tok, tf, df FROM scored WHERE rank <= {KEYWORDS_PER_DOC}
+"""
+
+
 def source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality rollup — the keep/drop decision table for corpus
     curation (which sources produce short/degenerate documents)."""
@@ -278,6 +319,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_source_quality": QuerySpec(
         "text_source_quality", source_quality, _source_quality_oracle(),
         doc="Per-source quality rollup (corpus-curation decision table).", tags=("text",),
+    ),
+    "text_keywords_topk": QuerySpec(
+        "text_keywords_topk", keywords_topk, _KEYWORDS_ORACLE,
+        doc="Per-doc top-3 keywords by TF-IDF-style tf/df ranking (libm-free).",
+        tags=("text", "tfidf"),
     ),
     "text_token_stats": QuerySpec(
         "text_token_stats", token_stats, _TOKEN_STATS_ORACLE,
