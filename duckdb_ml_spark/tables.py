@@ -30,6 +30,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division (matches DuckDB's ns→µs truncation; a double-typed division would lose
     precision above 2^53 ns).
     """
+    # Time-window semantics (window/date_trunc/session_window) follow the
+    # session timezone; the testdata and every oracle assume naive-UTC. The
+    # driver harness builds its own SparkSession, so pin it here — the entry
+    # point every query builder goes through — rather than trusting session.py
+    # to have been used. Runtime-settable; no-op when already UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
