@@ -448,7 +448,9 @@ def set_ops_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
     reg = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
     minus = spark.createDataFrame([("ASIA",)], "name string")
-    return nat.union(reg).distinct().subtract(minus)
+    # EXCEPT as a broadcast left-anti join: same set semantics as subtract()
+    # (dedup happens in distinct()), one less shuffle of the unioned side
+    return nat.union(reg).distinct().join(F.broadcast(minus), "name", "left_anti")
 
 
 @_register(
