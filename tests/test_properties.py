@@ -104,6 +104,31 @@ class TestAsOfProperties:
             assert got[i] == want, (i, k, m, cands)
 
 
+class TestMinhashProperties:
+    @given(st.lists(TEXT, min_size=1, max_size=10))
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    def test_signatures_equal_python_min_over_shingle_hashes(self, spark, texts):
+        """mh_i == lexicographic min of md5('i:'+shingle) over the doc's
+        shingles (None when no shingles) — the permutation-min law."""
+        import hashlib
+
+        from duckdb_ml_spark.operators.dedup import MINHASH_K, minhash_signatures
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in minhash_signatures(df).collect()}
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        for i, t in enumerate(texts):
+            sh = _py_shingles(t)
+            if not sh:
+                assert i not in got  # no shingles -> no signature row
+                continue
+            for k in range(MINHASH_K):
+                want = min(md5(f"{k}:{s}") for s in sh)
+                assert got[i][f"mh{k:02d}"] == want
+
+
 class TestNNProperties:
     @given(st.integers(1, 16), st.integers(1, 8), st.integers(1, 4))
     @settings(max_examples=20, deadline=None)

@@ -143,6 +143,41 @@ def test_parquet_sink_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert len(batch_rows) - len(sink_rows) <= 3 * n_types
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join with an event-time interval condition and
+    watermarks on both sides (Spark buffers each side's state only within the
+    watermark horizon). Must equal the same join run in batch."""
+    from pyspark.sql import functions as F
+
+    def pairs(left, right):
+        a = left.select(
+            F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "user_id"
+        ).withWatermark("ts_a", "1 hour")
+        b = right.select(
+            F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"),
+            F.col("user_id").alias("user_b"),
+        ).withWatermark("ts_b", "1 hour")
+        return a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
+        ).select("id_a", "id_b")
+
+    sev = read_events_stream(spark, sf_dir)
+    q = (
+        pairs(sev, read_events_stream(spark, sf_dir))
+        .writeStream.format("memory").queryName("t_ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    bev = load(spark, sf_dir, "events")
+    got = {(r.id_a, r.id_b) for r in spark.table("t_ssjoin").collect()}
+    want = {(r.id_a, r.id_b) for r in pairs(bev, bev).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_sql_ml_list_udtf(spark):
     from duckdb_ml_spark import functions as fn
     from duckdb_ml_spark import registry
