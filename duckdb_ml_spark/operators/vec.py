@@ -135,6 +135,9 @@ def cosine_pairs_vs_broadcast(
     import pandas as pd
 
     spark = df.sparkSession
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     bc = spark.sparkContext.broadcast((ids, M))
 
     def gen(batches):

@@ -39,6 +39,41 @@ def get_spark(app_name: str = "duckdb_ml_spark", shuffle_partitions: int | None 
     return builder.getOrCreate()
 
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make `duckdb_ml_spark` importable on executor Python workers regardless
+    of the driver's cwd/PYTHONPATH.
+
+    Workers resolve imports from their own sys.path; when the harness launches
+    with a cwd outside the repo, closure-pickled references to this package
+    (pandas_udf/mapInPandas kernels) would raise ModuleNotFoundError at task
+    time. Shipping a package zip via addPyFile fixes that through Spark's own
+    file-distribution channel — the same mechanism a real cluster deploy uses.
+    Idempotent per SparkContext; zip is rebuilt only when missing."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(repo, ".tmp", "duckdb_ml_spark.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, repo))
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(key)
+
+
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created session.
 

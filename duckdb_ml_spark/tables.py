@@ -36,6 +36,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # point every query builder goes through — rather than trusting session.py
     # to have been used. Runtime-settable; no-op when already UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # likewise make the package importable on executors whatever the cwd
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     if name == "events":
         from pyspark.sql import functions as F
 
