@@ -25,13 +25,15 @@ def _ml_create_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml_list_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # No registry.clear(): a global mutation here could interleave with other
+    # queries' registered models under driver reordering. Instead scope the
+    # golden check to this query's own uniquely-named models — any execution
+    # order yields the same result.
     from duckdb_ml_spark import functions as fn
-    from duckdb_ml_spark import registry
 
-    registry.clear()
     fn.ml_create("q_list_a", SPEC_2_8_1)
     fn.ml_create("q_list_b", SPEC_3_16_1)
-    return fn.ml_list(spark)
+    return fn.ml_list(spark).filter(F.col("model").startswith("q_list_"))
 
 
 def _ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -241,7 +241,7 @@ per_bit AS (
     FROM hashed, bits
     GROUP BY doc_id, p
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash
+SELECT doc_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END)::BIGINT AS simhash
 FROM per_bit GROUP BY doc_id
 """
 

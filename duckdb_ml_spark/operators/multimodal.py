@@ -79,14 +79,16 @@ def media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy(F.col("meta.media_type").alias("media_type")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("meta.n_bytes").alias("total_bytes"),
-        F.max("meta.n_bytes").alias("max_bytes"),
+        # cast: DuckDB's octet_length yields BIGINT, Spark's n_bytes is INT —
+        # align so the driver's typed hasher agrees on both columns
+        F.max("meta.n_bytes").cast("long").alias("max_bytes"),
     )
 
 
 _TYPE_STATS_ORACLE = """
 SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
        count(*) AS n_items,
-       sum(octet_length(text::BLOB)) AS total_bytes,
+       sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
        max(octet_length(text::BLOB)) AS max_bytes
 FROM documents GROUP BY 1
 """

@@ -71,7 +71,7 @@ def _split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_ORACLE = f"""
 SELECT CASE WHEN {_hash_bucket_sql("doc_id")} < 20 THEN 'test' ELSE 'train' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS sum_chars
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM documents GROUP BY 1
 """
 

@@ -290,7 +290,7 @@ def customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            count(*)                 AS n_customers,
-           sum(n_orders)            AS n_orders,
+           sum(n_orders)::BIGINT    AS n_orders,
            round(sum(spend), 2)     AS total_spend,
            round(avg(spend), 6)     AS avg_spend
     FROM customer JOIN co ON c_custkey = o_custkey
