@@ -120,7 +120,13 @@ def ml_train(
     if save:
         model.artifacts.append(artifacts.save_model(name, model.spec_json, params, cfg))
     registry.put_model(model)
-    return ml_pred(df, name, features_col=features_col)
+    pred = ml_pred(df, name, features_col=features_col)
+    # release the persisted input: the training pass (collect) is done, so
+    # repeated ml_train calls don't accumulate cached blocks in executor
+    # memory. The returned prediction plan recomputes its upstream on the
+    # caller's action — the broadcast-weights pandas_udf dominates it anyway.
+    df.unpersist(blocking=False)
+    return pred
 
 
 def register_all(spark: SparkSession) -> None:

@@ -4,21 +4,22 @@ Five families, each a `queries()` entry with a DuckDB oracle on `documents` /
 `embeddings`:
 
 - exact:        md5(normalized text) group-keys, keep min(doc_id) — ONE shuffle.
-- MinHash+LSH:  word-3-gram shingles → k=16 md5 minhashes → 4 bands → bucket
-                self-join → estimated-Jaccard filter. The classic near-dup path:
-                candidate generation never compares all pairs, so it scales to
-                100 TB (band join only collides near-dups).
+- MinHash+LSH:  word-3-gram shingles → one md5 per shingle → k=16 affine
+                permutation minima → 4 bands → bucket self-join →
+                estimated-Jaccard filter. The classic near-dup path: candidate
+                generation never compares all pairs, so it scales to 100 TB
+                (band join only collides near-dups).
 - SimHash:      60-bit sign-of-weighted-bits fingerprint; near-dups differ in
                 few bits. SQL-expressible via a 60-row bit table (JVM-side).
 - n-gram Jaccard: exact set overlap via shingle self-join — the verifier for
                 LSH candidates (quadratic in colliding docs; use after LSH at scale).
 - embedding cosine: near-dup pairs above a cosine threshold over `embeddings`.
 
-Determinism contract: all hashing is md5-of-string (identical in Spark and
-DuckDB); minhash order uses LEXICOGRAPHIC min over hex strings — a valid uniform
-order on the hash domain that both engines agree on byte-for-byte. For raw
-throughput at scale, `minhash_signatures(..., hash_fn="xxhash64")` swaps in the
-cheaper 64-bit JVM hash (same plan shape, no oracle parity).
+Determinism contract: all hashing bottoms out in md5-of-string (identical in
+Spark and DuckDB); minhash permutations are affine maps over Z_(2^31-1) of the
+md5's low 60 bits — exact int64 arithmetic both engines agree on bit-for-bit.
+For raw throughput at scale, `minhash_signatures(..., hash_fn="xxhash64")`
+swaps in the cheaper 64-bit JVM hash (same plan shape, no oracle parity).
 """
 
 from __future__ import annotations
@@ -40,6 +41,18 @@ MINHASH_K = 16
 BAND_SIZE = 4
 N_BANDS = MINHASH_K // BAND_SIZE
 
+# One md5 per shingle + k affine permutations over Z_p (p = 2^31-1) instead of
+# k md5s per shingle: h = low-60-bits(md5(shingle)) % p, mh_i = min(a_i·h+b_i mod p).
+# The classic universal-hash minhash family — 16× less hashing on BOTH engines,
+# and every operation is exact int64 arithmetic the two engines agree on
+# bit-for-bit (a·h+b ≤ (2^31-2)² + 2^31 < 2^63, no overflow).
+MINHASH_P = (1 << 31) - 1
+import random as _random
+
+_rng = _random.Random(0xD1CE)
+MINHASH_COEF = [(_rng.randrange(1, MINHASH_P), _rng.randrange(MINHASH_P)) for _ in range(MINHASH_K)]
+del _rng
+
 # Shared oracle CTE fragments ------------------------------------------------
 
 _SHINGLES_CTE = f"""
@@ -52,10 +65,15 @@ sh AS (
 )
 """
 
-_SIG_SELECT = ", ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i:02d}" for i in range(MINHASH_K)
+_HASHED_CTE = (
+    "hashed AS (SELECT doc_id, "
+    f"('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h FROM sh)"
 )
-_SIG_CTE = f"sig AS (SELECT doc_id, {_SIG_SELECT} FROM sh GROUP BY doc_id)"
+_SIG_SELECT = ", ".join(
+    f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i:02d}"
+    for i, (a, b) in enumerate(MINHASH_COEF)
+)
+_SIG_CTE = f"{_HASHED_CTE}, sig AS (SELECT doc_id, {_SIG_SELECT} FROM hashed GROUP BY doc_id)"
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -97,15 +115,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """k minhashes per doc in ONE explode + ONE groupBy (k min-aggs share the pass).
 
-    hash_fn="md5": lexicographic min over hex digests — DuckDB-parity path.
+    hash_fn="md5": ONE md5 per shingle (low 60 bits mod 2^31-1) + k affine
+    permutations (a_i·h + b_i mod p), min-aggregated — exact-integer DuckDB
+    parity at 1/k of the hashing cost.
     hash_fn="xxhash64": numeric min over 64-bit JVM hashes — the 100 TB path
-    (one cheap hash per (seed, shingle) instead of an md5).
+    (no md5 at all, pure JVM hash).
     """
     sh = exploded_shingles(df, text_col=text_col, id_col=id_col)
     if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(
+            MINHASH_P
+        )
+        # materialize h once per shingle; the k aggs are then cheap int ops
+        sh = sh.select(id_col, h.alias("__h"))
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i:02d}")
-            for i in range(k)
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i:02d}")
+            for i, (a, b) in enumerate(MINHASH_COEF[:k])
         ]
     elif hash_fn == "xxhash64":
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i:02d}") for i in range(k)]
@@ -374,6 +399,10 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    # final labels stay persisted (the returned plan reads them); the edge
+    # relations are no longer needed once the loop has converged
+    e.unpersist(blocking=False)
+    edges.unpersist(blocking=False)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

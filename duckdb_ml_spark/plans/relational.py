@@ -425,10 +425,15 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    # one array-percentile aggregate: a single per-group value buffer + sort
+    # instead of three (3 separate percentile aggs tripled the agg memory and
+    # the per-group sort work; values are identical)
+    ps = F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))")
+    return li.groupBy("l_returnflag").agg(ps.alias("ps")).select(
+        "l_returnflag",
+        F.round(F.element_at("ps", 1), 6).alias("p25"),
+        F.round(F.element_at("ps", 2), 6).alias("p50"),
+        F.round(F.element_at("ps", 3), 6).alias("p75"),
     )
 
 
@@ -447,7 +452,9 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_ops_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
     reg = load(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
-    minus = spark.createDataFrame([("ASIA",)], "name string")
+    # literal side built JVM-only (range+lit): createDataFrame would route one
+    # row through Python serialization and local-relation conversion
+    minus = spark.range(1).select(F.lit("ASIA").alias("name"))
     # EXCEPT as a broadcast left-anti join: same set semantics as subtract()
     # (dedup happens in distinct()), one less shuffle of the unioned side
     return nat.union(reg).distinct().join(F.broadcast(minus), "name", "left_anti")

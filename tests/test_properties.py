@@ -108,24 +108,32 @@ class TestMinhashProperties:
     @given(st.lists(TEXT, min_size=1, max_size=10))
     @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
     def test_signatures_equal_python_min_over_shingle_hashes(self, spark, texts):
-        """mh_i == lexicographic min of md5('i:'+shingle) over the doc's
-        shingles (None when no shingles) — the permutation-min law."""
+        """mh_i == min over the doc's shingles of (a_i·h + b_i) mod p, where
+        h = low-60-bits(md5(shingle)) mod p (None when no shingles) — the
+        permutation-min law of the one-md5 affine minhash family."""
         import hashlib
 
-        from duckdb_ml_spark.operators.dedup import MINHASH_K, minhash_signatures
+        from duckdb_ml_spark.operators.dedup import (
+            MINHASH_COEF,
+            MINHASH_K,
+            MINHASH_P,
+            minhash_signatures,
+        )
 
         df = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         got = {r.doc_id: r for r in minhash_signatures(df).collect()}
-        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        h60 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
         for i, t in enumerate(texts):
             sh = _py_shingles(t)
             if not sh:
                 assert i not in got  # no shingles -> no signature row
                 continue
+            hs = [h60(s) for s in sh]
             for k in range(MINHASH_K):
-                want = min(md5(f"{k}:{s}") for s in sh)
+                a, b = MINHASH_COEF[k]
+                want = min((a * h + b) % MINHASH_P for h in hs)
                 assert got[i][f"mh{k:02d}"] == want
 
 
