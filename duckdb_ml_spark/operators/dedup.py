@@ -143,16 +143,16 @@ def _minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(
+def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
-    threshold: float = 0.3,
     band_size: int = BAND_SIZE,
     k: int = MINHASH_K,
 ) -> DataFrame:
-    """LSH banding: band-hash bucket self-join → distinct candidates → estimated
-    Jaccard (= fraction of equal minhashes) filter. Only bucket-colliding docs are
-    ever paired, so candidate generation is linear-ish in docs, not quadratic."""
+    """Distinct (doc_a, doc_b) pairs colliding in ≥1 LSH band — the candidate
+    generation stage shared by the estimated filter (minhash_lsh_pairs) and the
+    exact verifier (ngram_jaccard_pairs). Only bucket-colliding docs are ever
+    paired, so this is linear-ish in docs, not quadratic."""
     n_bands = k // band_size
     bands = sig.select(
         F.col(id_col),
@@ -183,6 +183,19 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+    return cand
+
+
+def minhash_lsh_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    band_size: int = BAND_SIZE,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """LSH banding: band-hash bucket self-join → distinct candidates → estimated
+    Jaccard (= fraction of equal minhashes) filter."""
+    cand = lsh_candidate_pairs(sig, id_col=id_col, band_size=band_size, k=k)
     sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i:02d}").alias(f"a{i:02d}") for i in range(k)])
     sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i:02d}").alias(f"b{i:02d}") for i in range(k)])
     est = sum(F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0) for i in range(k))
@@ -201,7 +214,9 @@ def _minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_minhash_signatures_q(spark, sf_dir).persist())
 
 
-def _minhash_lsh_oracle() -> str:
+def _cand_ctes() -> str:
+    """Shared oracle CTE chain: shingles → one-md5 signatures → bands → distinct
+    LSH candidate pairs (mirrors lsh_candidate_pairs exactly)."""
     band_rows = "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
             b=b,
@@ -209,14 +224,18 @@ def _minhash_lsh_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    est = " + ".join(f"(sa.mh{i:02d} = sb.mh{i:02d})::INT" for i in range(MINHASH_K))
-    return f"""
-    WITH {_SHINGLES_CTE}, {_SIG_CTE},
+    return f"""{_SHINGLES_CTE}, {_SIG_CTE},
     bands AS ({band_rows}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    est = " + ".join(f"(sa.mh{i:02d} = sb.mh{i:02d})::INT" for i in range(MINHASH_K))
+    return f"""
+    WITH {_cand_ctes()}
     SELECT doc_a, doc_b, ({est})::DOUBLE / {MINHASH_K}.0 AS est_jaccard
     FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
     WHERE ({est})::DOUBLE / {MINHASH_K}.0 >= 0.3
@@ -274,19 +293,30 @@ FROM per_bit GROUP BY doc_id
 # --- exact n-gram Jaccard ----------------------------------------------------
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
-    """Exact Jaccard over distinct 3-gram shingle sets for pairs sharing ≥1 shingle.
-
-    Quadratic in docs-per-shingle — the exact VERIFIER stage; at 100 TB run it only
-    on LSH candidates (minhash_lsh_pairs), never on the full corpus."""
-    docs = load(spark, sf_dir, "documents")
-    # distinct shingle set feeds three subplans (sizes + both join sides): persist.
-    sh = exploded_shingles(docs).distinct().persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+def exact_jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets, computed ONLY for the given
+    (doc_a, doc_b) pairs. Work is O(|pairs| · shingles/doc) — the verify stage
+    after candidate generation, never all-pairs."""
+    docs_in = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # restrict the shingle stream to candidate docs before any join (broadcast
+    # semi-join: candidate-doc set is orders smaller than the corpus); per-doc
+    # sets stay intact so sizes are exact
+    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi").persist()
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        F.broadcast(pairs)
+        .join(shc.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            shc.alias("b"),
+            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -300,13 +330,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     )
 
 
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
+    """LSH-candidates → exact-Jaccard verify: the canonical two-stage near-dup
+    pipeline (banding generates candidates, exact set overlap confirms them).
+
+    This is the 100 TB shape — the exact verifier only ever touches
+    bucket-colliding pairs, so total cost is candidate-bounded, not O(docs²).
+    (Round 1 ran the verifier corpus-wide as a shingle self-join: correct at
+    small sf, quadratic in docs-per-shingle at scale.)"""
+    docs = load(spark, sf_dir, "documents")
+    # signatures feed banding twice (both join sides): persist the tiny relation
+    sig = minhash_signatures(docs).persist()
+    # Materialize candidates EAGERLY: the verify DAG references them from
+    # multiple branches, and concurrent stages racing an unmaterialized persist
+    # would each recompute the whole signature+banding pipeline. The count is
+    # the natural pipeline barrier between candidate generation and verify
+    # (at 100 TB this is a checkpointed candidates table).
+    cand = lsh_candidate_pairs(sig).persist()
+    cand.count()
+    sig.unpersist(blocking=False)
+    sh = exploded_shingles(docs).distinct()
+    return exact_jaccard_for_pairs(cand, sh, threshold=threshold)
+
+
 _NGRAM_JACCARD_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+WITH {_cand_ctes()},
 dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+sizes AS (
+    SELECT doc_id, count(*) AS n FROM dsh
+    WHERE doc_id IN (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand)
+    GROUP BY doc_id
+),
 inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN dsh a ON a.doc_id = c.doc_a
+    JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, i::DOUBLE / (sa.n + sb.n - i) AS jaccard

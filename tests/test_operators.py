@@ -47,18 +47,39 @@ def test_minhash_xxhash64_variant_runs(spark, sf_dir):
 
 def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     """Every exact-Jaccard ≥ 0.5 pair must be caught by LSH banding (4 bands of
-    4: a pair agreeing on ≥ one full band always collides)."""
-    from duckdb_ml_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs
+    4: a pair agreeing on ≥ one full band always collides). The ground-truth
+    side is computed INDEPENDENTLY of LSH: candidates = all pairs sharing ≥1
+    shingle (the round-1 corpus-wide verifier semantics), so this remains a
+    real recall check now that ngram_jaccard_pairs itself is LSH-gated."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from duckdb_ml_spark.operators.textnorm import exploded_shingles
 
     docs = load(spark, sf_dir, "documents")
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in minhash_lsh_pairs(minhash_signatures(docs).persist(), threshold=0.0).collect()
+        for r in lsh_candidate_pairs(minhash_signatures(docs).persist()).collect()
     }
+    sh = exploded_shingles(docs).distinct().persist()
+    sharing = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     exact = {
         (r.doc_a, r.doc_b)
-        for r in ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).collect()
+        for r in exact_jaccard_for_pairs(sharing, sh, threshold=0.5).collect()
     }
+    assert exact, "fixture should contain at least one high-jaccard near-dup pair"
     assert exact <= lsh
 
 
