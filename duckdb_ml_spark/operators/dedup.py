@@ -378,17 +378,17 @@ WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.05
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
-    """Pairs of embeddings with cosine > threshold — broadcast-matrix kernel
-    (operators/vec.py): the corpus streams partition-by-partition against a
-    broadcast tile, so no vector ever crosses a shuffle. Bit-identical to the
-    sequential-fold expression form, hence oracle-hash stable. At 100 TB the
-    broadcast side becomes corpus tiles looped outside Spark (block matmul);
-    the bounded-candidate alternative is minhash/LSH above."""
-    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_pairs_vs_broadcast
+    """Pairs of embeddings with cosine > threshold — TILED broadcast-matrix
+    kernel (operators/vec.py cosine_pairs_tiled): the corpus streams
+    partition-by-partition against one bounded hash-tile broadcast at a time,
+    so no vector ever crosses a shuffle and the driver never holds the full
+    corpus matrix. Bit-identical to the sequential-fold expression form, hence
+    oracle-hash stable. The bounded-candidate alternative at 100 TB is
+    embedding_lsh_pairs below."""
+    from duckdb_ml_spark.operators.vec import cosine_pairs_tiled
 
     emb = load(spark, sf_dir, "embeddings")
-    ids, M = collect_matrix(emb, "vec_id")
-    return cosine_pairs_vs_broadcast(emb, ids, M, "vec_id", threshold=threshold)
+    return cosine_pairs_tiled(emb, "vec_id", threshold=threshold)
 
 
 _EMB_NEARDUP_ORACLE = """
@@ -549,25 +549,12 @@ def _embedding_lsh_sig_oracle(dim: int = 64, nbits: int = LSH_NBITS) -> str:
     return f"SELECT vec_id, ({' + '.join(bits)})::BIGINT AS sig FROM embeddings"
 
 
-def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
-    """Near-dup pairs from BANDED LSH buckets: candidates = pairs agreeing on
-    any 4-bit band of the 16-bit signature (full-signature equality has ~zero
-    recall at moderate thresholds), then exact-cosine verify. Output contract =
-    brute-force embedding_neardup_pairs restricted to LSH candidates; recall vs
-    brute force is pytest-measured.
-
-    The verify stage scores candidate (a, b) ID pairs against a broadcast
-    corpus matrix in one mapInPandas kernel (sequential-fold, oracle-parity):
-    vectors never join the candidate stream — an interpreted HOF cosine over
-    the joined candidates was ~10× slower. With 4-bit bands random pairs
-    collide at ~23%, so candidates stay near-quadratic on uncorrelated data:
-    at real scale use wider bands (8+ bits, targeting true near-dups at
-    cos ≥ 0.9) and tile the broadcast matrix per corpus block."""
-    import numpy as np
-    import pandas as pd
-
-    n_bands = LSH_NBITS // LSH_BAND_BITS
-    sig = embedding_lsh_signatures(spark, sf_dir)
+def embedding_lsh_candidates(
+    sig: DataFrame, nbits: int = LSH_NBITS, band_bits: int = LSH_BAND_BITS
+) -> DataFrame:
+    """Distinct (vec_a, vec_b) pairs agreeing on ≥1 band of the signature
+    (full-signature equality has ~zero recall at moderate thresholds)."""
+    n_bands = nbits // band_bits
     bands = sig.select(
         "vec_id",
         F.explode(
@@ -575,8 +562,8 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sig", b * LSH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        F.shiftright("sig", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bv"),
                     )
                     for b in range(n_bands)
@@ -585,7 +572,7 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bv")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -595,21 +582,31 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    from duckdb_ml_spark.operators.vec import collect_matrix
 
-    emb = load(spark, sf_dir, "embeddings")
-    ids, M = collect_matrix(emb, "vec_id")
-    bc = spark.sparkContext.broadcast((ids, M))
 
-    def verify(batches):
-        ids_b, Mb = bc.value
-        pos = {int(v): i for i, v in enumerate(ids_b)}
+def verify_pairs_cosine(
+    pairs: DataFrame, emb: DataFrame, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact-cosine verify of candidate ID pairs via ID-JOIN rerank: the tiny
+    pair list is broadcast against the streaming corpus twice (gather side a,
+    then side b), and a mapInPandas kernel folds the joined arrays with the
+    sequential dim order (oracle parity). NOTHING is collected to the driver —
+    vectors move only for candidate rows, so the stage is O(candidates·dim)
+    wherever the corpus lives."""
+    import numpy as np
+    import pandas as pd
+
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
+    # both joins broadcast the (tiny) pair side; the corpus only ever streams
+    j = eb.join(F.broadcast(ea.join(F.broadcast(pairs), "vec_a")), "vec_b")
+
+    def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ai = pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)
-            bi = pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)
-            A, B = Mb[ai], Mb[bi]
+            A = np.stack(pdf["__ea"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["__eb"].to_numpy()).astype(np.float64)
             n = len(A)
             dot = np.zeros(n)
             na = np.zeros(n)
@@ -624,7 +621,31 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4
                 {"vec_a": pdf["vec_a"].to_numpy()[keep], "vec_b": pdf["vec_b"].to_numpy()[keep]}
             )
 
-    return cand.mapInPandas(verify, "vec_a bigint, vec_b bigint")
+    return j.select("vec_a", "vec_b", "__ea", "__eb").mapInPandas(
+        score, "vec_a bigint, vec_b bigint"
+    )
+
+
+def embedding_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    nbits: int = LSH_NBITS,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """Near-dup pairs from BANDED LSH buckets + exact-cosine verify. Output
+    contract = brute-force embedding_neardup_pairs restricted to LSH
+    candidates; recall vs brute force is pytest-measured.
+
+    Default 16-bit/4-bit-band config is the oracle-parity benchmark point;
+    with 4-bit bands random pairs collide at ~23%, near-quadratic on
+    uncorrelated data. The at-scale default is nbits=32, band_bits=8
+    (random-pair collision ~1.6%, high recall for true near-dups at
+    cos ≥ 0.9) — see tests/test_operators.py recall/candidate-count checks."""
+    sig = embedding_lsh_signatures(spark, sf_dir, nbits=nbits)
+    cand = embedding_lsh_candidates(sig, nbits=nbits, band_bits=band_bits)
+    emb = load(spark, sf_dir, "embeddings")
+    return verify_pairs_cosine(cand, emb, threshold)
 
 
 def _embedding_lsh_pairs_oracle() -> str:

@@ -98,6 +98,24 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def kmeans_centroids(emb: DataFrame, k: int | None = None, seed: int = 42, id_col: str = "vec_id"):
+    """(ids 0..k-1, k×dim centroid matrix) from an MLlib KMeans fit — the real
+    IVF coarse quantizer (k ≈ √N by default). The fit runs distributed
+    (broadcast centers, map-side assignment per iteration); only the k centroid
+    vectors come back to the driver for broadcast. At 100 TB fit on a sample
+    (df.sample) — centroid quality needs representativeness, not every row."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if k is None:
+        k = max(2, int(emb.count() ** 0.5))
+    vecs = emb.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=20, featuresCol="features").fit(vecs)
+    CM = np.array(model.clusterCenters(), dtype=np.float64)
+    return np.arange(len(CM), dtype=np.int64), CM
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -106,6 +124,7 @@ def ivf_topk(
     nprobe: int = N_PROBE,
     id_col: str = "vec_id",
     dim: int | None = None,
+    centroids: str = "stride",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to nearest coarse centroid, probe the
     query's nprobe nearest buckets, exact-rerank only those candidates.
@@ -126,9 +145,14 @@ def ivf_topk(
         cosine_to_assigned_query,
     )
 
-    cent_ids, CM = collect_matrix(emb.where(F.col(id_col) % stride == 0), id_col)
-    order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
-    cent_ids, CM = cent_ids[order], CM[order]
+    if centroids == "kmeans":
+        # real coarse quantizer (k ≈ √N); "stride" stays the oracle-parity mode
+        # (a modulo sample DuckDB can replicate exactly)
+        cent_ids, CM = kmeans_centroids(emb, id_col=id_col)
+    else:
+        cent_ids, CM = collect_matrix(emb.where(F.col(id_col) % stride == 0), id_col)
+        order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
+        cent_ids, CM = cent_ids[order], CM[order]
 
     # bucket assignment: nearest centroid per corpus vector (broadcast centroids);
     # max_by(struct(cos, -c_id)) == row_number(ORDER BY cos DESC, c_id ASC) = 1

@@ -120,6 +120,38 @@ def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding"):
     return ids, M
 
 
+def cosine_pairs_tiled(
+    df: DataFrame,
+    id_col: str,
+    arr_col: str = "embedding",
+    threshold: float = 0.4,
+    max_tile_rows: int = 4096,
+):
+    """All-pairs cosine > threshold via BLOCKED broadcast: the corpus is split
+    into ceil(N / max_tile_rows) hash tiles; each tile is collected (bounded
+    driver memory per step), broadcast, and scored against the full streaming
+    corpus. Union of tiles = exactly the one-shot kernel's pairs (same per-pair
+    math, same fold order — oracle-hash stable).
+
+    This is the block-matmul shape: no single full-corpus driver collect, and
+    each executor pass touches one O(max_tile_rows·dim) broadcast. At true
+    100 TB scale run the tiles as separate jobs (append per tile) or — better —
+    bound candidates with LSH instead of exact all-pairs."""
+    n = df.count()
+    n_tiles = max(1, -(-n // max_tile_rows))
+    parts = []
+    for t in range(n_tiles):
+        tile = df.where((F.col(id_col) % n_tiles) == t) if n_tiles > 1 else df
+        ids, M = collect_matrix(tile, id_col, arr_col)
+        parts.append(
+            cosine_pairs_vs_broadcast(df, ids, M, id_col, arr_col, threshold=threshold)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def cosine_pairs_vs_broadcast(
     df: DataFrame,
     ids,

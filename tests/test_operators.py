@@ -115,6 +115,78 @@ def test_embedding_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert len(lsh & brute) / len(brute) > 0.3
 
 
+def test_embedding_lsh_scale_config_fewer_candidates_high_recall(spark, sf_dir):
+    """The at-scale config (32-bit sig, 8-bit bands) must (a) generate far
+    fewer candidates than the 16/4 benchmark config — random-pair band
+    collision drops 4·2^-4 → 4·2^-8 — and (b) keep high recall for TRUE
+    near-dups (cos ≥ 0.9), which agree on almost all hyperplane bits."""
+    from duckdb_ml_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_lsh_pairs,
+        embedding_lsh_signatures,
+        embedding_neardup_pairs,
+    )
+
+    cand_16_4 = embedding_lsh_candidates(
+        embedding_lsh_signatures(spark, sf_dir, nbits=16), nbits=16, band_bits=4
+    ).count()
+    cand_32_8 = embedding_lsh_candidates(
+        embedding_lsh_signatures(spark, sf_dir, nbits=32), nbits=32, band_bits=8
+    ).count()
+    assert cand_32_8 < cand_16_4 / 4, (cand_32_8, cand_16_4)
+
+    brute_hi = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(spark, sf_dir, threshold=0.9).collect()
+    }
+    lsh_hi = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_lsh_pairs(
+            spark, sf_dir, threshold=0.9, nbits=32, band_bits=8
+        ).collect()
+    }
+    assert lsh_hi <= brute_hi
+    if brute_hi:
+        assert len(lsh_hi) / len(brute_hi) >= 0.9, (len(lsh_hi), len(brute_hi))
+
+
+def test_ivf_kmeans_centroids_recall_at_least_stride(spark, sf_dir):
+    """IVF with real KMeans centroids must match or beat the modulo-sample
+    centroid mode on top-k recall vs the exact brute force (learned buckets
+    follow the data distribution; a modulo sample doesn't)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.similarity import (
+        N_QUERIES,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from duckdb_ml_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < N_QUERIES)
+    truth = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs).collect()}
+    got_stride = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, qs).collect()}
+    got_kmeans = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(emb, qs, centroids="kmeans").collect()
+    }
+    rec_stride = len(got_stride & truth) / len(truth)
+    rec_kmeans = len(got_kmeans & truth) / len(truth)
+    assert rec_kmeans >= rec_stride, (rec_kmeans, rec_stride)
+
+
+def test_cosine_pairs_tiled_matches_single_broadcast(spark, sf_dir):
+    """Blocked (multi-tile) pair generation must reproduce the one-shot
+    broadcast kernel's pairs exactly — tiling changes memory shape, not math."""
+    from duckdb_ml_spark.operators.vec import cosine_pairs_tiled
+    from duckdb_ml_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    one = {(r.vec_a, r.vec_b) for r in cosine_pairs_tiled(emb, "vec_id", max_tile_rows=1 << 30).collect()}
+    tiled = {(r.vec_a, r.vec_b) for r in cosine_pairs_tiled(emb, "vec_id", max_tile_rows=97).collect()}
+    assert one == tiled and one
+
+
 # --- vec kernels -------------------------------------------------------------
 
 
