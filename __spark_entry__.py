@@ -30,6 +30,7 @@ def _all_query_specs():
         "duckdb_ml_spark.functions.queries",
         "duckdb_ml_spark.sources.readers",
         "duckdb_ml_spark.streaming.queries",
+        "duckdb_ml_spark.autompg",
     ):
         try:
             import importlib

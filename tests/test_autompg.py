@@ -1,0 +1,77 @@
+"""Auto-MPG literal-parity e2e: the reference's flagship pipeline
+(/root/reference/test/sql/autompg.sql, autompg.test:13-22) re-expressed
+Spark-first on a deterministic synthetic dataset of the same shape."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark import functions as fn
+from duckdb_ml_spark.autompg import (
+    COLUMNS,
+    FEATURES,
+    N_ROWS,
+    ensure_autompg_csv,
+    scaled_autompg,
+    train_autompg,
+)
+
+
+def test_csv_scan_header_inference(spark):
+    """autompg.test:13 — CSV scan with header + type inference yields 392
+    all-DOUBLE rows (SURVEY §2.3 #5)."""
+    from duckdb_ml_spark.sources.readers import read_csv
+
+    df = read_csv(spark, ensure_autompg_csv())
+    assert df.columns == list(COLUMNS)
+    assert df.count() == N_ROWS
+    assert all(t == "double" for _, t in df.dtypes)
+
+
+def test_scaled_projection_in_unit_range(spark):
+    """autompg.sql:25-68 — every min-max-scaled column lies in [0, 1]."""
+    scaled = scaled_autompg(spark)
+    conds = [
+        F.min(f"scaled_{c}").alias(f"lo_{c}") for c in COLUMNS
+    ] + [F.max(f"scaled_{c}").alias(f"hi_{c}") for c in COLUMNS]
+    row = scaled.agg(*conds).first()
+    for c in COLUMNS:
+        assert 0.0 <= row[f"lo_{c}"] and row[f"hi_{c}"] <= 1.0
+
+
+def test_train_default_then_explicit_retrain(spark):
+    """autompg.test:16 (default config train) then :22 (explicit
+    {epochs:100, learning_rate:0.0003, batch_size:32, seed:42} retrain):
+    each returns one prediction per input row, and the default-config
+    training beats the untrained net on MSE."""
+    name = "autompg_e2e"
+    spec = '{"layers": [{"in": 5, "out": 16, "activation": "relu"}, {"in": 16, "out": 1}]}'
+    scaled = scaled_autompg(spark)
+    xy = scaled.select(
+        F.array(*[F.col(f"scaled_{c}").cast("float") for c in FEATURES]).alias("features"),
+        F.array(F.col("scaled_mpg").cast("float")).alias("targets"),
+    ).persist()
+    fn.ml_create(name, spec)
+
+    def mse():
+        p = fn.ml_pred(xy, name).select(
+            F.col("prediction")[0].alias("p"), F.col("targets")[0].alias("t")
+        )
+        return p.agg(F.avg((F.col("p") - F.col("t")) ** 2).alias("m")).first().m
+
+    mse_untrained = mse()
+    pred = fn.ml_train(spark, name, xy, save=False)  # default TrainingConfig
+    assert pred.count() == N_ROWS
+    mse_default = mse()
+    assert mse_default < mse_untrained, (mse_default, mse_untrained)
+
+    # the explicit retrain leg of autompg.test:22
+    pred2 = train_autompg(
+        spark,
+        config='{"epochs": 100, "learning_rate": 0.0003, "batch_size": 32, "seed": 42}',
+        name=name,
+    )
+    rows = pred2.collect()
+    assert len(rows) == N_ROWS
+    assert all(len(r.prediction) == 1 and np.isfinite(r.prediction[0]) for r in rows)
