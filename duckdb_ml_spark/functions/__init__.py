@@ -150,6 +150,13 @@ def register_all(spark: SparkSession) -> None:
         if len(names) == 0:
             return pd.Series([], dtype=object)
         mname = names.iloc[0]
+        if not (names == mname).all():
+            # the reference silently scores every row in a chunk with the FIRST
+            # row's model (lib.rs:213-219) — silent corruption; error instead
+            raise ValueError(
+                "ml_pred: model name must be constant per query "
+                f"(batch mixes '{mname}' with other names)"
+            )
         if mname not in snapshot:
             raise ValueError(f"ml_pred: unknown model '{mname}' (re-run register_all?)")
         spec_json, params = snapshot[mname]

@@ -96,6 +96,23 @@ def ml_train_distributed(
         params = [{k: v.astype(np.float32) for k, v in p.items()} for p in acc]
 
     elif mode == "grad":
+        # Full-batch synchronous GD is only exactly the single-node trajectory
+        # for pure linear/activation stacks: per-partition batchnorm would use
+        # partition-local batch stats (and discard running-stat updates), and
+        # per-partition dropout masks can't reproduce a single global draw.
+        # Refuse loudly rather than silently train a subtly-different model;
+        # mode="avg" supports both (running stats are averaged with the params).
+        unsupported = [
+            f"layer {i}: {'batch_norm' if layer.batch_norm else ''}"
+            f"{'dropout' if layer.dropout > 0.0 else ''}"
+            for i, layer in enumerate(spec.layers)
+            if layer.batch_norm or layer.dropout > 0.0
+        ]
+        if unsupported:
+            raise ValueError(
+                "ml_train_distributed(mode='grad') does not support batch_norm/dropout "
+                f"({'; '.join(unsupported)}); use mode='avg' or driver-side ml_train"
+            )
         xy = xy.persist()
         try:
             n_total = xy.count()

@@ -131,3 +131,32 @@ def test_ml_train_distributed_avg_and_grad(spark, tmp_path, monkeypatch):
             F.avg((F.col("prediction")[0] - F.col("targets")[0]) ** 2).alias("m")
         ).first().m
         assert after < before / 2, f"mode={mode}: {before} -> {after}"
+
+
+def test_grad_mode_rejects_batchnorm_dropout(spark):
+    """Grad mode can't reproduce global batch stats / a single dropout draw
+    across partitions — it must refuse, not silently train a different model."""
+    from duckdb_ml_spark.functions.distributed import ml_train_distributed
+
+    spec = (
+        '{"layers": [{"in": 2, "out": 8, "activation": "relu", "batch_norm": true},'
+        ' {"in": 8, "out": 1}]}'
+    )
+    fn.ml_create("gradbn", spec)
+    df = _xy_df(spark, 64)
+    with pytest.raises(ValueError, match="batch_norm"):
+        ml_train_distributed(spark, "gradbn", df, mode="grad", save=False)
+
+
+def test_sql_ml_pred_rejects_mixed_model_names(spark):
+    """A batch mixing model names must error, not silently score every row
+    with the first row's model (the reference's lib.rs:213-219 behavior)."""
+    fn.ml_create("mixa", SPEC)
+    fn.ml_create("mixb", SPEC)
+    fn.register_all(spark)
+    df = spark.range(16).coalesce(1).selectExpr(
+        "ml_pred(CASE WHEN id % 2 = 0 THEN 'mixa' ELSE 'mixb' END, "
+        "array(cast(0.1 as float), cast(0.2 as float))) AS p"
+    )
+    with pytest.raises(Exception, match="constant per query"):
+        df.collect()
