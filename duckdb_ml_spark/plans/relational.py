@@ -423,12 +423,22 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(t-digest) — exact percentile materializes per-group sorted values.",
     tags=("aggregate", "percentile"),
 )
-def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def price_quantiles_by_flag(spark: SparkSession, sf_dir: str, mode: str = "exact") -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     # one array-percentile aggregate: a single per-group value buffer + sort
     # instead of three (3 separate percentile aggs tripled the agg memory and
-    # the per-group sort work; values are identical)
-    ps = F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))")
+    # the per-group sort work; values are identical).
+    # mode="exact" (ObjectHashAggregate, materializes per-group values) is the
+    # oracle-parity benchmark point; mode="approx" (approx_percentile — bounded
+    # sketch per group, mergeable map-side) is the 100 TB default: exact
+    # percentile over a trillion-row group would spill the whole group to one
+    # task, a sketch never exceeds its fixed size. Accuracy bound pytest-checked.
+    if mode == "approx":
+        ps = F.expr(
+            "approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)"
+        )
+    else:
+        ps = F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))")
     return li.groupBy("l_returnflag").agg(ps.alias("ps")).select(
         "l_returnflag",
         F.round(F.element_at("ps", 1), 6).alias("p25"),

@@ -34,3 +34,22 @@ def test_queries_oracle_keys_subset():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 19
+
+
+def test_price_quantiles_approx_mode_close_to_exact(spark, sf_dir):
+    """mode='approx' (mergeable sketch — the 100 TB default) must agree with
+    the exact percentile within the sketch's rank-error bound (1/accuracy)."""
+    from duckdb_ml_spark.plans.relational import price_quantiles_by_flag
+
+    exact = {r.l_returnflag: r for r in price_quantiles_by_flag(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r
+        for r in price_quantiles_by_flag(spark, sf_dir, mode="approx").collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "p50", "p75"):
+            # generous value tolerance: rank error 1e-4 on a smooth price
+            # distribution stays well under 1% in value
+            assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * abs(getattr(e, col))
