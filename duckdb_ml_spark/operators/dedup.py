@@ -585,16 +585,59 @@ def embedding_lsh_candidates(
 
 
 def verify_pairs_cosine(
-    pairs: DataFrame, emb: DataFrame, threshold: float, id_col: str = "vec_id"
+    pairs: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    max_matrix_rows: int = 65536,
 ) -> DataFrame:
-    """Exact-cosine verify of candidate ID pairs via ID-JOIN rerank: the tiny
-    pair list is broadcast against the streaming corpus twice (gather side a,
-    then side b), and a mapInPandas kernel folds the joined arrays with the
-    sequential dim order (oracle parity). NOTHING is collected to the driver —
-    vectors move only for candidate rows, so the stage is O(candidates·dim)
-    wherever the corpus lives."""
+    """Exact-cosine verify of candidate ID pairs. Two strategies, picked by
+    corpus size (both bit-identical sequential-fold math — oracle parity):
+
+    - corpus ≤ max_matrix_rows: score ID pairs against ONE broadcast corpus
+      matrix (a bounded driver collect). When candidates outnumber the corpus
+      (narrow bands), attaching a vector copy to every pair via joins costs
+      more than one corpus broadcast — candidates carry only two int64s.
+    - larger corpus: ID-JOIN rerank — the pair list is broadcast against the
+      streaming corpus twice (gather side a, then side b) and a mapInPandas
+      kernel folds the joined arrays. Nothing is collected to the driver;
+      O(candidates·dim) through the plan. This is the 100 TB shape, where
+      wide bands keep candidates ≪ corpus."""
     import numpy as np
     import pandas as pd
+
+    if emb.count() <= max_matrix_rows:
+        from duckdb_ml_spark.operators.vec import collect_matrix
+
+        ids, M = collect_matrix(emb, id_col)
+        bc = emb.sparkSession.sparkContext.broadcast((ids, M))
+
+        def score_m(batches):
+            ids_b, Mb = bc.value
+            pos = {int(v): i for i, v in enumerate(ids_b)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = Mb[pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)]
+                B = Mb[pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)]
+                n = len(A)
+                dot = np.zeros(n)
+                na = np.zeros(n)
+                nb = np.zeros(n)
+                for i in range(A.shape[1]):  # sequential fold (oracle parity)
+                    dot += A[:, i] * B[:, i]
+                    na += A[:, i] * A[:, i]
+                    nb += B[:, i] * B[:, i]
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+                keep = cos > threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    }
+                )
+
+        return pairs.mapInPandas(score_m, "vec_a bigint, vec_b bigint")
 
     ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))

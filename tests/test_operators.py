@@ -175,6 +175,28 @@ def test_ivf_kmeans_centroids_recall_at_least_stride(spark, sf_dir):
     assert rec_kmeans >= rec_stride, (rec_kmeans, rec_stride)
 
 
+def test_verify_pairs_join_path_matches_matrix_path(spark, sf_dir):
+    """The large-corpus ID-join verify strategy must return exactly the
+    broadcast-matrix strategy's pairs (same fold math, different data motion)."""
+    from duckdb_ml_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_lsh_signatures,
+        verify_pairs_cosine,
+    )
+    from duckdb_ml_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = embedding_lsh_candidates(embedding_lsh_signatures(spark, sf_dir)).persist()
+    via_matrix = {
+        (r.vec_a, r.vec_b) for r in verify_pairs_cosine(cand, emb, 0.4).collect()
+    }
+    via_join = {
+        (r.vec_a, r.vec_b)
+        for r in verify_pairs_cosine(cand, emb, 0.4, max_matrix_rows=0).collect()
+    }
+    assert via_matrix == via_join and via_matrix
+
+
 def test_cosine_pairs_tiled_matches_single_broadcast(spark, sf_dir):
     """Blocked (multi-tile) pair generation must reproduce the one-shot
     broadcast kernel's pairs exactly — tiling changes memory shape, not math."""
