@@ -31,6 +31,7 @@ from duckdb_ml_spark.operators.textnorm import (
     exploded_shingles,
     norm_text,
     norm_text_sql,
+    shingles_from_tokens,
     tokens,
     tokens_sql,
 )
@@ -120,6 +121,13 @@ def minhash_signatures(
     parity at 1/k of the hashing cost.
     hash_fn="xxhash64": numeric min over 64-bit JVM hashes — the 100 TB path
     (no md5 at all, pure JVM hash).
+
+    Deliberately the EXPLODED formulation: an array-transform variant
+    (k × array_min(transform(...)) with no shuffle) measures ~10× SLOWER —
+    Spark evaluates higher-order-function lambdas interpreted, per element,
+    outside whole-stage codegen, and projection collapse re-inlines the hashed
+    array into all k permutations. The explode keeps md5 + the affine maps
+    inside codegen; the post-agg shuffle is k·8 bytes/doc — negligible.
     """
     sh = exploded_shingles(df, text_col=text_col, id_col=id_col)
     if hash_fn == "md5":
@@ -294,39 +302,43 @@ FROM per_bit GROUP BY doc_id
 
 
 def exact_jaccard_for_pairs(
-    pairs: DataFrame, sh: DataFrame, threshold: float = 0.05
+    pairs: DataFrame, sets: DataFrame, threshold: float = 0.05
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets, computed ONLY for the given
     (doc_a, doc_b) pairs. Work is O(|pairs| · shingles/doc) — the verify stage
-    after candidate generation, never all-pairs."""
+    after candidate generation, never all-pairs.
+
+    `sets` is a (doc_id, __ss: array<string>) relation of per-doc DISTINCT
+    shingle sets (a shuffle-free projection — see ngram_jaccard_pairs). The
+    candidate-doc restriction is a broadcast semi-join pushed below the array
+    projection, then the tiny pair list joins each side's array and JVM
+    `array_intersect`/`size` score it. ZERO shuffles beyond the semi-join —
+    the exploded formulation costs three (distinct, sizes, intersection)."""
     docs_in = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # restrict the shingle stream to candidate docs before any join (broadcast
-    # semi-join: candidate-doc set is orders smaller than the corpus); per-doc
-    # sets stay intact so sizes are exact
-    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi").persist()
-    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        F.broadcast(pairs)
-        .join(shc.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            shc.alias("b"),
-            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    cand_sets = sets.join(F.broadcast(docs_in), "doc_id", "left_semi")
+    sa = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("__ss").alias("__sa"))
+    sb = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("__ss").alias("__sb"))
+    i = F.size(F.array_intersect("__sa", "__sb"))
+    jac = i.cast("double") / (F.size("__sa") + F.size("__sb") - i)
     return (
-        inter.join(sa, "doc_a")
+        F.broadcast(pairs)
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, __ss) per-doc distinct shingle sets as ONE narrow projection
+    (tokenize → n-gram transform → array_distinct) — no explode, no shuffle."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    return toked.select(
+        id_col, F.array_distinct(shingles_from_tokens(F.col("__w"))).alias("__ss")
     )
 
 
@@ -339,7 +351,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     (Round 1 ran the verifier corpus-wide as a shingle self-join: correct at
     small sf, quadratic in docs-per-shingle at scale.)"""
     docs = load(spark, sf_dir, "documents")
-    # signatures feed banding twice (both join sides): persist the tiny relation
+    # signatures feed banding twice (both self-join sides): persist the tiny relation
     sig = minhash_signatures(docs).persist()
     # Materialize candidates EAGERLY: the verify DAG references them from
     # multiple branches, and concurrent stages racing an unmaterialized persist
@@ -349,8 +361,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     cand = lsh_candidate_pairs(sig).persist()
     cand.count()
     sig.unpersist(blocking=False)
-    sh = exploded_shingles(docs).distinct()
-    return exact_jaccard_for_pairs(cand, sh, threshold=threshold)
+    return exact_jaccard_for_pairs(cand, shingle_sets(docs), threshold=threshold)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
@@ -422,26 +433,66 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    max_collect_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     cluster_id = min doc_id reachable through pairs (the canonical "keep one
     per duplicate cluster" key).
 
-    Iterative min-label propagation, one hop per round: labels join the edge
-    list, each node takes the min of its own and its neighbors' labels, stop
-    when a round changes nothing. Converges in graph-diameter rounds — near-dup
-    clusters are shallow (duplicates of a common source), so this is 2-4
-    rounds in practice; for adversarial long chains at 100 TB switch to the
-    large-star/small-star algorithm (same join primitives, log² rounds).
-    Labels/edges are persisted per round: each iteration reads the previous
-    round's materialization, not the whole lineage."""
-    # both union branches read the pair pipeline: persist it so an expensive
+    Components are computed on the EDGE-INDUCED SUBGRAPH only — nodes that
+    appear in at least one near-dup pair. That subgraph is orders smaller
+    than the corpus (it is exactly the duplicate population), so the iterative
+    part never touches the full node set; isolated docs take their own id via
+    one final broadcast left-join. Two strategies by edge count:
+
+    - edges ≤ max_collect_edges: ONE bounded driver collect + union-find with
+      path compression, component map broadcast back. An iteration that would
+      run J Spark jobs to converge collapses to a single O(E α(E)) pass —
+      the same bounded-collect tradeoff as verify_pairs_cosine.
+    - larger: distributed min-label propagation, one hop per round, stop when
+      a round changes nothing. Converges in graph-diameter rounds; for
+      adversarial chains switch to large-star/small-star (same primitives,
+      log² rounds). Labels are persisted per round so each iteration reads
+      the previous materialization, not the whole lineage."""
+    # both directions read the pair pipeline: persist so an expensive
     # candidate generator (LSH) runs once, not twice
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).persist()
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label")).persist()
+    n_edges = e.count()
+    spark = nodes.sparkSession
+    if n_edges <= max_collect_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            a, b = row.src, row.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-id root == min label
+        comp = [(n, find(n)) for n in parent]
+        e.unpersist(blocking=False)
+        if comp:
+            cmap = spark.createDataFrame(comp, schema=f"{id_col} bigint, __cl bigint")
+        else:
+            cmap = spark.createDataFrame([], schema=f"{id_col} bigint, __cl bigint")
+        return nodes.select(id_col).join(F.broadcast(cmap), id_col, "left").select(
+            id_col, F.coalesce("__cl", F.col(id_col)).alias("cluster_id")
+        )
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -458,11 +509,11 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    # final labels stay persisted (the returned plan reads them); the edge
-    # relations are no longer needed once the loop has converged
     e.unpersist(blocking=False)
     edges.unpersist(blocking=False)
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    return nodes.select(id_col).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id"))
 
 
 def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,7 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
         exact_jaccard_for_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
+        shingle_sets,
     )
     from duckdb_ml_spark.operators.textnorm import exploded_shingles
 
@@ -77,7 +78,7 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     )
     exact = {
         (r.doc_a, r.doc_b)
-        for r in exact_jaccard_for_pairs(sharing, sh, threshold=0.5).collect()
+        for r in exact_jaccard_for_pairs(sharing, shingle_sets(docs), threshold=0.5).collect()
     }
     assert exact, "fixture should contain at least one high-jaccard near-dup pair"
     assert exact <= lsh
