@@ -601,10 +601,19 @@ def _embedding_lsh_sig_oracle(dim: int = 64, nbits: int = LSH_NBITS) -> str:
 
 
 def embedding_lsh_candidates(
-    sig: DataFrame, nbits: int = LSH_NBITS, band_bits: int = LSH_BAND_BITS
+    sig: DataFrame,
+    nbits: int = LSH_NBITS,
+    band_bits: int = LSH_BAND_BITS,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct (vec_a, vec_b) pairs agreeing on ≥1 band of the signature
-    (full-signature equality has ~zero recall at moderate thresholds)."""
+    """(vec_a, vec_b) pairs agreeing on ≥1 band of the signature
+    (full-signature equality has ~zero recall at moderate thresholds).
+
+    dedup=False skips the distinct — a pair colliding in m bands appears m
+    times. A consumer that pipes candidates into a cheap vectorized verify
+    should prefer this and dedup AFTER filtering: shuffling the full
+    candidate stream for distinct costs more than redundantly scoring the
+    small multi-collision fraction."""
     n_bands = nbits // band_bits
     bands = sig.select(
         "vec_id",
@@ -623,7 +632,7 @@ def embedding_lsh_candidates(
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bv")
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -631,8 +640,8 @@ def embedding_lsh_candidates(
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def verify_pairs_cosine(
