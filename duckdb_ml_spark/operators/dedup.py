@@ -207,8 +207,12 @@ def minhash_lsh_pairs(
     sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i:02d}").alias(f"a{i:02d}") for i in range(k)])
     sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i:02d}").alias(f"b{i:02d}") for i in range(k)])
     est = sum(F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0) for i in range(k))
+    # the candidate list is bounded by LSH design (band collisions ≈ near-dups),
+    # orders smaller than the signature relation: broadcast it through both
+    # joins so the signatures never shuffle
     return (
-        cand.join(sa, "doc_a")
+        F.broadcast(cand)
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (est.cast("double") / F.lit(float(k))).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
