@@ -1,0 +1,220 @@
+"""Training-data pipeline operators: decontamination + sequence packing.
+
+Two operations every large-scale LLM data pipeline needs beyond dedup:
+
+- **Benchmark decontamination**: drop/flag training documents that share
+  n-grams with an evaluation set, so eval benchmarks aren't memorized. The
+  industry-standard shape (e.g. GPT-3 appendix C, PaLM §7) is n-gram overlap:
+  any train doc sharing ≥1 13-gram (here 3-gram, sized to the tiny synthetic
+  texts) with any eval doc is contaminated.
+- **Sequence packing**: LLM pretraining concatenates documents into
+  fixed-capacity token blocks ("packs"). The concat-then-chunk discipline
+  assigns each doc to the pack containing its first token: pack_id =
+  floor(tokens_before / capacity) with tokens_before a running sum in a
+  deterministic order. Packing is per-source so the running sum never needs a
+  global single-partition window — at 100 TB each source packs independently
+  in parallel (window partitioned by source), exactly how sharded corpora
+  are packed in practice.
+
+Eval-set definition for the driver-checked queries: doc_id % 17 == 0 — a
+deterministic pseudo-benchmark both engines can reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.operators.textnorm import exploded_shingles, tokens, tokens_sql
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+EVAL_MOD = 17  # doc_id % EVAL_MOD == 0 → eval-set member
+PACK_CAPACITY = 256  # tokens per pack
+
+
+# --- decontamination ---------------------------------------------------------
+
+
+def contaminated_docs(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, n_shared) for every TRAIN doc sharing ≥1 distinct n-gram with
+    ANY eval doc. n_shared counts the train doc's distinct shingles that occur
+    anywhere in the eval set — the "contamination mass" used for thresholding.
+
+    Scale shape: the eval shingle set is tiny versus the corpus (benchmarks
+    are ~10⁴-10⁶ grams), so it BROADCASTS; the train shingle stream joins it
+    map-side and only matching (doc, shingle) rows reach the one groupBy
+    shuffle. The corpus text itself never shuffles. At 100 TB this is a
+    broadcast-semi-join over the scan — the canonical decontamination plan."""
+    ev_sh = exploded_shingles(eval_docs, text_col=text_col, id_col=id_col, n=n).select(
+        "shingle"
+    ).distinct()
+    tr_sh = exploded_shingles(train, text_col=text_col, id_col=id_col, n=n)
+    # filter FIRST (map-side broadcast join), dedup AFTER: only eval-matching
+    # (doc, shingle) rows ever reach the shuffle, and countDistinct dedups the
+    # train doc's repeated shingles in the same agg pass
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+def _decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    return contaminated_docs(train, ev)
+
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % {EVAL_MOD} = 0)
+SELECT d.doc_id, count(*)::BIGINT AS n_shared
+FROM dsh d JOIN ev ON d.shingle = ev.shingle
+WHERE d.doc_id % {EVAL_MOD} != 0
+GROUP BY d.doc_id
+"""
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Assign each doc to a fixed-capacity token pack, concat-then-chunk,
+    per `part_col` shard in `id_col` order.
+
+    Output: (doc_id, source, n_tokens, pack_id, pack_offset) where pack_offset
+    is the doc's first-token position within its shard's concatenated stream
+    modulo nothing (absolute offset), pack_id = floor(offset / capacity).
+
+    Scale shape: ONE window (partition by shard, order by id) computing an
+    exclusive running sum — each shard packs independently and in parallel,
+    no global ordering. Token counts are whitespace tokens of the normalized
+    text (the same tokenizer the dedup family uses)."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    base = docs.select(id_col, part_col, n_tok.alias("n_tokens"))
+    off = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return base.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        off.alias("pack_offset"),
+        F.floor(off / F.lit(capacity)).cast("bigint").alias("pack_id"),
+    )
+
+
+def _pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, len({tokens_sql("text")}) AS n_tokens FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset,
+       (coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CAPACITY}
+       )::BIGINT AS pack_id
+FROM t
+"""
+
+
+# --- pack utilization rollup -------------------------------------------------
+
+
+def pack_stats(packed: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Per-shard pack utilization: packs, docs, tokens, mean fill. The rollup
+    a pipeline operator reports to size capacity (too small → fragmentation,
+    too large → padding waste)."""
+    return (
+        packed.groupBy("source")
+        .agg(
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / (F.col("n_packs") * capacity), 6).alias("fill_ratio"),
+        )
+    )
+
+
+def _pack_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_stats(pack_sequences(load(spark, sf_dir, "documents")))
+
+
+_PACK_STATS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, len({tokens_sql("text")}) AS n_tokens FROM documents
+),
+p AS (
+    SELECT source, n_tokens,
+           (coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CAPACITY}
+           )::BIGINT AS pack_id
+    FROM t
+)
+SELECT source,
+       (max(pack_id) + 1)::BIGINT AS n_packs,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(sum(n_tokens)::DOUBLE / ((max(pack_id) + 1) * {PACK_CAPACITY}), 6) AS fill_ratio
+FROM p GROUP BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "decontaminate_train": QuerySpec(
+        name="decontaminate_train",
+        builder=_decontam_q,
+        oracle=_DECONTAM_ORACLE,
+        doc="Train docs sharing n-grams with the eval set (broadcast eval-shingle join).",
+        tags=("pipeline", "decontam"),
+    ),
+    "pack_sequences": QuerySpec(
+        name="pack_sequences",
+        builder=_pack_q,
+        oracle=_PACK_ORACLE,
+        doc="Concat-then-chunk sequence packing per source shard (one parallel window).",
+        tags=("pipeline", "packing"),
+    ),
+    "pack_stats": QuerySpec(
+        name="pack_stats",
+        builder=_pack_stats_q,
+        oracle=_PACK_STATS_ORACLE,
+        doc="Pack utilization rollup per shard (fill ratio vs capacity).",
+        tags=("pipeline", "packing"),
+    ),
+}

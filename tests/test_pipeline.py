@@ -1,0 +1,81 @@
+"""Unit tests for pipeline operators (decontamination + sequence packing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from duckdb_ml_spark.session import get_spark
+
+    return get_spark("test_pipeline", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return SF_DIR
+
+
+def test_contaminated_docs_flags_shared_ngrams(spark):
+    from duckdb_ml_spark.operators.pipeline import contaminated_docs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),  # shares 'alpha beta gamma' with eval
+        (2, "one two three four five"),  # disjoint
+        (3, "beta gamma delta zeta eta"),  # shares 'beta gamma delta'
+    ]
+    train = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta xx")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.n_shared for r in contaminated_docs(train, ev).collect()}
+    # eval text's 3-grams: {alpha beta gamma, beta gamma delta, gamma delta xx}
+    assert got == {1: 2, 3: 1}
+
+
+def test_contaminated_docs_eval_side_broadcasts(spark, sf_dir):
+    from duckdb_ml_spark.operators.pipeline import _decontam_q
+
+    plan = _decontam_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from duckdb_ml_spark.operators.pipeline import PACK_CAPACITY, pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    rows = pack_sequences(docs).collect()
+    assert len(rows) == docs.count()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_offset == cum, (src, r)
+            assert r.pack_id == cum // PACK_CAPACITY
+            assert r.n_tokens > 0
+            cum += r.n_tokens
+
+
+def test_pack_stats_fill_bounded(spark, sf_dir):
+    from duckdb_ml_spark.operators.pipeline import pack_sequences, pack_stats
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    max_doc = max(r.n_tokens for r in packed.collect())
+    for r in pack_stats(packed).collect():
+        # a doc is assigned to the pack holding its FIRST token, so a shard's
+        # stream can spill past n_packs*capacity by at most one doc's tokens
+        from duckdb_ml_spark.operators.pipeline import PACK_CAPACITY
+
+        assert r.n_tokens <= r.n_packs * PACK_CAPACITY + max_doc
+        assert 0 < r.fill_ratio
+        assert r.n_packs >= 1
