@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from duckdb_ml_spark.plans.relational import QuerySpec
 from duckdb_ml_spark.streaming.stream import (
     dedup_events,
+    interval_join_pairs,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -103,7 +104,25 @@ SELECT event_id, user_id, event_type, round(value, 6) AS value FROM events
 """
 
 
+def _interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return interval_join_pairs(ev, ev)
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id != b.event_id
+ AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTES
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_interval_join": QuerySpec(
+        "stream_interval_join", _interval_join_q, _INTERVAL_JOIN_ORACLE,
+        doc="Stream-stream interval self-join per user (watermark-bounded state in streaming).",
+        tags=("streaming", "join"),
+    ),
     "stream_dedup_events": QuerySpec(
         "stream_dedup_events", _dedup_events_q, _DEDUP_EVENTS_ORACLE,
         doc="Exactly-once event stream: dedup by event_id (watermark-bounded state in streaming).",

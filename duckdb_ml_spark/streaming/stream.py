@@ -104,6 +104,33 @@ def dedup_events(ev: DataFrame, watermark: str | None = None) -> DataFrame:
     return ev.dropDuplicates(["event_id"])
 
 
+def interval_join_pairs(
+    left: DataFrame, right: DataFrame, interval: str = "10 MINUTES", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user (id_a, id_b) event pairs with ts_b in [ts_a, ts_a + interval).
+
+    One builder for BOTH engines' modes: on streaming inputs the watermarks
+    bound each side's join state to the horizon (Spark requires them for
+    stream-stream joins); on batch inputs withWatermark is a no-op and the
+    same plan runs as a plain interval self-join. tests/test_streaming.py
+    asserts the two executions produce identical rows."""
+    a = left.select(
+        F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "user_id"
+    ).withWatermark("ts_a", watermark)
+    b = right.select(
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("user_id").alias("user_b"),
+    ).withWatermark("ts_b", watermark)
+    return a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("id_a") != F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") < F.col("ts_a") + F.expr(f"INTERVAL {interval}")),
+    ).select("id_a", "id_b")
+
+
 STATE_SCHEMA = "n bigint, max_value double, last_ts_us bigint"
 OUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, last_ts_us bigint"
 

@@ -147,23 +147,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     """Stream-stream inner join with an event-time interval condition and
     watermarks on both sides (Spark buffers each side's state only within the
     watermark horizon). Must equal the same join run in batch."""
-    from pyspark.sql import functions as F
-
-    def pairs(left, right):
-        a = left.select(
-            F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "user_id"
-        ).withWatermark("ts_a", "1 hour")
-        b = right.select(
-            F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"),
-            F.col("user_id").alias("user_b"),
-        ).withWatermark("ts_b", "1 hour")
-        return a.join(
-            b,
-            (F.col("user_id") == F.col("user_b"))
-            & (F.col("id_a") != F.col("id_b"))
-            & (F.col("ts_b") >= F.col("ts_a"))
-            & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 10 MINUTES")),
-        ).select("id_a", "id_b")
+    from duckdb_ml_spark.streaming.stream import interval_join_pairs as pairs
 
     sev = read_events_stream(spark, sf_dir)
     q = (
