@@ -31,6 +31,17 @@ class TrainingConfig:
     batch_size: int = 64
     seed: int = 42
     learning_rate: float = 0.01
+    # beyond-reference knobs (train.rs:79 TODO leaves loss/schedule unparametrized):
+    # lr_schedule: "constant" | "step" (×lr_decay every lr_step_epochs) |
+    # "cosine" (anneal to 0 over `epochs`); early_stop_patience > 0 stops after
+    # that many epochs without ≥ early_stop_min_delta improvement in the
+    # monitored loss (test loss when a test split exists, else train loss) and
+    # restores the best-epoch weights.
+    lr_schedule: str = "constant"
+    lr_decay: float = 0.5
+    lr_step_epochs: int = 0
+    early_stop_patience: int = 0
+    early_stop_min_delta: float = 0.0
 
     @classmethod
     def from_json(cls, config_json: str | None) -> "TrainingConfig":
@@ -40,12 +51,29 @@ class TrainingConfig:
         if not isinstance(doc, dict):
             raise ValueError("training config must be a JSON object")
         cfg = cls()
-        for k in ("epochs", "batch_size", "seed"):
+        for k in ("epochs", "batch_size", "seed", "lr_step_epochs", "early_stop_patience"):
             if k in doc:
                 setattr(cfg, k, int(doc[k]))
-        if "learning_rate" in doc:
-            cfg.learning_rate = float(doc["learning_rate"])
+        for k in ("learning_rate", "lr_decay", "early_stop_min_delta"):
+            if k in doc:
+                setattr(cfg, k, float(doc[k]))
+        if "lr_schedule" in doc:
+            if doc["lr_schedule"] not in ("constant", "step", "cosine"):
+                raise ValueError(f"unknown lr_schedule '{doc['lr_schedule']}'")
+            cfg.lr_schedule = doc["lr_schedule"]
         return cfg
+
+    def lr_at(self, epoch: int) -> float:
+        """Learning rate for 1-based `epoch` under the configured schedule."""
+        if self.lr_schedule == "step" and self.lr_step_epochs > 0:
+            import math
+
+            return self.learning_rate * self.lr_decay ** ((epoch - 1) // self.lr_step_epochs)
+        if self.lr_schedule == "cosine":
+            import math
+
+            return self.learning_rate * 0.5 * (1 + math.cos(math.pi * (epoch - 1) / max(1, self.epochs)))
+        return self.learning_rate
 
     def to_json(self) -> str:
         return json.dumps(
@@ -212,6 +240,8 @@ class TrainReport:
     epoch_test_loss: list[float] = field(default_factory=list)
     n_train: int = 0
     n_test: int = 0
+    stopped_epoch: int = 0  # 0 = ran all epochs; else the early-stop epoch
+    best_epoch: int = 0  # epoch whose weights were restored (early stop only)
 
 
 def train_reg(
@@ -239,7 +269,12 @@ def train_reg(
 
     opt = Adam(config.learning_rate)
     report = TrainReport(n_train=len(train_idx), n_test=len(test_idx))
+    best_loss = float("inf")
+    best_params: list[dict[str, np.ndarray]] | None = None
+    best_epoch = 0
+    stale = 0
     for epoch in range(1, config.epochs + 1):
+        opt.lr = config.lr_at(epoch)
         order = rng.permutation(len(xtr))
         for start in range(0, len(xtr), config.batch_size):
             idx = order[start : start + config.batch_size]
@@ -257,6 +292,23 @@ def train_reg(
         if log:
             te = f" test_loss={report.epoch_test_loss[-1]:.6f}" if n_test else ""
             log(f"epoch {epoch}/{config.epochs} train_loss={tr_loss:.6f}{te}")
+        if config.early_stop_patience > 0:
+            monitored = report.epoch_test_loss[-1] if n_test else tr_loss
+            if monitored < best_loss - config.early_stop_min_delta:
+                best_loss = monitored
+                best_epoch = epoch
+                best_params = [{k: v.copy() for k, v in p.items()} for p in params]
+                stale = 0
+            else:
+                stale += 1
+                if stale >= config.early_stop_patience:
+                    report.stopped_epoch = epoch
+                    break
+    if config.early_stop_patience > 0 and best_params is not None:
+        for p, bp in zip(params, best_params):
+            for k in p:
+                p[k] = bp[k]
+        report.best_epoch = best_epoch
     return report
 
 

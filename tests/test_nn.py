@@ -131,3 +131,41 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         nn.forward(spec, params, x)[0], nn.forward(spec, loaded, x)[0]
     )
+
+
+def test_lr_schedules():
+    from duckdb_ml_spark.nn import TrainingConfig
+
+    step = TrainingConfig.from_json(
+        '{"epochs": 6, "lr_schedule": "step", "lr_step_epochs": 2, "lr_decay": 0.5, "learning_rate": 0.08}'
+    )
+    assert [step.lr_at(e) for e in (1, 2, 3, 4, 5)] == [0.08, 0.08, 0.04, 0.04, 0.02]
+    cos = TrainingConfig.from_json('{"epochs": 5, "lr_schedule": "cosine", "learning_rate": 0.1}')
+    assert cos.lr_at(1) == 0.1
+    assert 0 < cos.lr_at(5) < cos.lr_at(2) < 0.1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TrainingConfig.from_json('{"lr_schedule": "linear"}')
+
+
+def test_early_stopping_restores_best_epoch():
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, size=(300, 5)).astype(np.float32)
+    w = np.array([[0.5], [-1.0], [2.0], [0.3], [-0.7]], dtype=np.float32)
+    y = (x @ w + 0.1 + rng.normal(0, 0.3, size=(300, 1))).astype(np.float32)
+    spec = parse_spec(
+        '{"layers": [{"in": 5, "out": 16, "activation": "relu"}, {"in": 16, "out": 1}]}'
+    )
+    params = nn.init_params(spec, seed=7)
+    cfg = nn.TrainingConfig.from_json(
+        '{"epochs": 50, "batch_size": 32, "seed": 7, "learning_rate": 0.05,'
+        ' "early_stop_patience": 3, "early_stop_min_delta": 1e-9}'
+    )
+    report = nn.train_reg(spec, params, x, y, cfg)
+    if report.stopped_epoch:
+        assert report.stopped_epoch < 50
+        assert 1 <= report.best_epoch <= report.stopped_epoch
+        # restored weights reproduce the best monitored loss
+        monitored = report.epoch_test_loss if report.n_test else report.epoch_train_loss
+        assert min(monitored[: report.stopped_epoch]) == monitored[report.best_epoch - 1]
