@@ -220,7 +220,97 @@ FROM f JOIN documents d USING (doc_id)
 """
 
 
+IMG_SIDE = 8  # fake-decode image side (IMG_SIDE × IMG_SIDE grid from payload head)
+POOL = 2  # resize via POOL×POOL mean pooling
+
+
+def decode_image_resized(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    side: int = IMG_SIDE,
+    pool: int = POOL,
+) -> DataFrame:
+    """Image-shaped decode + resize: payload head → side×side grayscale grid
+    (byte/255 in float32, zero-padded), then pool×pool MEAN-POOL downsample —
+    the standard thumbnail/feature-pyramid step of an image pipeline.
+
+    One output row per output pixel (doc_id, r, c, v): the exploded form a
+    downstream feature store or the oracle can check cell-by-cell. The REAL
+    decode (PIL.Image.open → np.asarray → cv2.resize/mean-pool) slots into the
+    same kernel; fake="bytes" semantics keep every value deterministic.
+    Pooling sums run left-to-right in float64 (matches SQL's left-associative
+    (a+b+c+d)/4.0 exactly — no reordering, no FMA)."""
+    import numpy as np
+    import pandas as pd
+
+    npix = side * side
+    out_side = side // pool
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            grids = np.zeros((n, npix), dtype=np.float32)
+            for j, b in enumerate(pdf[media_col]):
+                head = np.frombuffer(bytes(b)[:npix], dtype=np.uint8)
+                grids[j, : len(head)] = head.astype(np.float32) / np.float32(255.0)
+            g = grids.astype(np.float64).reshape(n, side, side)
+            out = np.zeros((n, out_side, out_side), dtype=np.float64)
+            for dr in range(pool):  # sequential adds: ((a+b)+c)+d, then /pool²
+                for dc in range(pool):
+                    out += g[:, dr::pool, dc::pool]
+            out /= pool * pool
+            ids = pdf[id_col].to_numpy()
+            rr, cc = np.meshgrid(np.arange(out_side), np.arange(out_side), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, out_side * out_side),
+                    "r": np.tile(rr.ravel(), n).astype(np.int32),
+                    "c": np.tile(cc.ravel(), n).astype(np.int32),
+                    "v": out.reshape(n, -1).ravel(),
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        gen, "doc_id bigint, r int, c int, v double"
+    )
+
+
+def _resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_image_resized(media_table(spark, sf_dir))
+
+
+def _resize_oracle() -> str:
+    # byte at grid (y, x) is 1-based text position y*side + x + 1; zero beyond payload
+    def px(y: str, x: str) -> str:
+        pos = f"(({y}) * {IMG_SIDE} + ({x}) + 1)"
+        return (
+            f"(CASE WHEN octet_length(text::BLOB) >= {pos} "
+            f"THEN ord(substr(text, {pos}, 1)) ELSE 0 END::FLOAT / 255.0::FLOAT)::FLOAT::DOUBLE"
+        )
+
+    terms = " + ".join(
+        px(f"r * {POOL} + {dr}", f"c * {POOL} + {dc}")
+        for dr in range(POOL)
+        for dc in range(POOL)
+    )
+    out_side = IMG_SIDE // POOL
+    return f"""
+    SELECT doc_id, r::INT AS r, c::INT AS c, ({terms}) / {POOL * POOL}.0 AS v
+    FROM documents,
+         generate_series(0, {out_side - 1}) AS gr(r),
+         generate_series(0, {out_side - 1}) AS gc(c)
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mm_image_resize": QuerySpec(
+        "mm_image_resize", _resize_q, _resize_oracle(),
+        doc="Image-shaped fake decode + 2x2 mean-pool resize (one row per output pixel).",
+        tags=("multimodal", "udf"),
+    ),
     "mm_metadata": QuerySpec(
         "mm_metadata", media_metadata, _METADATA_ORACLE,
         doc="Media catalog: type, size, origin, payload checksum.", tags=("multimodal",),
