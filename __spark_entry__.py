@@ -28,6 +28,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.asof",
         "duckdb_ml_spark.operators.sampling",
         "duckdb_ml_spark.operators.pipeline",
+        "duckdb_ml_spark.plans.scale",
         "duckdb_ml_spark.functions.queries",
         "duckdb_ml_spark.sources.readers",
         "duckdb_ml_spark.streaming.queries",

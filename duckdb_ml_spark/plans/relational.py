@@ -559,6 +559,38 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_status_pivot",
+    """
+    SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="PIVOT: monthly order counts spread across status columns (pinned value list).",
+    tags=("pivot", "groupby"),
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark pivot() with an EXPLICIT value list: unpinned pivot runs an extra
+    distinct-values job and produces schema that varies with the data — pinned
+    values keep the plan single-pass and the schema stable (the only sane form
+    at 100 TB)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "month",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@_register(
     "events_hourly",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

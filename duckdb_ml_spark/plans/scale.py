@@ -89,3 +89,48 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("n"))
         .limit(top)
     )
+
+
+# --- driver-checked query: the salted plan must equal the plain aggregate ----
+
+
+def _salted_agg_q(spark, sf_dir: str):
+    """Two-phase salted aggregate over events by event_type — value-hash
+    checked against the PLAIN GROUP BY oracle, proving the skew-safe plan is
+    a pure physical rewrite (sums rounded: float association differs)."""
+    from duckdb_ml_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count, F.sum, "value"),
+            "sum_value": (F.sum, F.sum, "value"),
+            "max_value": (F.max, F.max, "value"),
+        },
+        salt_from="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type, count(value) AS n_events,
+       round(sum(value), 6) AS sum_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+from duckdb_ml_spark.plans.relational import QuerySpec  # noqa: E402
+
+QUERIES = {
+    "skew_salted_agg": QuerySpec(
+        "skew_salted_agg", _salted_agg_q, _SALTED_AGG_ORACLE,
+        doc="Two-phase salted aggregation (hot-key spread) == plain GROUP BY.",
+        tags=("scale", "skew"),
+    ),
+}
