@@ -55,6 +55,54 @@ def write_bucketed_table(
     w.mode(mode).format("parquet").saveAsTable(name)
 
 
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming UPSERT sink via foreachBatch: each micro-batch is merged into
+    a keyed parquet target — new keys appended, existing keys replaced by the
+    batch's row (last-writer-wins within a batch via dropDuplicates on key).
+
+    This is the idempotent-sink pattern for engines without a MERGE-capable
+    table format on the classpath: foreachBatch hands the micro-batch to
+    ordinary BATCH code, which rewrites the target atomically
+    (read-current → anti-join out updated keys → union → overwrite-staging →
+    rename). With Delta/Iceberg available the body becomes a single MERGE
+    INTO; the streaming-side contract (exactly-once per epoch via the
+    checkpointed batch id) is identical.
+
+    Returns the StreamingQuery; caller awaits termination."""
+    import os as _os
+
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(key_cols)
+        if _os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in _os.listdir(path)
+        ):
+            cur = spark.read.parquet(path)
+            kept = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+            merged = kept.unionByName(batch)
+        else:
+            merged = batch
+        staging = path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = path.rstrip("/") + ".old"
+        if _os.path.isdir(path):
+            _os.rename(path, old)
+        _os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    w = stream_df.writeStream.foreachBatch(_merge).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.options(header=True, **options).mode(mode).csv(path)
 

@@ -178,3 +178,40 @@ def test_watermark_in_plan(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     agg = tumbling_counts(ev, watermark="2 hours")
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: first run seeds the keyed target; a second stream
+    carrying updated values for a key subset replaces exactly those rows."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import foreach_batch_upsert
+
+    target = str(tmp_path / "upsert_target")
+    ev_cols = ["event_id", "user_id", "value"]
+
+    q = foreach_batch_upsert(
+        read_events_stream(spark, sf_dir).select(*ev_cols),
+        target,
+        key_cols=["event_id"],
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    base = load(spark, sf_dir, "events").select(*ev_cols)
+    assert spark.read.parquet(target).count() == base.count()
+
+    updated = (
+        read_events_stream(spark, sf_dir)
+        .select(*ev_cols)
+        .where(F.col("event_id") % 10 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+    )
+    q2 = foreach_batch_upsert(
+        updated, target, key_cols=["event_id"], checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == base.count()  # replaced, not appended
+    n_upd = out.where((F.col("event_id") % 10 == 0) & (F.col("value") >= 1000.0)).count()
+    n_expected = base.where(F.col("event_id") % 10 == 0).count()
+    assert n_upd == n_expected
