@@ -146,6 +146,54 @@ FROM t
 """
 
 
+def pack_manifest(
+    packed: DataFrame, capacity: int = PACK_CAPACITY, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode the packing into the pack MANIFEST: one row per (doc, pack)
+    segment, with the token span each pack takes from the doc. A doc whose
+    tokens straddle pack boundaries contributes a row per touched pack —
+    this is the table a data loader actually reads to assemble fixed-length
+    training blocks (and the inverse map for attribution).
+
+    All integer arithmetic on the already-computed offsets: a doc spanning
+    [o, o+n) touches packs floor(o/C)..floor((o+n-1)/C); its token count in
+    pack p is min((p+1)·C, o+n) − max(p·C, o)."""
+    o, n = F.col("pack_offset"), F.col("n_tokens")
+    first = F.floor(o / capacity).cast("bigint")
+    last = F.floor((o + n - 1) / capacity).cast("bigint")
+    out = packed.select(
+        id_col, "source", "n_tokens", "pack_offset", F.explode(F.sequence(first, last)).alias("pack_id")
+    )
+    p = F.col("pack_id")
+    seg = F.least((p + 1) * capacity, o + n) - F.greatest(p * capacity, o)
+    return out.select(
+        id_col, "source", "pack_id", seg.cast("bigint").alias("tokens_in_pack")
+    )
+
+
+def _pack_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_manifest(pack_sequences(load(spark, sf_dir, "documents")))
+
+
+_PACK_MANIFEST_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, len({tokens_sql("text")}) AS n_tokens FROM documents
+),
+p AS (
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+    FROM t
+)
+SELECT doc_id, source, pack_id,
+       (least((pack_id + 1) * {PACK_CAPACITY}, o + n_tokens)
+        - greatest(pack_id * {PACK_CAPACITY}, o))::BIGINT AS tokens_in_pack
+FROM p, LATERAL unnest(generate_series((o // {PACK_CAPACITY})::BIGINT,
+                                       ((o + n_tokens - 1) // {PACK_CAPACITY})::BIGINT)) AS u(pack_id)
+"""
+
+
 # --- pack utilization rollup -------------------------------------------------
 
 
@@ -208,6 +256,13 @@ QUERIES: dict[str, QuerySpec] = {
         builder=_pack_q,
         oracle=_PACK_ORACLE,
         doc="Concat-then-chunk sequence packing per source shard (one parallel window).",
+        tags=("pipeline", "packing"),
+    ),
+    "pack_manifest": QuerySpec(
+        name="pack_manifest",
+        builder=_pack_manifest_q,
+        oracle=_PACK_MANIFEST_ORACLE,
+        doc="Pack manifest: one row per (doc, pack) segment with the token span.",
         tags=("pipeline", "packing"),
     ),
     "pack_stats": QuerySpec(

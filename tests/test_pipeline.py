@@ -79,3 +79,22 @@ def test_pack_stats_fill_bounded(spark, sf_dir):
         assert r.n_tokens <= r.n_packs * PACK_CAPACITY + max_doc
         assert 0 < r.fill_ratio
         assert r.n_packs >= 1
+
+
+def test_pack_manifest_conservation(spark, sf_dir):
+    """Every doc's tokens_in_pack rows must sum to its n_tokens, and each
+    pack's take from a doc is within (0, capacity]."""
+    from duckdb_ml_spark.operators.pipeline import (
+        PACK_CAPACITY,
+        pack_manifest,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(load(spark, sf_dir, "documents"))
+    man = pack_manifest(packed).collect()
+    per_doc: dict = {}
+    for r in man:
+        assert 0 < r.tokens_in_pack <= PACK_CAPACITY
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_pack
+    want = {r.doc_id: r.n_tokens for r in packed.collect()}
+    assert per_doc == want
