@@ -54,7 +54,7 @@ def _flat(df: DataFrame, id_alias: str, prefix: str, dim: int, id_col: str = "ve
 
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = TOP_K, id_col: str = "vec_id",
-    dim: int | None = None,
+    dim: int | None = None, cache_key=None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (cosine), rank-windowed.
 
@@ -65,7 +65,9 @@ def brute_force_topk(
     """
     from duckdb_ml_spark.operators.vec import collect_matrix, cosine_scores_vs_broadcast
 
-    q_ids, Q = collect_matrix(queries, id_col)
+    q_ids, Q = collect_matrix(
+        queries, id_col, cache_key=None if cache_key is None else (cache_key, "bf_queries")
+    )
     scored = cosine_scores_vs_broadcast(emb, q_ids, Q, id_col).select(
         "query_id", F.col("row_id").alias("neighbor_id"), "cos"
     )
@@ -82,7 +84,9 @@ def _brute_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb, cache_key=sf_dir)
-    return brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim)
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim, cache_key=sf_dir
+    )
 
 
 _BRUTE_ORACLE = f"""
@@ -125,6 +129,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     dim: int | None = None,
     centroids: str = "stride",
+    cache_key=None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to nearest coarse centroid, probe the
     query's nprobe nearest buckets, exact-rerank only those candidates.
@@ -150,7 +155,11 @@ def ivf_topk(
         # (a modulo sample DuckDB can replicate exactly)
         cent_ids, CM = kmeans_centroids(emb, id_col=id_col)
     else:
-        cent_ids, CM = collect_matrix(emb.where(F.col(id_col) % stride == 0), id_col)
+        cent_ids, CM = collect_matrix(
+            emb.where(F.col(id_col) % stride == 0),
+            id_col,
+            cache_key=None if cache_key is None else (cache_key, "ivf_cent", stride),
+        )
         order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
         cent_ids, CM = cent_ids[order], CM[order]
 
@@ -164,7 +173,9 @@ def ivf_topk(
     )
 
     # query probe lists: nprobe nearest centroids per query — driver NumPy
-    q_ids, QM = collect_matrix(queries, id_col)
+    q_ids, QM = collect_matrix(
+        queries, id_col, cache_key=None if cache_key is None else (cache_key, "ivf_queries")
+    )
     qc = _seq_cosine_matrix(QM, CM)
     probe_rows = []
     for qi, qid in enumerate(q_ids):
@@ -193,7 +204,9 @@ def _ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb, cache_key=sf_dir)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), dim=dim, cache_key=sf_dir
+    )
 
 
 _IVF_ORACLE = f"""

@@ -107,16 +107,27 @@ def _seq_cosine_matrix(A, B):  # (n,d) x (m,d) -> (n,m) cosine, sequential-fold 
     return dot / np.multiply.outer(np.sqrt(na), np.sqrt(nb))
 
 
-def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding"):
+_MATRIX_CACHE: dict = {}
+
+
+def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding", cache_key=None):
     """(ids int64 array, float64 matrix) from a SMALL DataFrame (driver collect).
 
     The broadcast side of the matrix kernels. At scale, tile the input and loop.
+    `cache_key`: memoize the collected matrix for an immutable source (a probe
+    set / centroid sample of a fixed sf_dir table) — at scale these are
+    precomputed artifacts, not per-query collects; same pattern as
+    embedding_dim's cache.
     """
     import numpy as np
 
+    if cache_key is not None and cache_key in _MATRIX_CACHE:
+        return _MATRIX_CACHE[cache_key]
     pdf = df.select(id_col, arr_col).toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+    if cache_key is not None:
+        _MATRIX_CACHE[cache_key] = (ids, M)
     return ids, M
 
 
