@@ -547,6 +547,36 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def dedup_keep_docs(
+    nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup pipeline's ACTUAL OUTPUT: one keeper per near-dup cluster
+    (lowest id) + every doc's cluster size — the table you anti-join the
+    corpus against to drop duplicates, with the size as an audit column.
+
+    Shape: cluster labels (edge-subgraph components, bounded union-find or
+    label propagation) → one groupBy on cluster_id. The corpus itself only
+    flows through the final broadcast map join inside dedup_clusters."""
+    cl = dedup_clusters(nodes, pairs, id_col=id_col)
+    return cl.groupBy("cluster_id").agg(
+        F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def _dedup_keep_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = _minhash_lsh_pairs_q(spark, sf_dir)
+    return dedup_keep_docs(docs, pairs)
+
+
+def _dedup_keep_docs_oracle() -> str:
+    return f"""
+    WITH clusters AS ({_dedup_clusters_oracle()})
+    SELECT cluster_id, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS cluster_size
+    FROM clusters GROUP BY cluster_id
+    """
+
+
 LSH_BAND_BITS = 4  # 4 bands x 4 bits from the 16-bit signature
 
 
@@ -830,6 +860,13 @@ QUERIES: dict[str, QuerySpec] = {
         builder=_dedup_clusters_q,
         oracle=_dedup_clusters_oracle(),
         doc="Connected-component cluster ids over MinHash-LSH near-dup pairs.",
+        tags=("dedup", "clustering"),
+    ),
+    "dedup_keep_docs": QuerySpec(
+        name="dedup_keep_docs",
+        builder=_dedup_keep_docs_q,
+        oracle=_dedup_keep_docs_oracle(),
+        doc="Dedup output: keeper doc (min id) + cluster size per near-dup cluster.",
         tags=("dedup", "clustering"),
     ),
     "dedup_embedding_lsh_sigs": QuerySpec(
