@@ -253,8 +253,11 @@ def keywords_topk(spark: SparkSession, sf_dir: str, k: int = KEYWORDS_PER_DOC) -
     (broadcast back), per-doc rank."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # tf has exactly one row per distinct (doc, tok), so document frequency is
+    # a plain count over tf — no second explode, no count_distinct; persist so
+    # the explode+groupBy feeds both the score join and the df rollup once
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
     scored = tf.join(F.broadcast(df_), "tok").select(
