@@ -635,8 +635,103 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # project the extracted value BEFORE the aggregate: referencing the
+    # get_json_object expression inside two aggregate functions would parse the
+    # JSON string twice per row; as a named projection column it is evaluated
+    # once per row and both partial aggregates consume the cached value
     k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@_register(
+    "grouping_sets_customers",
+    """
+    SELECT r_name, c_mktsegment, count(*) AS n_customers,
+           grouping(r_name) + 2 * grouping(c_mktsegment) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+    """,
+    doc="GROUPING SETS with a grouping-id disambiguator: three simultaneous "
+    "aggregation granularities in one pass (region x segment, region, segment). "
+    "Spark expands grouping sets into a single Expand + hash aggregate — one "
+    "shuffle regardless of how many sets; dimension joins are broadcast.",
+    tags=("aggregate", "grouping-sets", "join"),
+)
+def grouping_sets_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation", "region"))
+    # GROUPING SETS has no DataFrame-API form (only cube/rollup); SQL is the
+    # idiomatic Spark spelling. The joins stay broadcast: nation/region are
+    # dimension-sized and the static planner sees their parquet stats.
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment, count(*) AS n_customers,
+               grouping(r_name) + 2 * grouping(c_mktsegment) AS gid
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment))
+        """
+    )
+
+
+@_register(
+    "orders_top_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Global ORDER BY ... LIMIT k: Spark plans TakeOrderedAndProject — "
+    "per-partition top-k heaps + a driver merge of k*partitions candidates, "
+    "NEVER a full sort shuffle. O(k) memory per task; the scale-safe global "
+    "top-k (contrast: a full ORDER BY materializes a range-partitioned sort).",
+    tags=("sort", "limit"),
+)
+def orders_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "events_distinct_users_approx",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+               <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="HLL sketch distinct-count with an accuracy-band invariant. Spark's "
+    "HLL++ and DuckDB's HLL give different raw estimates (different sketches/"
+    "seeds), so the hash-checked contract is the documented property both "
+    "guarantee: estimate within 5% of exact (HLL++ default rsd=0.05). The "
+    "sketch is the 100 TB path — fixed-size, mergeable map-side partials vs "
+    "count(DISTINCT)'s full shuffle of distinct values; both are computed here "
+    "so the band is verified against ground truth per group.",
+    tags=("aggregate", "approx", "sketch", "events"),
+)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.05)
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 6).alias("avg_k"),
-        F.max(k).alias("max_k"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )

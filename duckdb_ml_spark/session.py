@@ -18,17 +18,51 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Below this input size the engine runs in "compact" mode: AQE off and few
+# shuffle partitions. Measured on the rig (tools/floor_probe.py, sf0.1):
+# AQE executes every exchange as its own materialized query stage — a separate
+# job submission + re-plan per shuffle — which costs ~40% of a small query's
+# wall time (join+agg+sort floor 0.43 s AQE/32-part vs 0.25 s no-AQE/8-part)
+# while its benefits (partition coalescing, skew splitting, SMJ→BHJ rewrites)
+# only materialize when shuffles are big enough to matter. The static planner
+# still broadcasts small sides via parquet size stats. At real scale (the
+# 100 TB target) the threshold flips the same session to AQE + wide shuffles —
+# this is the standard "size your shuffle to your data" production tuning,
+# applied automatically instead of by hand.
+COMPACT_INPUT_BYTES = 2 << 30
 
-def get_spark(app_name: str = "duckdb_ml_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or fetch) a SparkSession with engine defaults applied."""
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes of the parquet inputs under sf_dir (0 if unreadable)."""
+    total = 0
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    total += e.stat().st_size if e.is_file() else _dir_bytes(e.path)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return total
+
+
+def get_spark(
+    app_name: str = "duckdb_ml_spark",
+    shuffle_partitions: int | None = None,
+    sf_dir: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults sized to the data."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    compact = _dir_bytes(sf_dir or DEFAULT_SF_DIR) < COMPACT_INPUT_BYTES
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env) if env else (8 if compact else 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false" if compact else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
