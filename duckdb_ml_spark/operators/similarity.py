@@ -245,7 +245,61 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + symmetric int8 quantization (q_i = round(e_i *
+    127/max|e|)) — the storage transform an ANN index applies before writing
+    a 4x-smaller codebook. round() is spelled floor(x + 0.5): both engines'
+    round() disagree on half-way ties, floor arithmetic is IEEE-identical.
+
+    Plan shape: pure per-row projection over unpacked columns — whole-stage
+    codegen, no shuffle, no interpreted per-element lambdas; linear at any
+    corpus size and trivially partition-parallel."""
+    from duckdb_ml_spark.operators.vec import embedding_dim, seq_sum, unpack
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb, cache_key=sf_dir)
+    flat = unpack(emb, "embedding", dim, "f", keep=["vec_id"])
+    l2 = F.sqrt(seq_sum([F.col(f"f{i}") * F.col(f"f{i}") for i in range(dim)]))
+    max_abs = F.greatest(*[F.abs(F.col(f"f{i}")) for i in range(dim)])
+    scale = F.lit(127.0) / F.nullif(max_abs, F.lit(0.0))
+    q = F.array(
+        *[F.floor(F.col(f"f{i}") * scale + F.lit(0.5)).cast("int") for i in range(dim)]
+    )
+    return flat.select(
+        "vec_id",
+        l2.alias("l2_norm"),
+        scale.alias("q_scale"),
+        q.alias("q_int8"),
+    )
+
+
+def _normalize_quantize_oracle(dim: int = 64) -> str:
+    e = [f"embedding[{i + 1}]::DOUBLE" for i in range(dim)]
+    sq = " + ".join(f"{x} * {x}" for x in e)
+    mx = ", ".join(f"abs({x})" for x in e)
+    qs = ", ".join(f"floor({x} * s + 0.5)::INT" for x in e)
+    return f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               127.0 / nullif(greatest({mx}), 0.0) AS s
+        FROM embeddings
+    )
+    SELECT vec_id,
+           sqrt(0.0 + {sq}) AS l2_norm,
+           s AS q_scale,
+           list_value({qs}) AS q_int8
+    FROM base
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_normalize_quantize": QuerySpec(
+        name="emb_normalize_quantize",
+        builder=normalize_quantize,
+        oracle=_normalize_quantize_oracle(),
+        doc="L2 norm + symmetric int8 quantization per embedding (ANN storage path).",
+        tags=("similarity", "vector", "quantize"),
+    ),
     "sim_topk_bruteforce": QuerySpec(
         name="sim_topk_bruteforce",
         builder=_brute_topk_q,

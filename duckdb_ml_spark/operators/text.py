@@ -314,7 +314,98 @@ def _source_quality_oracle() -> str:
     """
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction of
+    bigrams taken by the single most frequent bigram, the fraction of duplicate
+    bigrams, and the fraction of duplicate 5-grams. High values flag the
+    degenerate boilerplate/spam documents a pretraining filter drops
+    (Rae et al. 2021 'Scaling Language Models', table A1 uses exactly these
+    n-gram families).
+
+    Plan shape: the 5-gram dup fraction never explodes — size(grams) vs
+    size(array_distinct(grams)) are per-row array ops inside codegen. Only the
+    bigram top-count needs a real explode + two-level aggregate, and that
+    stream is (doc, gram) pairs — linear in corpus tokens, one shuffle on
+    (doc_id, gram) then a cheap per-doc rollup. All ratios are single IEEE
+    divisions of exact integers — bit-identical across engines, no rounding."""
+    from duckdb_ml_spark.operators.textnorm import shingles_from_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__w"))
+    # per-row 5-gram dup fraction: materialize the gram array once, then two
+    # array ops; no shuffle
+    g5 = toked.select(
+        "doc_id", shingles_from_tokens(F.col("__w"), 5).alias("__g5")
+    ).select(
+        "doc_id",
+        F.size("__g5").alias("n5"),
+        F.size(F.array_distinct("__g5")).alias("n5u"),
+    )
+    # bigram top/dup fractions: explode + (doc, gram) count + per-doc rollup
+    bi = toked.select("doc_id", F.explode(shingles_from_tokens(F.col("__w"), 2)).alias("g"))
+    per_doc = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("n_bi"),
+            F.count(F.lit(1)).alias("n_uniq_bi"),
+        )
+    )
+    joined = g5.join(per_doc, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_bi"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        (F.col("top_c").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+        (F.lit(1.0) - F.col("n_uniq_bi").cast("double") / F.col("n_bi")).alias(
+            "dup_bigram_frac"
+        ),
+        F.col("n5").cast("bigint").alias("n_5grams"),
+        F.when(
+            F.col("n5") > 0,
+            F.lit(1.0) - F.col("n5u").cast("double") / F.col("n5"),
+        ).alias("dup_5gram_frac"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+g5 AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 5
+                THEN list_transform(generate_series(1, len(w) - 4),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+                ELSE [] END AS grams
+    FROM toks
+),
+five AS (SELECT doc_id, len(grams) AS n5, len(list_distinct(grams)) AS n5u FROM g5),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+    FROM toks
+),
+per_doc AS (
+    SELECT doc_id, max(c)::BIGINT AS top_c, sum(c)::BIGINT AS n_bi, count(*)::BIGINT AS n_uniq_bi
+    FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+    GROUP BY doc_id
+)
+SELECT f.doc_id,
+       coalesce(p.n_bi, 0)::BIGINT AS n_bigrams,
+       p.top_c::DOUBLE / p.n_bi AS top_bigram_frac,
+       1.0 - p.n_uniq_bi::DOUBLE / p.n_bi AS dup_bigram_frac,
+       f.n5::BIGINT AS n_5grams,
+       CASE WHEN f.n5 > 0 THEN 1.0 - f.n5u::DOUBLE / f.n5 END AS dup_5gram_frac
+FROM five f LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repetition_signals": QuerySpec(
+        "text_repetition_signals", repetition_signals, _REPETITION_ORACLE,
+        doc="Gopher-style per-doc repetition fractions (top/dup bigram, dup 5-gram).",
+        tags=("text", "quality", "pipeline"),
+    ),
     "text_vocab_topk": QuerySpec(
         "text_vocab_topk", vocab_topk, _VOCAB_ORACLE,
         doc="Top-100 corpus vocabulary by frequency (+ document frequency).", tags=("text", "vocab"),
