@@ -133,19 +133,81 @@ def test_ml_train_distributed_avg_and_grad(spark, tmp_path, monkeypatch):
         assert after < before / 2, f"mode={mode}: {before} -> {after}"
 
 
-def test_grad_mode_rejects_batchnorm_dropout(spark):
-    """Grad mode can't reproduce global batch stats / a single dropout draw
-    across partitions — it must refuse, not silently train a different model."""
+def test_grad_mode_rejects_dropout(spark):
+    """Grad mode can't reproduce a single global dropout draw across
+    partitions (no stable global row index) — it must refuse, not silently
+    train a different model. (batch_norm IS supported — sync-BN protocol.)"""
     from duckdb_ml_spark.functions.distributed import ml_train_distributed
 
     spec = (
-        '{"layers": [{"in": 2, "out": 8, "activation": "relu", "batch_norm": true},'
+        '{"layers": [{"in": 2, "out": 8, "activation": "relu", "dropout": 0.2},'
         ' {"in": 8, "out": 1}]}'
     )
-    fn.ml_create("gradbn", spec)
+    fn.ml_create("graddrop", spec)
     df = _xy_df(spark, 64)
-    with pytest.raises(ValueError, match="batch_norm"):
-        ml_train_distributed(spark, "gradbn", df, mode="grad", save=False)
+    with pytest.raises(ValueError, match="dropout"):
+        ml_train_distributed(spark, "graddrop", df, mode="grad", save=False)
+
+
+def test_grad_mode_syncbn_matches_single_node(spark):
+    """mode='grad' on a batch_norm net must follow the single-node FULL-BATCH
+    trajectory: same global batch stats forward, same batch-coupled backward,
+    same running-stat momentum updates — partition count must not matter."""
+    import numpy as np
+
+    from duckdb_ml_spark import nn
+    from duckdb_ml_spark.functions.distributed import ml_train_distributed
+    from duckdb_ml_spark.spec import parse_spec
+
+    spec = (
+        '{"layers": [{"in": 2, "out": 8, "activation": "relu", "batch_norm": true},'
+        ' {"in": 8, "out": 4, "activation": "tanh", "batch_norm": true},'
+        ' {"in": 4, "out": 1}]}'
+    )
+    epochs, lr = 6, 0.02
+    fn.ml_create("gradbn", spec)
+    init = [{k: v.copy() for k, v in p.items()} for p in registry.get_model("gradbn").params]
+    df = _xy_df(spark, 512).repartition(4)
+    ml_train_distributed(
+        spark, "gradbn", df, config=f'{{"epochs": {epochs}, "learning_rate": {lr}}}',
+        mode="grad", save=False,
+    )
+    from duckdb_ml_spark import registry as reg
+
+    got = reg.get_model("gradbn").params
+
+    # single-node full-batch reference with nn.forward's own batch-stat path
+    rows = df.select("features", "targets").collect()
+    x = np.array([r.features for r in rows], dtype=np.float32)
+    y = np.array([r.targets for r in rows], dtype=np.float32)
+    sp = parse_spec(spec)
+    ref = [{k: v.copy() for k, v in p.items()} for p in init]
+    opt = nn.Adam(lr)
+    for _ in range(epochs):
+        pred, caches = nn.forward(sp, ref, x, training=True)
+        _, grad = nn.mse_loss_and_grad(pred, y)
+        grads = nn.backward(sp, ref, caches, grad)
+        opt.step(ref, grads)
+
+    # Under BN the linear bias is a GAUGE direction: it cancels exactly in the
+    # batch standardization, its gradient is float noise, and Adam's
+    # normalization amplifies that noise into a random walk (mirrored by
+    # running_mean, leaving the function unchanged). So the equivalence
+    # contract is: non-gauge parameters match tightly, and the model FUNCTION
+    # (train-mode forward, which uses batch stats) matches tightly.
+    for li, (pg, pr) in enumerate(zip(got, ref)):
+        gauge = {"b", "running_mean"} if "gamma" in pr else set()
+        for k in pr:
+            if k in gauge:
+                continue
+            np.testing.assert_allclose(
+                pg[k], pr[k], rtol=2e-3, atol=2e-4,
+                err_msg=f"layer {li} param {k} diverged from single-node trajectory",
+            )
+    xt = np.random.default_rng(7).uniform(0, 1, size=(64, 2)).astype(np.float32)
+    pred_got, _ = nn.forward(sp, [dict(p) for p in got], xt, training=True)
+    pred_ref, _ = nn.forward(sp, [dict(p) for p in ref], xt, training=True)
+    np.testing.assert_allclose(pred_got, pred_ref, rtol=1e-3, atol=1e-4)
 
 
 def test_sql_ml_pred_rejects_mixed_model_names(spark):
