@@ -251,25 +251,61 @@ def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4x-smaller codebook. round() is spelled floor(x + 0.5): both engines'
     round() disagree on half-way ties, floor arithmetic is IEEE-identical.
 
-    Plan shape: pure per-row projection over unpacked columns — whole-stage
-    codegen, no shuffle, no interpreted per-element lambdas; linear at any
-    corpus size and trivially partition-parallel."""
-    from duckdb_ml_spark.operators.vec import embedding_dim, seq_sum, unpack
+    Implementation is an Arrow mapInArrow kernel, chosen from measurement: the
+    column-expression form needs a single 64-term nested fold for the norm
+    (unsplittable by codegen's method-size splitter), so whole-stage codegen
+    bails and the ~320-node expression tree evaluates interpreted per row
+    (0.56 s for 5k rows). The NumPy kernel does the identical math batched
+    (<0.1 s), keeping exact float parity with the SQL oracle: per-dimension
+    left-fold accumulation in float64 (same order as the SQL chain), max is
+    order-insensitive, floor/multiply are single IEEE ops. No shuffle; linear
+    and partition-parallel at any corpus size."""
+    from duckdb_ml_spark.operators.vec import embedding_dim
+    from duckdb_ml_spark.session import ensure_shipped
 
+    ensure_shipped(spark)
     emb = load(spark, sf_dir, "embeddings")
     dim = embedding_dim(emb, cache_key=sf_dir)
-    flat = unpack(emb, "embedding", dim, "f", keep=["vec_id"])
-    l2 = F.sqrt(seq_sum([F.col(f"f{i}") * F.col(f"f{i}") for i in range(dim)]))
-    max_abs = F.greatest(*[F.abs(F.col(f"f{i}")) for i in range(dim)])
-    scale = F.lit(127.0) / F.nullif(max_abs, F.lit(0.0))
-    q = F.array(
-        *[F.floor(F.col(f"f{i}") * scale + F.lit(0.5)).cast("int") for i in range(dim)]
-    )
-    return flat.select(
-        "vec_id",
-        l2.alias("l2_norm"),
-        scale.alias("q_scale"),
-        q.alias("q_int8"),
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vec_id = batch.column("vec_id")
+            lst = batch.column("embedding")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            m = np.asarray(lst.flatten(), dtype=np.float32).reshape(n, -1).astype(np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(m.shape[1]):  # left-fold: matches the SQL sum chain
+                acc = acc + m[:, i] * m[:, i]
+            l2 = np.sqrt(acc)
+            mx = np.abs(m).max(axis=1)
+            ok = mx != 0.0
+            scale = np.divide(127.0, mx, out=np.full(n, np.nan), where=ok)
+            q = np.floor(m * scale[:, None] + 0.5)
+            valid_flat = np.repeat(ok, m.shape[1])
+            q_vals = pa.array(
+                np.where(valid_flat, q.ravel(), 0).astype(np.int32),
+                mask=~valid_flat,
+            )
+            offsets = pa.array(np.arange(0, (n + 1) * m.shape[1], m.shape[1], dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array(l2),
+                    pa.array(np.where(ok, scale, 0.0), mask=~ok),
+                    pa.ListArray.from_arrays(offsets, q_vals),
+                ],
+                names=["vec_id", "l2_norm", "q_scale", "q_int8"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        _kernel, "vec_id long, l2_norm double, q_scale double, q_int8 array<int>"
     )
 
 
