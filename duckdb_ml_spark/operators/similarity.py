@@ -145,8 +145,8 @@ def ivf_topk(
 
     from duckdb_ml_spark.operators.vec import (
         _seq_cosine_matrix,
+        assign_nearest_vs_broadcast,
         collect_matrix,
-        cosine_scores_vs_broadcast,
         cosine_to_assigned_query,
     )
 
@@ -163,14 +163,11 @@ def ivf_topk(
         order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
         cent_ids, CM = cent_ids[order], CM[order]
 
-    # bucket assignment: nearest centroid per corpus vector (broadcast centroids);
-    # max_by(struct(cos, -c_id)) == row_number(ORDER BY cos DESC, c_id ASC) = 1
-    scores = cosine_scores_vs_broadcast(emb, cent_ids, CM, id_col, skip_equal_ids=False)
-    assigned = scores.groupBy(F.col("row_id").alias("neighbor_id")).agg(
-        F.max_by(
-            F.col("query_id"), F.struct(F.col("cos"), (-F.col("query_id")).alias("neg"))
-        ).alias("bucket")
-    )
+    # bucket assignment: nearest centroid per corpus vector, argmax'd INSIDE
+    # the broadcast kernel (np.argmax first-max == cos DESC, c_id ASC
+    # tie-break on the ascending-sorted centroid ids) — the corpus×centroid
+    # score stream never materializes or shuffles
+    assigned = assign_nearest_vs_broadcast(emb, cent_ids, CM, id_col)
 
     # query probe lists: nprobe nearest centroids per query — driver NumPy
     q_ids, QM = collect_matrix(

@@ -200,6 +200,49 @@ def cosine_pairs_vs_broadcast(
     return df.select(id_col, arr_col).mapInPandas(gen, "vec_a bigint, vec_b bigint")
 
 
+def assign_nearest_vs_broadcast(
+    df: DataFrame,
+    ids,
+    M,
+    id_col: str,
+    arr_col: str = "embedding",
+    out_id: str = "neighbor_id",
+    out_assign: str = "bucket",
+):
+    """(row_id → nearest broadcast vector id) computed INSIDE the kernel:
+    per-row argmax over the cosine matrix with the (cos DESC, id ASC)
+    tie-break (np.argmax returns the FIRST max; broadcast ids are sorted
+    ascending). Equivalent to scoring all pairs then max_by, minus the
+    pair-stream shuffle — the assignment never leaves the scan task."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        ids_b, Mb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            cos = _seq_cosine_matrix(A, Mb)
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    out_assign: ids_b[best],
+                }
+            )
+
+    return df.select(id_col, arr_col).mapInPandas(
+        gen, f"{out_id} bigint, {out_assign} bigint"
+    )
+
+
 def cosine_to_assigned_query(
     df: DataFrame,
     ids,
