@@ -243,7 +243,84 @@ FROM p GROUP BY source
 """
 
 
+# --- cross-corpus containment ------------------------------------------------
+
+
+def containment_vs_reference(
+    probe: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy containment of each PROBE doc in the REFERENCE corpus:
+    |distinct n-grams of doc ∩ n-grams anywhere in reference| / |distinct
+    n-grams of doc|. The standard "is this new crawl document already
+    (mostly) inside my existing corpus" score — containment, unlike Jaccard,
+    is asymmetric and robust to the reference being huge.
+
+    Scale shape: reference n-grams dedup to a compact set; the probe shingle
+    stream broadcast-joins it map-side (or shuffle-joins at true scale), and
+    one groupBy per probe doc emits shared counts. The denominator rides the
+    same aggregation (count distinct shingles per doc) — corpus text shuffles
+    once as compact (doc, shingle) pairs."""
+    ref_sh = (
+        exploded_shingles(reference, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    pr = probe.repartition(id_col)
+    pr_sh = exploded_shingles(pr, text_col=text_col, id_col=id_col, n=n)
+    scored = (
+        pr_sh.join(F.broadcast(ref_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("shingle").alias("n_shingles"),
+            F.count_distinct(F.when(F.col("__hit") == 1, F.col("shingle"))).alias("n_shared"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_shingles")).alias("containment"),
+    )
+
+
+def _containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    return containment_vs_reference(probe, ref)
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+pr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 2 = 1)
+SELECT p.doc_id,
+       count(*) AS n_shingles,
+       count(r.shingle) AS n_shared,
+       count(r.shingle)::DOUBLE / count(*) AS containment
+FROM pr p LEFT JOIN ref r ON p.shingle = r.shingle
+GROUP BY p.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_containment": QuerySpec(
+        name="pipeline_containment",
+        builder=_containment_q,
+        oracle=_CONTAINMENT_ORACLE,
+        doc="Per-doc fuzzy containment vs a reference corpus (asymmetric n-gram overlap).",
+        tags=("pipeline", "decontam", "dedup"),
+    ),
     "decontaminate_train": QuerySpec(
         name="decontaminate_train",
         builder=_decontam_q,

@@ -89,7 +89,93 @@ WHERE (lang = 'en' AND {_hash_bucket_sql("doc_id", "sample")} < 30) OR lang != '
 """
 
 
+TEMP_TAU = 0.5  # temperature exponent: p_s ∝ n_s^τ flattens the source mix
+TEMP_BUDGET = 0.5  # target corpus fraction after resampling
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    tau: float = TEMP_TAU,
+    budget: float = TEMP_BUDGET,
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministic temperature resampling across sources: keep-rate per
+    source r_s = min(1, budget·N·(n_s^τ / Σ n^τ) / n_s) — the multinomial
+    reweighting (mT5/XLM-R style) that downsamples dominant sources and keeps
+    rare ones, applied as a reproducible hash threshold instead of an RNG.
+
+    Scale shape: the rate table is one tiny aggregate (|sources| rows)
+    broadcast back onto the scan; membership is a pure column predicate —
+    no shuffle of the corpus, stable under re-partitioning and re-runs.
+    Rates are rounded to 9 decimals on both engines: they come from pow(),
+    where libm implementations may differ in the last ulp, and an unrounded
+    rate sitting exactly on a bucket boundary would flip whole buckets."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
+    w = F.pow(F.col("n_src").cast("double"), tau)
+    counts = counts.select(source_col, "n_src", w.alias("w"))
+    totals = counts.agg(
+        F.sum("w").alias("tw"), F.sum("n_src").alias("tn")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            "n_src",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(budget) * F.col("tn") * (F.col("w") / F.col("tw")) / F.col("n_src"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+    )
+    b = hash_bucket(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .where(b.cast("double") < F.col("rate") * N_BUCKETS)
+    )
+
+
+def _temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit rollup of the temperature resample: original size,
+    keep rate, kept docs — the table a mixture-tuning run reports."""
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "doc_id")
+    return kept.groupBy("source").agg(
+        F.max("n_src").alias("n_docs"),
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_src, pow(count(*)::DOUBLE, {TEMP_TAU}) AS w
+    FROM documents GROUP BY source
+),
+rates AS (
+    SELECT source, n_src,
+           round(least(1.0,
+               {TEMP_BUDGET} * (sum(n_src) OVER ()) * (w / sum(w) OVER ()) / n_src), 9) AS rate
+    FROM counts
+)
+SELECT d.source, max(r.n_src) AS n_docs, max(r.rate) AS rate, count(*) AS n_kept
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE {_hash_bucket_sql("d.doc_id", "temp")}::DOUBLE < r.rate * {N_BUCKETS}
+GROUP BY d.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_temperature": QuerySpec(
+        "sample_temperature", _temperature_q, _TEMPERATURE_ORACLE,
+        doc="Deterministic temperature (τ=0.5) source resampling: rate table + kept counts.",
+        tags=("sampling", "pipeline"),
+    ),
     "sample_split_train_test": QuerySpec(
         "sample_split_train_test", _split_q, _SPLIT_ORACLE,
         doc="Reproducible hash-bucket 80/20 split (disjoint, partition-independent).",

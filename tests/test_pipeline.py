@@ -98,3 +98,45 @@ def test_pack_manifest_conservation(spark, sf_dir):
         per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tokens_in_pack
     want = {r.doc_id: r.n_tokens for r in packed.collect()}
     assert per_doc == want
+
+
+def test_temperature_sample_rates_and_determinism(spark, sf_dir):
+    """Rates in (0,1], dominant sources downsampled more than rare ones,
+    kept fraction tracks rate, and the sample is re-run deterministic."""
+    from duckdb_ml_spark.operators.sampling import temperature_sample
+    from duckdb_ml_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    kept1 = temperature_sample(docs, "doc_id")
+    kept2 = temperature_sample(docs.repartition(7), "doc_id")
+    ids1 = {r.doc_id for r in kept1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in kept2.select("doc_id").collect()}
+    assert ids1 == ids2 and len(ids1) > 0  # partition-independent
+
+    rates = {
+        r.source: (r.rate, r.n_src)
+        for r in kept1.select("source", "rate", "n_src").distinct().collect()
+    }
+    assert all(0.0 < rate <= 1.0 for rate, _ in rates.values())
+    # temperature flattening: smaller sources get a HIGHER keep rate
+    by_size = sorted(rates.values(), key=lambda t: t[1])
+    assert by_size[0][0] >= by_size[-1][0]
+
+
+def test_containment_bounds_and_self_containment(spark, sf_dir):
+    """containment in [0,1]; a probe doc that IS in the reference scores 1."""
+    from duckdb_ml_spark.operators.pipeline import containment_vs_reference
+    from duckdb_ml_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    rows = containment_vs_reference(probe, ref).collect()
+    assert rows and all(0.0 <= r.containment <= 1.0 for r in rows)
+    assert all(r.n_shared <= r.n_shingles for r in rows)
+
+    # self-containment: probe ⊂ reference → every doc scores exactly 1
+    self_rows = containment_vs_reference(probe, docs).collect()
+    assert self_rows and all(r.containment == 1.0 for r in self_rows)

@@ -215,3 +215,33 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     n_upd = out.where((F.col("event_id") % 10 == 0) & (F.col("value") >= 1000.0)).count()
     n_expected = base.where(F.col("event_id") % 10 == 0).count()
     assert n_upd == n_expected
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """Windowed streaming agg under the RocksDB state store — the state
+    backend a 100 TB streaming job runs (bounded executor heap: state lives
+    off-heap/on-disk instead of the default in-memory HDFS-backed map).
+    Results must be identical to the default provider's batch twin."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = tumbling_counts(load(spark, sf_dir, "events"))
+        stream = tumbling_counts(read_events_stream(spark, sf_dir))
+        _run_stream_to_memory(stream, "t_rocks")
+        got = _sorted_rows(
+            spark.table("t_rocks"),
+            ["window_start", "event_type", "n_events", "sum_value", "avg_value"],
+        )
+        want = _sorted_rows(
+            batch, ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+        )
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
