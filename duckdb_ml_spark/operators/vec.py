@@ -200,6 +200,49 @@ def cosine_pairs_vs_broadcast(
     return df.select(id_col, arr_col).mapInPandas(gen, "vec_a bigint, vec_b bigint")
 
 
+def score_id_pairs_cosine(pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id"):
+    """(vec_a, vec_b, cos) for candidate ID pairs, scored against one broadcast
+    corpus matrix — verify_pairs_cosine's bounded-collect strategy with the
+    score kept (for rank-k consumers instead of threshold filters). Same
+    sequential-fold math, same oracle parity; at true scale swap the broadcast
+    matrix for the ID-join gather exactly as verify_pairs_cosine documents."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    ids, M = collect_matrix(emb, id_col)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def score_m(batches):
+        ids_b, Mb = bc.value
+        pos = {int(v): i for i, v in enumerate(ids_b)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = Mb[pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)]
+            B = Mb[pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)]
+            n = len(A)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(A.shape[1]):  # sequential fold (oracle parity)
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy(),
+                    "vec_b": pdf["vec_b"].to_numpy(),
+                    "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+
+    return pairs.mapInPandas(score_m, "vec_a bigint, vec_b bigint, cos double")
+
+
 def assign_nearest_vs_broadcast(
     df: DataFrame,
     ids,
