@@ -35,38 +35,71 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """left LEFT AS-OF join right: latest right row with right_ts <= left_ts
-    per key. Right rows must be unique per (key, right_ts) for deterministic
-    payloads (pre-aggregate otherwise)."""
+    """left LEFT AS-OF join right (pandas merge_asof semantics, distributed):
+
+    - direction="backward": latest right row with right_ts <= left_ts per key;
+    - direction="forward":  earliest right row with right_ts >= left_ts;
+    - tolerance_s: matches farther than this many seconds away are nulled —
+      the carry-forward window is unchanged, staleness is a post-filter.
+
+    Right rows must be unique per (key, right_ts) for deterministic payloads
+    (pre-aggregate otherwise). Same one-shuffle union + carry window for both
+    directions (forward just sorts the timeline descending)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got '{direction}'")
+    r_dtypes = dict(right.dtypes)
+    carry = list(dict.fromkeys([*payload_cols, right_ts]))  # right_ts rides along
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload_cols],
+        *[F.lit(None).cast(r_dtypes[c]).alias(f"__p_{c}") for c in carry],
         "*",
     )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in carry],
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
     )
     merged = l_tag.select(r_tag.columns).union(r_tag)
-    # right rows sort FIRST at equal timestamps → ties are inclusive (>=)
+    order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # right rows sort FIRST at equal timestamps → ties are inclusive (>= / <=)
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc())
+        .orderBy(order, F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
         "*",
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in payload_cols],
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}") for c in carry],
     )
     out_left = [c for c, _ in left.dtypes]
-    return carried.where(F.col("__is_right") == 0).select(
-        *out_left, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in payload_cols]
+    rows = carried.where(F.col("__is_right") == 0)
+    if tolerance_s is None:
+        ok = F.lit(True)
+    else:
+        # cast both to TIMESTAMP under the pinned-UTC session: the union
+        # coerces __ts, while the carried right_ts keeps its source type
+        # (events=TIMESTAMP vs orders=TIMESTAMP_NTZ would otherwise mismatch)
+        lts = F.col("__ts").cast("timestamp")
+        rts = F.col(f"__asof_{right_ts}").cast("timestamp")
+        age = (
+            F.unix_micros(lts) - F.unix_micros(rts)
+            if direction == "backward"
+            else F.unix_micros(rts) - F.unix_micros(lts)
+        )
+        ok = age <= tolerance_s * 1_000_000
+    return rows.select(
+        *out_left,
+        *[
+            F.when(ok, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in payload_cols
+        ],
     )
 
 
@@ -94,6 +127,44 @@ WITH o AS (
 SELECT e.event_id, e.user_id, o.last_orderkey AS asof_last_orderkey, o.ots AS asof_order_ts
 FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
 """
+
+ASOF_TOL_S = 30 * 86400  # 30-day staleness bound for the forward query
+
+
+def _asof_fwd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each event's NEXT order within 30 days —
+    the 'time-to-next-conversion' lookup shape."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots"))
+        .agg(F.min("o_orderkey").alias("next_orderkey"))
+    )
+    j = as_of_join(
+        ev, orders, "user_id", "ts", "ots", ["next_orderkey", "ots"],
+        direction="forward", tolerance_s=ASOF_TOL_S,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "asof_next_orderkey",
+        F.col("asof_ots").alias("asof_next_ts"),
+    )
+
+
+_ASOF_FWD_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey AS user_id, o_orderdate AS ots, min(o_orderkey) AS next_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN o.ots <= e.ts + INTERVAL {ASOF_TOL_S} SECONDS THEN o.next_orderkey END
+           AS asof_next_orderkey,
+       CASE WHEN o.ots <= e.ts + INTERVAL {ASOF_TOL_S} SECONDS THEN o.ots END
+           AS asof_next_ts
+FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts <= o.ots
+"""
+
 
 RANGE_SECONDS = 600  # 10-minute pairing window
 
@@ -133,6 +204,11 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_last_order": QuerySpec(
         "asof_last_order", _asof_q, _ASOF_ORACLE,
         doc="AS-OF join: latest order at-or-before each event (union + carry-forward window).",
+        tags=("asof", "join", "temporal"),
+    ),
+    "asof_next_order_tol": QuerySpec(
+        "asof_next_order_tol", _asof_fwd_q, _ASOF_FWD_ORACLE,
+        doc="Forward as-of join with 30-day tolerance (next order per event).",
         tags=("asof", "join", "temporal"),
     ),
     "range_event_pairs": QuerySpec(

@@ -410,3 +410,42 @@ def test_knn_join_structure_and_recall(spark, sf_dir):
     }
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.35, f"recall@3 {recall}"
+
+
+def test_asof_forward_and_tolerance(spark):
+    """merge_asof parity: forward picks the earliest at-or-after match;
+    tolerance nulls matches farther than the bound (pandas semantics)."""
+    import datetime as dt
+
+    from duckdb_ml_spark.operators.asof import as_of_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], "k int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(12), "a"), (1, t(25), "b"), (2, t(100), "c")],
+        "k int, rts timestamp, v string",
+    )
+    fwd = {
+        (r.k, r.lts.second): r.asof_v
+        for r in as_of_join(left, right, "k", "lts", "rts", ["v"], direction="forward").collect()
+    }
+    assert fwd == {(1, 10): "a", (1, 30): None, (2, 5): "c"}
+
+    tol = {
+        (r.k, r.lts.second): r.asof_v
+        for r in as_of_join(
+            left, right, "k", "lts", "rts", ["v"], direction="forward", tolerance_s=10
+        ).collect()
+    }
+    assert tol == {(1, 10): "a", (1, 30): None, (2, 5): None}  # 95s > 10s tol
+
+    back = {
+        (r.k, r.lts.second): r.asof_v
+        for r in as_of_join(
+            left, right, "k", "lts", "rts", ["v"], direction="backward", tolerance_s=3
+        ).collect()
+    }
+    # (1,30): nearest backward match t(25) is 5s old > 3s tol → nulled
+    assert back == {(1, 10): None, (1, 30): None, (2, 5): None}
