@@ -104,7 +104,48 @@ def _ml_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ml_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family composition: text-analysis features → MLP regression —
+    the 'train a learned quality filter on cheap heuristic signals' pipeline
+    every curation stack eventually builds. Features are the quality_score
+    components; the target is (scaled) document length, a genuinely learnable
+    signal on this corpus. Float outputs → rows-only check; the composition
+    (text ops feeding ml_train in one lazy plan) is the point."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.operators.text import quality_score
+    from duckdb_ml_spark.tables import load
+
+    q = quality_score(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stats = docs.agg(F.max("n_chars").alias("mx")).first()
+    xy = q.join(docs, "doc_id").select(
+        "doc_id",
+        F.array(
+            F.col("alpha_ratio").cast("float"),
+            F.col("uniq_ratio").cast("float"),
+            F.col("stop_ratio").cast("float"),
+        ).alias("features"),
+        F.array((F.col("n_chars") / F.lit(float(stats.mx))).cast("float")).alias("targets"),
+    )
+    fn.ml_create("q_quality_mlp", SPEC_3_16_1)
+    pred = fn.ml_train(
+        spark,
+        "q_quality_mlp",
+        xy,
+        config='{"epochs": 5, "batch_size": 128, "seed": 42, "learning_rate": 0.01}',
+        save=False,
+    )
+    return pred.select("doc_id", F.element_at("prediction", 1).alias("predicted_quality"))
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ml_quality_filter": QuerySpec(
+        name="ml_quality_filter",
+        builder=_ml_quality_filter,
+        oracle=None,  # float network outputs — rows-only
+        doc="Learned quality filter: text-heuristic features → MLP regression (cross-family pipeline).",
+        tags=("ml", "text", "pipeline"),
+    ),
     "ml_train_distributed": QuerySpec(
         name="ml_train_distributed",
         builder=_ml_train_distributed,

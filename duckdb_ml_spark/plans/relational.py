@@ -740,6 +740,39 @@ def orders_top_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rk,
+           datediff('day',
+                    lag(o_orderdate::DATE) OVER w,
+                    o_orderdate::DATE)::INT AS gap_days,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/row_number in one window frame: per-customer order sequence "
+    "with inter-order gap days and next-order pointer — the sequence-feature "
+    "extraction shape (one shuffle on the partition key, single sort reused "
+    "by all three window functions).",
+    tags=("window", "temporal"),
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rk"),
+        F.datediff(d, F.lag(d).over(w)).cast("int").alias("gap_days"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@_register(
     "events_distinct_users_approx",
     """
     SELECT event_type,

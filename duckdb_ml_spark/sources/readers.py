@@ -62,7 +62,26 @@ def _jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out).select(*nat.columns)
 
 
+def _parquet_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet WRITE → native re-scan: proves the sink preserves types and
+    values bit-for-bit (the format every intermediate table at 100 TB uses).
+    Region is tiny; partition/order noise is removed by the deterministic
+    single-file export."""
+    reg = load(spark, sf_dir, "region")
+    out = _export_once(
+        reg.orderBy("r_regionkey"),
+        "parquet",
+        os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "region_parquet"),
+    )
+    return read_parquet(spark, out)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "source_parquet_roundtrip": QuerySpec(
+        "source_parquet_roundtrip", _parquet_roundtrip_q, "SELECT * FROM region",
+        doc="Parquet export → native re-scan reproduces the table exactly (type-preserving sink).",
+        tags=("source", "parquet"),
+    ),
     "source_csv_roundtrip": QuerySpec(
         "source_csv_roundtrip", _csv_roundtrip_q, "SELECT * FROM supplier",
         doc="CSV export → header+inference scan reproduces the table exactly (§2.3 #5).",
