@@ -687,12 +687,27 @@ def embedding_lsh_candidates(
     return out.distinct() if dedup else out
 
 
+_COUNT_CACHE: dict = {}
+
+
+def _cached_count(df: DataFrame, cache_key=None) -> int:
+    """Row count memoized per immutable source (a dataset property, like
+    embedding_dim) — strategy switches shouldn't pay a count job per query."""
+    if cache_key is not None and cache_key in _COUNT_CACHE:
+        return _COUNT_CACHE[cache_key]
+    n = df.count()
+    if cache_key is not None:
+        _COUNT_CACHE[cache_key] = n
+    return n
+
+
 def verify_pairs_cosine(
     pairs: DataFrame,
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     max_matrix_rows: int = 65536,
+    cache_key=None,
 ) -> DataFrame:
     """Exact-cosine verify of candidate ID pairs. Two strategies, picked by
     corpus size (both bit-identical sequential-fold math — oracle parity):
@@ -709,10 +724,12 @@ def verify_pairs_cosine(
     import numpy as np
     import pandas as pd
 
-    if emb.count() <= max_matrix_rows:
+    if _cached_count(emb, cache_key) <= max_matrix_rows:
         from duckdb_ml_spark.operators.vec import collect_matrix
 
-        ids, M = collect_matrix(emb, id_col)
+        ids, M = collect_matrix(
+            emb, id_col, cache_key=None if cache_key is None else (cache_key, "corpus")
+        )
         bc = emb.sparkSession.sparkContext.broadcast((ids, M))
 
         def score_m(batches):
@@ -791,7 +808,7 @@ def embedding_lsh_pairs(
     sig = embedding_lsh_signatures(spark, sf_dir, nbits=nbits)
     cand = embedding_lsh_candidates(sig, nbits=nbits, band_bits=band_bits)
     emb = load(spark, sf_dir, "embeddings")
-    return verify_pairs_cosine(cand, emb, threshold)
+    return verify_pairs_cosine(cand, emb, threshold, cache_key=sf_dir)
 
 
 def _embedding_lsh_pairs_oracle() -> str:

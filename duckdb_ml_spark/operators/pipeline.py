@@ -270,13 +270,18 @@ def containment_vs_reference(
         .distinct()
     )
     pr = probe.repartition(id_col)
-    pr_sh = exploded_shingles(pr, text_col=text_col, id_col=id_col, n=n)
+    # dedup (doc, shingle) FIRST — colocated after the doc_id repartition, so
+    # no extra exchange — then the rollup uses plain count/sum aggregates;
+    # two count_distinct's in one agg would trigger an Expand (input doubled)
+    pr_sh = exploded_shingles(pr, text_col=text_col, id_col=id_col, n=n).dropDuplicates(
+        [id_col, "shingle"]
+    )
     scored = (
         pr_sh.join(F.broadcast(ref_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
         .groupBy(id_col)
         .agg(
-            F.count_distinct("shingle").alias("n_shingles"),
-            F.count_distinct(F.when(F.col("__hit") == 1, F.col("shingle"))).alias("n_shared"),
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint").alias("n_shared"),
         )
     )
     return scored.select(

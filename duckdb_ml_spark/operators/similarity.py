@@ -359,7 +359,7 @@ def knn_join(
         und.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     )
     emb = load(spark, sf_dir, "embeddings")
-    scored = score_id_pairs_cosine(cand, emb)
+    scored = score_id_pairs_cosine(cand, emb, cache_key=sf_dir)
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

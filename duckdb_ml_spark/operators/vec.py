@@ -200,7 +200,9 @@ def cosine_pairs_vs_broadcast(
     return df.select(id_col, arr_col).mapInPandas(gen, "vec_a bigint, vec_b bigint")
 
 
-def score_id_pairs_cosine(pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id"):
+def score_id_pairs_cosine(
+    pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id", cache_key=None
+):
     """(vec_a, vec_b, cos) for candidate ID pairs, scored against one broadcast
     corpus matrix — verify_pairs_cosine's bounded-collect strategy with the
     score kept (for rank-k consumers instead of threshold filters). Same
@@ -213,7 +215,9 @@ def score_id_pairs_cosine(pairs: DataFrame, emb: DataFrame, id_col: str = "vec_i
     from duckdb_ml_spark.session import ensure_shipped
 
     ensure_shipped(spark)
-    ids, M = collect_matrix(emb, id_col)
+    ids, M = collect_matrix(
+        emb, id_col, cache_key=None if cache_key is None else (cache_key, "corpus")
+    )
     bc = spark.sparkContext.broadcast((ids, M))
 
     def score_m(batches):
