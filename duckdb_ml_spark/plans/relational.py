@@ -773,6 +773,162 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: local-supplier revenue by nation — the canonical star "
+    "join. Scale plan: region/nation/supplier are dimension-sized and BROADCAST "
+    "(explicit hints), so the only shuffles are the two fact joins "
+    "(customer⋈orders on custkey, ⋈lineitem on orderkey); the orderdate filter "
+    "pushes to the orders scan and AQE join reordering handles the rest. The "
+    "c_nationkey = s_nationkey local-supplier predicate rides the lineitem join "
+    "as a post-join filter on broadcast columns — no extra shuffle.",
+    tags=("join", "star", "aggregate"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@_register(
+    "orders_rank_metrics",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4)              OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution-rank window suite: ntile/percent_rank/cume_dist sharing one "
+    "window frame — one shuffle on the partition key, one sort reused by all "
+    "three. The o_orderkey tiebreak makes ntile deterministic (ntile splits tied "
+    "rows by physical order; an ambiguous sort would be nondeterministic on BOTH "
+    "engines).",
+    tags=("window", "rank"),
+)
+def orders_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
+    "unpivot_part_measures",
+    """
+    WITH u AS (
+        SELECT p_brand, 'p_size' AS measure, p_size::DOUBLE AS value FROM part
+        UNION ALL
+        SELECT p_brand, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+    )
+    SELECT p_brand, measure,
+           count(*)             AS n,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM u
+    GROUP BY p_brand, measure
+    """,
+    doc="UNPIVOT (wide→long melt) + per-measure rollup: DataFrame.unpivot emits "
+    "an Expand node — each input row fans out to one row per value column "
+    "WITHOUT materializing the long form to storage or shuffling it; the "
+    "aggregate's map-side partials consume the expansion in the same stage. "
+    "The oracle spells it UNION ALL (DuckDB's UNPIVOT normalizes to the same).",
+    tags=("unpivot", "aggregate"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    long = part.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("p_brand", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@_register(
+    "customers_above_nation_avg",
+    """
+    WITH a AS (
+        SELECT c_nationkey, round(avg(c_acctbal), 6) AS nation_avg
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_custkey, c_name, c_acctbal, nation_avg
+    FROM customer JOIN a USING (c_nationkey)
+    WHERE c_acctbal > nation_avg
+    """,
+    doc="Correlated scalar subquery (customers above their nation's average "
+    "balance), written as its decorrelated plan — aggregate once per group, "
+    "broadcast the 25-row threshold table back, filter. This IS what both "
+    "Catalyst and DuckDB rewrite `WHERE c_acctbal > (SELECT avg(..) .. WHERE "
+    "c2.c_nationkey = c.c_nationkey)` into; spelling it directly keeps the "
+    "per-group threshold computed ONCE (not per probe row) and makes the join "
+    "broadcast — zero extra shuffles beyond the one groupBy. Threshold rounded "
+    "to 6dp on both sides so the row-membership boundary is engine-stable.",
+    tags=("subquery", "join", "aggregate"),
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    thresholds = cust.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(thresholds), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
+    )
+
+
+@_register(
     "events_distinct_users_approx",
     """
     SELECT event_type,

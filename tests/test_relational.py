@@ -36,6 +36,39 @@ def test_queries_oracle_keys_subset():
     assert len(qs) >= 19
 
 
+def test_revenue_by_nation_plan_shape(spark, sf_dir):
+    """Q5 star join: every dimension side (supplier/nation/region) broadcasts;
+    the only shuffle joins are the two fact joins. SortMergeJoin may appear for
+    those, but there must be at least 3 broadcast joins and the region filter
+    must reach its scan."""
+    from duckdb_ml_spark.plans.relational import revenue_by_nation
+
+    plan = revenue_by_nation(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "ASIA" in plan  # r_name filter pushed toward the region scan
+
+
+def test_unpivot_uses_expand_not_union(spark, sf_dir):
+    """DataFrame.unpivot must plan an Expand (in-stage row fan-out), not a
+    union of two scans — one pass over part, not two."""
+    from duckdb_ml_spark.plans.relational import unpivot_part_measures
+
+    plan = unpivot_part_measures(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_orders_rank_metrics_single_window_exchange(spark, sf_dir):
+    """ntile/percent_rank/cume_dist share one frame: exactly one shuffle on
+    the partition key and one Window node computing all three."""
+    from duckdb_ml_spark.plans.relational import orders_rank_metrics
+
+    plan = orders_rank_metrics(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+    # one exchange for the window partition; none extra for the projection
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_price_quantiles_approx_mode_close_to_exact(spark, sf_dir):
     """mode='approx' (mergeable sketch — the 100 TB default) must agree with
     the exact percentile within the sketch's rank-error bound (1/accuracy)."""
