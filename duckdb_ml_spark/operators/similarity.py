@@ -402,7 +402,110 @@ def _knn_join_oracle(k: int = KNN_K, nbits: int = 16, band_bits: int = 4) -> str
     """
 
 
+def quantized_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Asymmetric quantized top-k: float64 queries scored against the INT8
+    corpus codes from normalize_quantize — the serving path of a quantized ANN
+    index (4× less corpus I/O; only codes + 2 floats per vector are read).
+
+    approx_cos(q, c) = ((Σᵢ code_cᵢ·qᵢ) / s_c) / (l2_c · l2_q): the integer
+    code dot is exact in float64 (|code|≤127, dim 64 ⇒ ≪ 2⁵³), the scale and
+    norm divisions are single IEEE ops, and the dim fold is sequential — so the
+    score is BIT-IDENTICAL to the SQL oracle's expression chain and the rank
+    window needs no tolerance. Plan: corpus codes stream partition-parallel
+    against the broadcast query matrix (no shuffle); only (query, neighbor,
+    score) rows reach the per-query top-k window. At 100 TB: identical shape —
+    codes live in the index files, queries broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.vec import collect_matrix
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q_ids, Q = collect_matrix(
+        emb.where(F.col("vec_id") < N_QUERIES), "vec_id", cache_key=(sf_dir, "bf_queries")
+    )
+    # query-side L2 in the same left-fold order as the SQL sum chain
+    l2q = np.zeros(Q.shape[0])
+    for i in range(Q.shape[1]):
+        l2q = l2q + Q[:, i] * Q[:, i]
+    l2q = np.sqrt(l2q)
+    bc = spark.sparkContext.broadcast((q_ids, Q, l2q))
+
+    codes = normalize_quantize(spark, sf_dir)  # vec_id, l2_norm, q_scale, q_int8
+
+    def score(batches):
+        ids_q, Qb, l2qb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["q_int8"].to_numpy()).astype(np.float64)  # exact: |code| ≤ 127
+            n, m = len(pdf), Qb.shape[0]
+            acc = np.zeros((n, m))
+            for i in range(C.shape[1]):  # sequential fold (oracle parity)
+                acc += np.multiply.outer(C[:, i], Qb[:, i])
+            s = pdf["q_scale"].to_numpy()
+            l2c = pdf["l2_norm"].to_numpy()
+            qcos = (acc / s[:, None]) / np.multiply.outer(l2c, l2qb)
+            ids_c = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(ids_q, n),
+                    "neighbor_id": np.repeat(ids_c, m),
+                    "qcos": qcos.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = codes.mapInPandas(score, "query_id bigint, neighbor_id bigint, qcos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("qcos", 6).alias("qcos"), "rank")
+    )
+
+
+def _quantized_topk_oracle(dim: int = 64, k: int = TOP_K) -> str:
+    e = [f"embedding[{i + 1}]::DOUBLE" for i in range(dim)]
+    mx = ", ".join(f"abs({x})" for x in e)
+    sq = " + ".join(f"{x} * {x}" for x in e)
+    dot = " + ".join(
+        f"floor(c.embedding[{i + 1}]::DOUBLE * c.s + 0.5) * q.embedding[{i + 1}]::DOUBLE"
+        for i in range(dim)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, embedding,
+               127.0 / nullif(greatest({mx}), 0.0) AS s,
+               sqrt(0.0 + {sq}) AS l2
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, embedding, sqrt(0.0 + {sq}) AS l2
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ((0.0 + {dot}) / c.s) / (c.l2 * q.l2) AS qcos
+        FROM c JOIN q ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(qcos, 6) AS qcos,
+           row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_quantized_topk": QuerySpec(
+        name="sim_quantized_topk",
+        builder=quantized_topk,
+        oracle=_quantized_topk_oracle(),
+        doc="Asymmetric int8-quantized top-5 (float queries vs corpus codes — ANN serving path).",
+        tags=("similarity", "ann", "quantize"),
+    ),
     "sim_knn_join": QuerySpec(
         name="sim_knn_join",
         builder=knn_join,

@@ -415,7 +415,59 @@ FROM five f LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's own
+    unigram LM — the cheapest perplexity proxy in LLM-data quality filtering
+    (docs of improbable tokens → low avg_logp → candidates for dropping).
+
+    Plan: one explode → vocab counts (shuffle #1, |V| rows) → the vocab and the
+    1-row total both BROADCAST back onto the token stream (map-side joins) →
+    per-doc aggregate (shuffle #2). The token stream itself shuffles only once,
+    keyed by doc_id. At 100 TB the vocab may exceed broadcast size — then the
+    token⋈vocab join becomes a shuffle join on the token key, everything else
+    unchanged; in practice unigram vocabs truncate to top-K and stay broadcast.
+    Aggregates rounded to 6dp (summation-order noise); ln/exp differ ≤1 ulp
+    across libms, absorbed by the same rounding."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lp = (
+        tok.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("logp"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+        F.round(F.min("logp"), 6).alias("min_logp"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+    )
+
+
+_UNIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS w FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tok),
+lp AS (
+    SELECT doc_id, ln(c / t) AS logp
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+)
+SELECT doc_id,
+       count(*)                 AS n_tokens,
+       round(avg(logp), 6)      AS avg_logp,
+       round(min(logp), 6)      AS min_logp,
+       round(exp(-avg(logp)), 6) AS ppl
+FROM lp GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_unigram_logprob": QuerySpec(
+        "text_unigram_logprob", unigram_logprob, _UNIGRAM_LOGPROB_ORACLE,
+        doc="Per-doc avg unigram log-prob under the corpus unigram LM (perplexity proxy).",
+        tags=("text", "quality", "pipeline"),
+    ),
     "text_repetition_signals": QuerySpec(
         "text_repetition_signals", repetition_signals, _REPETITION_ORACLE,
         doc="Gopher-style per-doc repetition fractions (top/dup bigram, dup 5-gram).",

@@ -76,7 +76,86 @@ def _parquet_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, out)
 
 
+_N_BUCKETS = 8
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, out_dir: str, n_buckets: int = _N_BUCKETS
+) -> None:
+    """Persist df as a bucketed+sorted parquet table (external, under out_dir).
+
+    Bucketing pre-shuffles the data ONCE at write time: every future join or
+    aggregation on `key` reads co-located, pre-sorted buckets and plans with NO
+    Exchange — the amortize-the-shuffle answer for tables joined repeatedly at
+    100 TB (Spark's equivalent of a clustered index / hive bucketing)."""
+    if df.sparkSession.catalog.tableExists(name):
+        return
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", out_dir)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
+def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str):
+    """(orders_q1, lineitem_h1) as bucketed tables on the join key."""
+    tag = os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
+    root = os.path.join(_TMP_ROOT, os.path.basename(sf_dir))
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    write_bucketed(orders, to, "o_orderkey", os.path.join(root, to))
+    write_bucketed(li, tl, "l_orderkey", os.path.join(root, tl))
+    return spark.table(to), spark.table(tl)
+
+
+def _bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join two bucketed tables on their bucket key → aggregate. The join
+    itself is exchange-free (bucket-aligned SortMergeJoin; asserted in
+    tests/test_relational.py); only the 5-group aggregate shuffles."""
+    from pyspark.sql import functions as F
+
+    o, l = bucketed_orders_lineitem(spark, sf_dir)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_shipdate  >= TIMESTAMP '1997-01-01' AND l_shipdate  < TIMESTAMP '1997-07-01'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "source_bucketed_join": QuerySpec(
+        "source_bucketed_join", _bucketed_join_q, _BUCKETED_JOIN_ORACLE,
+        doc="Bucketed-table write → exchange-free join on the bucket key (amortized shuffle).",
+        tags=("source", "bucketing", "join"),
+    ),
     "source_parquet_roundtrip": QuerySpec(
         "source_parquet_roundtrip", _parquet_roundtrip_q, "SELECT * FROM region",
         doc="Parquet export → native re-scan reproduces the table exactly (type-preserving sink).",

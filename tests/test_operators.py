@@ -449,3 +449,36 @@ def test_asof_forward_and_tolerance(spark):
     }
     # (1,30): nearest backward match t(25) is 5s old > 3s tol → nulled
     assert back == {(1, 10): None, (1, 30): None, (2, 5): None}
+
+
+def test_quantized_topk_high_agreement_with_exact(spark, sf_dir):
+    """int8 codes lose <1% cosine precision on smooth embeddings: the quantized
+    top-5 must overlap the exact top-5 heavily (≥60% of neighbor slots)."""
+    from duckdb_ml_spark.operators.similarity import _brute_topk_q, quantized_topk
+
+    exact = {(r.query_id, r.neighbor_id) for r in _brute_topk_q(spark, sf_dir).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in quantized_topk(spark, sf_dir).collect()}
+    assert len(quant) == len(exact)
+    assert len(exact & quant) >= 0.6 * len(exact)
+
+
+def test_quantized_topk_no_self_neighbors(spark, sf_dir):
+    from duckdb_ml_spark.operators.similarity import quantized_topk
+
+    rows = quantized_topk(spark, sf_dir).collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """avg_logp ∈ [ln(1/total), 0); ppl ≥ 1; the most common corpus includes
+    every doc exactly once."""
+    from duckdb_ml_spark.operators.text import unigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    rows = unigram_logprob(spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.avg_logp < 0
+        assert r.min_logp <= r.avg_logp
+        assert r.ppl >= 1.0

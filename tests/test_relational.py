@@ -86,3 +86,21 @@ def test_price_quantiles_approx_mode_close_to_exact(spark, sf_dir):
             # generous value tolerance: rank error 1e-4 on a smooth price
             # distribution stays well under 1% in value
             assert abs(getattr(a, col) - getattr(e, col)) <= 0.01 * abs(getattr(e, col))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The point of bucketing: both sides pre-shuffled at write time, so the
+    join plans with zero Exchange nodes (broadcast disabled to force the
+    merge-join path a 100 TB fact-fact join would take)."""
+    from duckdb_ml_spark.sources.readers import bucketed_orders_lineitem
+
+    o, l = bucketed_orders_lineitem(spark, sf_dir)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(l, o.o_orderkey == l.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
