@@ -1,0 +1,348 @@
+"""Event-analytics operators: funnel, retention cohorts, gap-filled
+timeseries, robust anomaly detection.
+
+The classic product-analytics workloads an engine serving an events table must
+answer. None exist in the reference (its surface is 4 ML functions,
+`/root/reference/src/lib.rs:236-264`); these extend the events coverage the
+way the dedup/similarity families extend documents/embeddings.
+
+Every operator is expressed as a declarative DataFrame plan with one shuffle
+per logical stage, and the per-row float paths use only order-insensitive
+statistics (min/max/median — selection, not summation) so the DuckDB oracle
+hashes bit-identically (see NOTES.md invariants: avg/stddev summation order is
+engine-dependent; medians are not).
+
+Scale notes per operator are in the docstrings; the common theme: everything
+partitions by user_id or event_type, no global sorts, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+MAD_K = 3.5  # Iglewicz-Hoaglin modified-z cutoff
+MAD_C = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalents under normality
+
+
+# --- funnel ------------------------------------------------------------------
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, str, str] = FUNNEL_STAGES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered 3-stage funnel: how many users did stage1, then stage2 AFTER
+    stage1, then stage3 after that — in event order (ts, tiebreak).
+
+    Output: (stage_idx, stage, n_users), one row per stage, n_users
+    monotonically non-increasing.
+
+    Scale shape: ONE shuffle on user_id + ONE sort (ts, tiebreak) reused by
+    both window passes (same window spec → Spark plans a single Exchange+Sort
+    feeding two Window operators), then a per-user agg that rides the same
+    partitioning, then a 1-row summary. The funnel state machine is encoded as
+    cascaded frame-bounded running minimums — `min(stage-k marker ts) over
+    rows (-∞, -1)` says "a qualifying stage-k event strictly precedes this
+    row" — which is exactly the per-user scan a hand-written state machine
+    would do, but stays in whole-stage codegen with no Python.
+    """
+    s1, s2, s3 = stages
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(ts_col)
+    et = F.col("event_type")
+    # pass 1: ts of the earliest STRICTLY-PRIOR stage-1 event
+    b = events.select(
+        user_col,
+        ts_col,
+        tiebreak_col,
+        "event_type",
+        F.min(F.when(et == s1, t)).over(w).alias("pv"),
+    )
+    # pass 2 (same sort): earliest strictly-prior stage-2-after-stage-1 event
+    c = b.withColumn(
+        "ps2", F.min(F.when((et == s2) & F.col("pv").isNotNull(), t)).over(w)
+    )
+    u = c.groupBy(user_col).agg(
+        F.max(F.when(et == s1, 1).otherwise(0)).alias("r1"),
+        F.max(F.when((et == s2) & F.col("pv").isNotNull(), 1).otherwise(0)).alias("r2"),
+        F.max(F.when((et == s3) & F.col("ps2").isNotNull(), 1).otherwise(0)).alias("r3"),
+    )
+    tot = u.agg(
+        F.sum("r1").alias("u1"), F.sum("r2").alias("u2"), F.sum("r3").alias("u3")
+    )
+    return tot.selectExpr(
+        f"stack(3, 1, '{s1}', u1, 2, '{s2}', u2, 3, '{s3}', u3) "
+        "AS (stage_idx, stage, n_users)"
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
+def _funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(load(spark, sf_dir, "events"))
+
+
+_FUNNEL_ORACLE = f"""
+WITH b AS (
+    SELECT user_id, ts, event_id, event_type,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN ts END)
+               OVER w AS pv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+c AS (
+    SELECT *,
+           min(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' AND pv IS NOT NULL
+                    THEN ts END) OVER w AS ps2
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = '{FUNNEL_STAGES[0]}' THEN 1 ELSE 0 END) AS r1,
+           max(CASE WHEN event_type = '{FUNNEL_STAGES[1]}' AND pv  IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+           max(CASE WHEN event_type = '{FUNNEL_STAGES[2]}' AND ps2 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+    FROM c GROUP BY user_id
+)
+SELECT 1::INT AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage, sum(r1)::BIGINT AS n_users FROM u
+UNION ALL
+SELECT 2::INT, '{FUNNEL_STAGES[1]}', sum(r2)::BIGINT FROM u
+UNION ALL
+SELECT 3::INT, '{FUNNEL_STAGES[2]}', sum(r3)::BIGINT FROM u
+"""
+
+
+# --- retention cohorts -------------------------------------------------------
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen week
+    (cohort), counted in each subsequent week they were active.
+
+    Output: (cohort_week, week_offset, n_users) — offset 0 row is the cohort
+    size, later offsets are retained counts.
+
+    Scale shape: two aggregations that both partition by user_id first — the
+    per-user (cohort assignment) and per-(user, week) distinct collapse ride
+    one shuffle each, then the final (cohort, offset) rollup aggregates the
+    already-small user×week relation. The cohort join is user-keyed; at 10⁹
+    users it's a plain shuffle hash join on a uniform key, no skew, no
+    broadcast needed (and none is hinted).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    active = events.select(F.col(user_col), wk.alias("week")).distinct()
+    j = active.join(first, user_col)
+    off = (
+        F.floor(F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date")) / 7)
+        .cast("int")
+        .alias("week_offset")
+    )
+    return (
+        j.groupBy("cohort_week", off)
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .select("cohort_week", "week_offset", "n_users")
+    )
+
+
+def _retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+_RETENTION_ORACLE = """
+WITH first AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week::TIMESTAMP AS cohort_week,
+       (datediff('day', f.cohort_week::DATE, a.week::DATE) // 7)::INT AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --- gap-filled hourly timeseries --------------------------------------------
+
+
+def gap_filled_hourly(events: DataFrame) -> DataFrame:
+    """Dense (hour × event_type) grid over the observed time range with
+    zero-filled counts — the shape every downstream charting/forecasting
+    consumer wants (missing buckets as explicit zeros, not absent rows).
+
+    Output: (hour_start, event_type, n_events).
+
+    Scale shape: the raw events aggregate ONCE to per-(hour, type) counts;
+    the dense grid is generated, not scanned — `sequence(min_hour, max_hour,
+    1h)` exploded from a 1-row bound aggregate crossed with the distinct type
+    set. Grid cardinality is hours×types (tiny at any data scale: a decade of
+    hours is <10⁵ rows), so the grid side broadcasts into the final left join
+    and the fill is exchange-free after the one counting shuffle.
+    """
+    hr = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(
+        F.min(hr).alias("h0"), F.max(hr).alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_start")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = events.groupBy(hr.alias("hour_start"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # grid is the kept (left) side; the aggregated counts broadcast into it —
+    # a left outer join CAN build the right side, so the hint is honored
+    return (
+        grid.join(F.broadcast(counts), ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def _gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_filled_hourly(load(spark, sf_dir, "events"))
+
+
+_GAP_FILL_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+    FROM events
+),
+hours AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour_start
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+    SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT h.hour_start, t.event_type, coalesce(c.n, 0)::BIGINT AS n_events
+FROM hours h
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hour_start = h.hour_start AND c.event_type = t.event_type
+"""
+
+
+# --- robust anomaly detection (median / MAD) ---------------------------------
+
+
+def robust_anomalies(
+    events: DataFrame, k: float = MAD_K, value_col: str = "value"
+) -> DataFrame:
+    """Per-event_type outliers by modified z-score: |0.6745·(x−med)/MAD| ≥ k
+    (Iglewicz–Hoaglin). Median/MAD instead of mean/stddev for two reasons:
+    (1) the value distribution is heavy-tailed, where σ-based cutoffs drown;
+    (2) CROSS-ENGINE DETERMINISM — selection statistics (exact percentile)
+    are order-insensitive, while avg/stddev accumulate in engine-dependent
+    order and would make per-row z-scores hash-unstable vs the oracle.
+
+    Output: (event_id, event_type, value, med, mad, modified_z) — per-row
+    doubles UNROUNDED: every input bit is identical on both engines and the
+    arithmetic (sub/mul/div in fixed order) is IEEE-deterministic.
+
+    Scale shape: two grouped exact-median passes over events (each one
+    shuffle on event_type; at 100 TB swap `percentile` for
+    `approx_percentile` — same plan, sketch-merge instead of sort, the same
+    switch price_quantiles_by_flag documents), then the 5-row stats table
+    BROADCASTS back and the outlier filter is a map-side scan. Skew note:
+    event_type has ~5 values → the median shuffle is 5 hot keys; the
+    two-level percentile (per-partition partial → merge) keeps partials
+    parallel, and the final per-key sort is bounded by the biggest type's row
+    count — the approx switch removes even that at scale.
+    """
+    v = F.col(value_col)
+    med1 = events.groupBy("event_type").agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med1), "event_type").withColumn(
+        "absdev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    scored = events.join(F.broadcast(med1), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    mz = F.lit(MAD_C) * (v - F.col("med")) / F.col("mad")
+    return (
+        scored.where(F.abs(mz) >= F.lit(k))
+        .select("event_id", "event_type", value_col, "med", "mad", mz.alias("modified_z"))
+    )
+
+
+def _anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return robust_anomalies(load(spark, sf_dir, "events"))
+
+
+_ANOMALY_ORACLE = f"""
+WITH med1 AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN med1 m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+       {MAD_C} * (e.value - m.med) / d.mad AS modified_z
+FROM events e
+JOIN med1 m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE abs({MAD_C} * (e.value - m.med) / d.mad) >= {MAD_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_funnel": QuerySpec(
+        name="events_funnel",
+        builder=_funnel_q,
+        oracle=_FUNNEL_ORACLE,
+        doc="Ordered view→click→purchase funnel via cascaded frame-bounded window minimums.",
+        tags=("analytics", "window", "events"),
+    ),
+    "events_retention": QuerySpec(
+        name="events_retention",
+        builder=_retention_q,
+        oracle=_RETENTION_ORACLE,
+        doc="Weekly cohort retention triangle (first-seen week × active week offset).",
+        tags=("analytics", "events"),
+    ),
+    "events_gap_fill": QuerySpec(
+        name="events_gap_fill",
+        builder=_gap_fill_q,
+        oracle=_GAP_FILL_ORACLE,
+        doc="Dense hour×type grid with zero-filled counts (generated sequence, one counting shuffle).",
+        tags=("analytics", "timeseries", "events"),
+    ),
+    "events_anomaly_robust": QuerySpec(
+        name="events_anomaly_robust",
+        builder=_anomaly_q,
+        oracle=_ANOMALY_ORACLE,
+        doc="Median/MAD modified-z outliers per event_type (order-insensitive stats, exact cross-engine parity).",
+        tags=("analytics", "anomaly", "events"),
+    ),
+}

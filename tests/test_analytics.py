@@ -1,0 +1,127 @@
+"""Unit tests for event-analytics operators (funnel, retention, gap-fill,
+robust anomalies)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from duckdb_ml_spark.session import get_spark
+
+    return get_spark("test_analytics", shuffle_partitions=8)
+
+
+def _ev(rows, spark):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_funnel_requires_stage_order(spark):
+    from duckdb_ml_spark.operators.analytics import funnel_counts
+
+    rows = [
+        # user 1: view -> click -> purchase (completes all 3)
+        (1, ts(0), 1, "view", 1.0),
+        (2, ts(1), 1, "click", 1.0),
+        (3, ts(2), 1, "purchase", 1.0),
+        # user 2: click BEFORE view, purchase after view but no click-after-view
+        (4, ts(0), 2, "click", 1.0),
+        (5, ts(1), 2, "view", 1.0),
+        (6, ts(2), 2, "purchase", 1.0),
+        # user 3: view only
+        (7, ts(0), 3, "view", 1.0),
+        # user 4: purchase only (reaches no stage-1)
+        (8, ts(0), 4, "purchase", 1.0),
+    ]
+    got = {r.stage: r.n_users for r in funnel_counts(_ev(rows, spark)).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_monotone_on_testdata(spark):
+    from duckdb_ml_spark.operators.analytics import _funnel_q
+
+    rows = sorted(_funnel_q(spark, SF_DIR).collect(), key=lambda r: r.stage_idx)
+    ns = [r.n_users for r in rows]
+    assert len(ns) == 3 and ns[0] >= ns[1] >= ns[2] > 0
+
+
+def test_funnel_single_exchange(spark):
+    """Both window passes share one Exchange on user_id (same window spec)."""
+    from duckdb_ml_spark.operators.analytics import _funnel_q
+
+    plan = _funnel_q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 2  # window shuffle + per-user agg reuse
+
+
+def test_retention_triangle(spark):
+    from duckdb_ml_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        # user 1 first seen week of Jan 1, active again week of Jan 15 (offset 2)
+        (1, dt.datetime(2024, 1, 2), 1, "view", 1.0),
+        (2, dt.datetime(2024, 1, 16), 1, "view", 1.0),
+        # user 2 first seen week of Jan 8
+        (3, dt.datetime(2024, 1, 9), 2, "view", 1.0),
+    ]
+    got = {
+        (r.cohort_week.date(), r.week_offset): r.n_users
+        for r in retention_cohorts(_ev(rows, spark)).collect()
+    }
+    assert got == {
+        (dt.date(2024, 1, 1), 0): 1,
+        (dt.date(2024, 1, 1), 2): 1,
+        (dt.date(2024, 1, 8), 0): 1,
+    }
+
+
+def test_gap_fill_dense_grid(spark):
+    from duckdb_ml_spark.operators.analytics import gap_filled_hourly
+
+    ev = load(spark, SF_DIR, "events")
+    out = gap_filled_hourly(ev)
+    n_types = ev.select("event_type").distinct().count()
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).first()
+    n_hours = int((b.h1 - b.h0).total_seconds() // 3600) + 1
+    assert out.count() == n_hours * n_types
+    # zero-filled rows exist at sf0.001 (sparse events) and totals reconcile
+    assert out.where(F.col("n_events") == 0).count() > 0
+    assert (
+        out.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
+
+
+def test_robust_anomalies_plants_outlier(spark):
+    from duckdb_ml_spark.operators.analytics import robust_anomalies
+
+    base = [(i, ts(i), 1, "view", float(10 + (i % 5))) for i in range(20)]
+    rows = base + [(99, ts(99), 1, "view", 1000.0)]
+    out = robust_anomalies(_ev(rows, spark)).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].modified_z > 3.5
+
+
+def test_robust_anomalies_broadcast_stats(spark):
+    from duckdb_ml_spark.operators.analytics import _anomaly_q
+
+    plan = _anomaly_q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
