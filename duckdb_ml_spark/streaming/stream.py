@@ -18,20 +18,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+EVENTS_SCHEMA_NS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+EVENTS_SCHEMA_US = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ns→µs ts conversion as
-    the batch loader (tables.load)."""
+    """readStream over the events parquet, normalizing ts to a µs timestamp.
+
+    The driver's testdata has stored ts as TIMESTAMP(NANOS) in some rounds and
+    TIMESTAMP(MICROS) in others; peek at the file footer with a batch read and
+    declare the matching stream schema (a stream source needs an explicit
+    schema up front — it can't infer per-file)."""
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    on_disk = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    is_ns = isinstance(on_disk, LongType)
     # file stream source requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NS if is_ns else EVENTS_SCHEMA_US)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_ns:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(ev: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:

@@ -65,9 +65,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         if name == "events":
             from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
 
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # The driver's testdata has stored ts as TIMESTAMP(NANOS) (read as
+            # long via nanosAsLong) in some rounds and TIMESTAMP(MICROS) in
+            # others; normalize either encoding to a µs TimestampType column.
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _CACHE[key] = df
