@@ -14,8 +14,72 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The correctness driver checks the FIRST 50 queries()-dict entries per round.
+# Priority order for round 3 (VERDICT r2 item 3): queries that have NEVER had a
+# driver correctness row come first (streaming/sources/pipeline/analytics/...),
+# then unverified r1 fixes, then everything whose implementation changed this
+# round (shingle fast path → the minhash/jaccard dedup family; score gate →
+# sim_knn_join), then r1-green-but-unrechecked entries. r2-green relational
+# queries rotate out of the window — their code is untouched.
+_CHECK_PRIORITY = (
+    # never driver-checked (26)
+    "stream_interval_join",
+    "stream_dedup_events",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_sessions",
+    "stream_user_state",
+    "source_bucketed_join",
+    "source_parquet_roundtrip",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "pipeline_containment",
+    "decontaminate_train",
+    "pack_sequences",
+    "pack_manifest",
+    "pack_stats",
+    "events_funnel",
+    "events_retention",
+    "events_gap_fill",
+    "events_anomaly_robust",
+    "skew_salted_agg",
+    "sample_temperature",
+    "mm_image_resize",
+    "asof_next_order_tol",
+    "ml_quality_filter",
+    "ml_pred_sql",
+    "autompg_scaled",
+    # r1 hash-fail fixes never re-checked + the r2 harness-err fix
+    "mm_type_stats",
+    "sample_split_train_test",
+    "emb_normalize_quantize",
+    # implementation changed in round 3 (shingle codegen path / score gate)
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_keep_docs",
+    "sim_knn_join",
+    # r1-green, never re-checked since
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "mm_metadata",
+    "mm_decode_features",
+    "mm_sample_frames",
+    "asof_last_order",
+    "range_event_pairs",
+    "sample_stratified",
+    "ml_create_ok",
+    "ml_list_models",
+    "ml_train_distributed",
+    "ml_train_predict",
+)
+
+
 def _all_query_specs():
-    """Collect QuerySpec registries from every engine module."""
+    """Collect QuerySpec registries from every engine module, ordered so the
+    driver's 50-slot correctness window covers _CHECK_PRIORITY first."""
     from duckdb_ml_spark.plans.relational import RELATIONAL_QUERIES
 
     specs = {}
@@ -42,7 +106,12 @@ def _all_query_specs():
             specs.update(getattr(mod, "QUERIES", {}))
         except ImportError:
             continue  # module not built yet
-    return specs
+    rank = {name: i for i, name in enumerate(_CHECK_PRIORITY)}
+    ordered = sorted(
+        specs.items(), key=lambda kv: (rank.get(kv[0], len(rank)), 0)
+    )
+    # stable sort: non-priority entries keep their registration order
+    return dict(ordered)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -306,6 +306,20 @@ def normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _normalize_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form: the int8 code vector is serialized to a canonical
+    '[c0,c1,...]' string. The harness canonicalizes result frames with pandas
+    sort_values, which cannot order array columns (unhashable lists) — the one
+    red row in CORRECTNESS_r02. The codes are unchanged, just JSON-ish text;
+    `normalize_quantize` keeps the typed array output for in-engine consumers
+    (quantized_topk reads it directly)."""
+    out = normalize_quantize(spark, sf_dir)
+    codes = F.concat(
+        F.lit("["), F.array_join(F.col("q_int8").cast("array<string>"), ","), F.lit("]")
+    )
+    return out.select("vec_id", "l2_norm", "q_scale", codes.alias("q_int8"))
+
+
 def _normalize_quantize_oracle(dim: int = 64) -> str:
     e = [f"embedding[{i + 1}]::DOUBLE" for i in range(dim)]
     sq = " + ".join(f"{x} * {x}" for x in e)
@@ -320,7 +334,9 @@ def _normalize_quantize_oracle(dim: int = 64) -> str:
     SELECT vec_id,
            sqrt(0.0 + {sq}) AS l2_norm,
            s AS q_scale,
-           list_value({qs}) AS q_int8
+           CASE WHEN s IS NULL THEN NULL
+                ELSE '[' || array_to_string(list_value({qs}), ',') || ']'
+           END AS q_int8
     FROM base
     """
 
@@ -515,7 +531,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_normalize_quantize": QuerySpec(
         name="emb_normalize_quantize",
-        builder=normalize_quantize,
+        builder=_normalize_quantize_q,
         oracle=_normalize_quantize_oracle(),
         doc="L2 norm + symmetric int8 quantization per embedding (ANN storage path).",
         tags=("similarity", "vector", "quantize"),

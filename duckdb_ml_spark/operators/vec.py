@@ -201,33 +201,72 @@ def cosine_pairs_vs_broadcast(
 
 
 def score_id_pairs_cosine(
-    pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id", cache_key=None
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    cache_key=None,
+    max_matrix_rows: int = 65536,
 ):
-    """(vec_a, vec_b, cos) for candidate ID pairs, scored against one broadcast
-    corpus matrix — verify_pairs_cosine's bounded-collect strategy with the
-    score kept (for rank-k consumers instead of threshold filters). Same
-    sequential-fold math, same oracle parity; at true scale swap the broadcast
-    matrix for the ID-join gather exactly as verify_pairs_cosine documents."""
+    """(vec_a, vec_b, cos) for candidate ID pairs — verify_pairs_cosine's
+    strategy pair with the score KEPT (for rank-k consumers instead of
+    threshold filters). Same size gate, same sequential-fold math:
+
+    - corpus ≤ max_matrix_rows: score against ONE broadcast corpus matrix
+      (bounded driver collect; candidates carry only two int64s).
+    - larger corpus: ID-JOIN gather — the pair list broadcasts against the
+      streaming corpus twice (side a, then side b) and the kernel folds the
+      joined arrays. Nothing is collected to the driver; O(candidates·dim)
+      through the plan. This is the 100 TB shape."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
+    from duckdb_ml_spark.operators.dedup import _cached_count
     from duckdb_ml_spark.session import ensure_shipped
 
     ensure_shipped(spark)
-    ids, M = collect_matrix(
-        emb, id_col, cache_key=None if cache_key is None else (cache_key, "corpus")
-    )
-    bc = spark.sparkContext.broadcast((ids, M))
+    if _cached_count(emb, cache_key) <= max_matrix_rows:
+        ids, M = collect_matrix(
+            emb, id_col, cache_key=None if cache_key is None else (cache_key, "corpus")
+        )
+        bc = spark.sparkContext.broadcast((ids, M))
 
-    def score_m(batches):
-        ids_b, Mb = bc.value
-        pos = {int(v): i for i, v in enumerate(ids_b)}
+        def score_m(batches):
+            ids_b, Mb = bc.value
+            pos = {int(v): i for i, v in enumerate(ids_b)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = Mb[pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)]
+                B = Mb[pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)]
+                n = len(A)
+                dot = np.zeros(n)
+                na = np.zeros(n)
+                nb = np.zeros(n)
+                for i in range(A.shape[1]):  # sequential fold (oracle parity)
+                    dot += A[:, i] * B[:, i]
+                    na += A[:, i] * A[:, i]
+                    nb += B[:, i] * B[:, i]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(),
+                        "vec_b": pdf["vec_b"].to_numpy(),
+                        "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+                    }
+                )
+
+        return pairs.mapInPandas(score_m, "vec_a bigint, vec_b bigint, cos double")
+
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
+    j = eb.join(F.broadcast(ea.join(F.broadcast(pairs), "vec_a")), "vec_b")
+
+    def score_j(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = Mb[pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)]
-            B = Mb[pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)]
+            A = np.stack(pdf["__ea"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["__eb"].to_numpy()).astype(np.float64)
             n = len(A)
             dot = np.zeros(n)
             na = np.zeros(n)
@@ -244,7 +283,9 @@ def score_id_pairs_cosine(
                 }
             )
 
-    return pairs.mapInPandas(score_m, "vec_a bigint, vec_b bigint, cos double")
+    return j.select("vec_a", "vec_b", "__ea", "__eb").mapInPandas(
+        score_j, "vec_a bigint, vec_b bigint, cos double"
+    )
 
 
 def assign_nearest_vs_broadcast(

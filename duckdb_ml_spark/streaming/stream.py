@@ -22,18 +22,31 @@ EVENTS_SCHEMA_NS = "event_id bigint, ts bigint, user_id bigint, event_type strin
 EVENTS_SCHEMA_US = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
 
 
+_TS_IS_NS: dict[str, bool] = {}  # memoized footer peek per sf_dir (immutable testdata)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, normalizing ts to a µs timestamp.
 
     The driver's testdata has stored ts as TIMESTAMP(NANOS) in some rounds and
     TIMESTAMP(MICROS) in others; peek at the file footer with a batch read and
     declare the matching stream schema (a stream source needs an explicit
-    schema up front — it can't infer per-file)."""
+    schema up front — it can't infer per-file).
+
+    Session prep goes through tables._prepare: batch/stream ts parity depends
+    on BOTH nanosAsLong and the UTC session timezone (the NTZ→LTZ cast in
+    tables.load vs the direct LTZ schema here), so the stream path must set
+    the same pair, not just one of them."""
     from pyspark.sql.types import LongType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    on_disk = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    is_ns = isinstance(on_disk, LongType)
+    from duckdb_ml_spark.tables import _prepare
+
+    _prepare(spark)
+    is_ns = _TS_IS_NS.get(sf_dir)
+    if is_ns is None:
+        on_disk = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        is_ns = isinstance(on_disk, LongType)
+        _TS_IS_NS[sf_dir] = is_ns
     # file stream source requires a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA_NS if is_ns else EVENTS_SCHEMA_US)
@@ -42,7 +55,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if is_ns:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw  # declared schema already types ts as timestamp
 
 
 def tumbling_counts(ev: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:

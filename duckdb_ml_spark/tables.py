@@ -72,6 +72,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # long via nanosAsLong) in some rounds and TIMESTAMP(MICROS) in
             # others; normalize either encoding to a µs TimestampType column.
             if isinstance(df.schema["ts"].dataType, LongType):
+                # Guard the ns→µs div-1000: a LongType ts must actually be
+                # TIMESTAMP(NANOS) read via nanosAsLong. If a future round ships
+                # ts as plain INT64 µs, dividing would silently misscale 1000×.
+                import pyarrow.parquet as pq
+
+                field = pq.read_schema(f"{sf_dir}/{name}.parquet").field("ts")
+                if not (str(field.type).startswith("timestamp[ns")):
+                    raise ValueError(
+                        f"events.ts read as int64 but parquet logical type is "
+                        f"{field.type}, not TIMESTAMP(NANOS) — refusing ns→µs conversion"
+                    )
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             else:
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -482,3 +482,58 @@ def test_unigram_logprob_bounds(spark, sf_dir):
         assert r.avg_logp < 0
         assert r.min_logp <= r.avg_logp
         assert r.ppl >= 1.0
+
+
+def test_score_id_pairs_join_path_matches_matrix_path(spark, sf_dir):
+    """score_id_pairs_cosine must pick the ID-join gather above the corpus-size
+    gate and return the broadcast-matrix strategy's exact rows (VERDICT r2 #4:
+    no unconditional full-corpus driver collect)."""
+    from duckdb_ml_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_lsh_signatures,
+    )
+    from duckdb_ml_spark.operators.vec import score_id_pairs_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = embedding_lsh_candidates(embedding_lsh_signatures(spark, sf_dir)).persist()
+    via_matrix = {
+        (r.vec_a, r.vec_b, r.cos) for r in score_id_pairs_cosine(und, emb).collect()
+    }
+    via_join = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in score_id_pairs_cosine(und, emb, max_matrix_rows=0).collect()
+    }
+    und.unpersist()
+    assert via_matrix == via_join and via_matrix
+
+
+def test_exploded_shingles_matches_hof_form(spark, sf_dir):
+    """The codegen position-explode shingle path must emit exactly the HOF
+    transform form's (doc_id, shingle) multiset — including <n-token docs."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.textnorm import (
+        exploded_shingles,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(500)
+    short = spark.createDataFrame(
+        [(100001, "one two"), (100002, "one"), (100003, ""), (100004, "a b c")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(short)
+    fast = Counter(
+        (r.doc_id, r.shingle) for r in exploded_shingles(both).collect()
+    )
+    toked = both.select("doc_id", tokens(F.col("text")).alias("__w"))
+    hof = Counter(
+        (r.doc_id, r.shingle)
+        for r in toked.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("__w"))).alias("shingle")
+        ).collect()
+    )
+    assert fast == hof and fast
