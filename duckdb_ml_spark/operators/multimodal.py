@@ -104,9 +104,13 @@ def decode_media(
 
     fake="bytes": deterministic pseudo-decode — first 16 payload bytes / 255.0
     (zero-padded) — exercising the full Arrow-batched plumbing with checkable
-    output. fake=None: the REAL codec path, stubbed:
-
-        raise NotImplementedError  # PIL.Image.open(io.BytesIO(b)) → np.asarray
+    output. fake=None: the REAL codec path — when PIL is importable on the
+    worker, each payload is decoded as an image, converted to grayscale,
+    resized to 4×4, and flattened to the same 16-dim feature layout
+    (pixels / 255); without PIL it raises a clean NotImplementedError (this
+    container ships no codec libs — tests/test_multimodal.py skip-marks the
+    PIL leg). Audio/video codecs would slot into the same branch
+    (soundfile.read / frame extraction) — one batch-decode seam for all three.
 
     Output schema: (id, n_bytes, features array<float>). Batch-shaped exactly
     like a production decoder: one Arrow batch in → one pandas frame out, no
@@ -121,11 +125,31 @@ def decode_media(
             if len(pdf) == 0:
                 continue
             if fake is None:
-                # STUB: real decode needs PIL/soundfile/ffmpeg (not in container)
-                raise NotImplementedError(
-                    "real media decode unavailable: install PIL/soundfile and "
-                    "replace this branch with e.g. np.asarray(PIL.Image.open(...))"
+                try:
+                    import io
+
+                    from PIL import Image
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real media decode unavailable: install PIL/soundfile "
+                        "(this branch decodes images via PIL.Image.open; the "
+                        "container ships no codec libraries)"
+                    ) from e
+                payloads = pdf[media_col]
+                side = int(dim**0.5)
+                feats = np.zeros((len(pdf), dim), dtype=np.float32)
+                for j, b in enumerate(payloads):
+                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    px = np.asarray(img.resize((side, side)), dtype=np.float32)
+                    feats[j] = px.ravel() / 255.0
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].to_numpy(),
+                        "n_bytes": payloads.map(len).to_numpy(),
+                        "features": list(feats),
+                    }
                 )
+                continue
             payloads = pdf[media_col]
             feats = np.zeros((len(pdf), dim), dtype=np.float32)
             for j, b in enumerate(payloads):

@@ -371,11 +371,23 @@ def knn_join(
 
     sig = embedding_lsh_signatures(spark, sf_dir, nbits=nbits)
     und = embedding_lsh_candidates(sig, nbits=nbits, band_bits=band_bits)
-    cand = und.union(
-        und.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
-    )
     emb = load(spark, sf_dir, "embeddings")
-    scored = score_id_pairs_cosine(cand, emb, cache_key=sf_dir)
+    # score each UNDIRECTED pair once, mirror the scored rows after: cosine is
+    # symmetric bit-for-bit (commutative multiplies inside the same fold), so
+    # this halves the kernel and pair-stream work vs mirroring before scoring.
+    # Mirror via EXPLODE, not a self-union — a union would reference the
+    # kernel subplan from two branches and (with no exchange boundary to
+    # reuse) execute the whole candidate+scoring pipeline twice
+    scored_und = score_id_pairs_cosine(und, emb, cache_key=sf_dir)
+    scored = scored_und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("vec_a"), F.col("vec_b")),
+                F.struct(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")),
+            )
+        ).alias("p"),
+        "cos",
+    ).select("p.vec_a", "p.vec_b", "cos")
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

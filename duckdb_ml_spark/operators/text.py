@@ -30,6 +30,19 @@ def _hits(toks, words: tuple[str, ...]):
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def _hits_rx(norm_col, words: tuple[str, ...]):
+    """Stopword-hit count as ONE regexp_count over the normalized text.
+
+    Counts exactly what `_hits` counts (tokens = single-space-separated runs
+    after norm_text): each occurrence bounded by start/space and space/end,
+    with a lookahead so adjacent hits ("the a") don't consume each other's
+    boundary. regexp_count is JVM codegen; the HOF filter form evaluates its
+    lambda interpreted per token × per word — measured 2.5× slower on sf0.1
+    (lang_id runs 4 of these)."""
+    pat = "(?:^| )(?:" + "|".join(words) + ")(?= |$)"
+    return F.regexp_count(norm_col, F.lit(pat))
+
+
 def _hits_sql(words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(w, t -> t IN ({inlist})))"
@@ -70,16 +83,21 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alpha-heavy text, lexical diversity, and natural-language stopword rate —
     the standard cheap pre-filters in LLM data pipelines)."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_chars = F.length("text")
-    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    # normalized text materialized once; tokens/hits both derive from it
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("__nc"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias("__na"),
+        norm_text(F.col("text")).alias("__n"),
+    )
+    toks = F.split(F.col("__n"), " ")
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    stop_hits = _hits(toks, STOPWORDS["en"])
-    alpha_ratio = n_alpha.cast("double") / n_chars
+    stop_hits = _hits_rx(F.col("__n"), STOPWORDS["en"])
+    alpha_ratio = F.col("__na").cast("double") / F.col("__nc")
     uniq_ratio = n_uniq.cast("double") / n_tokens
     stop_ratio = stop_hits.cast("double") / n_tokens
-    return docs.select(
+    return base.select(
         "doc_id",
         alpha_ratio.alias("alpha_ratio"),
         uniq_ratio.alias("uniq_ratio"),
@@ -113,9 +131,12 @@ FROM t
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit argmax language heuristic with deterministic tie-break order."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    hit_cols = {lang: _hits(toks, STOPWORDS[lang]).alias(f"{lang}_hits") for lang in _LANG_ORDER}
-    df = docs.select("doc_id", "lang", *hit_cols.values())
+    base = docs.select("doc_id", "lang", norm_text(F.col("text")).alias("__n"))
+    hit_cols = {
+        lang: _hits_rx(F.col("__n"), STOPWORDS[lang]).alias(f"{lang}_hits")
+        for lang in _LANG_ORDER
+    }
+    df = base.select("doc_id", "lang", *hit_cols.values())
     best = F.lit("unknown")
     best_hits = F.lit(0)
     for lang in reversed(_LANG_ORDER):  # earlier langs win ties (>=)
@@ -163,23 +184,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id repartition, the explode → md5 → min-agg runs colocated in
     codegen and the fingerprint join needs no exchange; docs with < 3 tokens
     surface as NULL via the left join (same as array_min of an empty list)."""
-    from duckdb_ml_spark.operators.textnorm import shingles_from_tokens
+    from duckdb_ml_spark.operators.textnorm import exploded_shingles
 
     docs = load(spark, sf_dir, "documents").repartition("doc_id")
-    # tokens materialized in their own projection: the shingle expression
-    # references the array many times, and an inlined tokenizer would re-run
-    # per extract.
-    toked = docs.select("doc_id", "text", tokens(F.col("text")).alias("__w"))
-    base = toked.select(
-        "doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"), "__w"
-    )
+    base = docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
     minsh = (
-        base.select("doc_id", F.explode(shingles_from_tokens(F.col("__w"))).alias("s"))
-        .select("doc_id", F.md5("s").alias("h"))
+        exploded_shingles(docs)
+        .select("doc_id", F.md5("shingle").alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("min_shingle_hash"))
     )
-    return base.select("doc_id", "fingerprint").join(minsh, "doc_id", "left")
+    return base.join(minsh, "doc_id", "left")
 
 
 _FINGERPRINT_ORACLE = f"""
@@ -262,12 +277,16 @@ def keywords_topk(spark: SparkSession, sf_dir: str, k: int = KEYWORDS_PER_DOC) -
     log-IDF for fixed N, but free of libm ulp divergence that would break the
     value-hash oracle. Ties break on token asc. Two shuffles: token df
     (broadcast back), per-doc rank."""
-    docs = load(spark, sf_dir, "documents")
+    # repartition docs by doc_id FIRST: the (doc_id, tok) aggregate, the score
+    # join and the rank window are all clustered by doc_id, so after this one
+    # compact-doc exchange they run colocated — the exploded token stream never
+    # shuffles. Only the tok-keyed df rollup re-exchanges (distinct (doc, tok)
+    # rows, already aggregated).
+    docs = load(spark, sf_dir, "documents").repartition("doc_id")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     # tf has exactly one row per distinct (doc, tok), so document frequency is
-    # a plain count over tf — no second explode, no count_distinct; persist so
-    # the explode+groupBy feeds both the score join and the df rollup once
-    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # a plain count over tf — no second explode, no count_distinct
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
@@ -333,33 +352,31 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Rae et al. 2021 'Scaling Language Models', table A1 uses exactly these
     n-gram families).
 
-    Plan shape: the 5-gram dup fraction never explodes — size(grams) vs
-    size(array_distinct(grams)) are per-row array ops inside codegen. Only the
-    bigram top-count needs a real explode + two-level aggregate. The documents
-    are repartitioned by doc_id FIRST: hash-partitioning on doc_id satisfies
-    the clustered-distribution requirement of BOTH aggregates (doc_id,g and
-    doc_id) and of the final join, so the only exchange in the whole plan
-    moves compact doc rows — the exploded gram stream and the rollup never
-    reshuffle (measured 2.1x over the explode-then-shuffle-grams form; at
-    scale the win grows with grams-per-doc). All ratios are single IEEE
-    divisions of exact integers — bit-identical across engines, no rounding."""
-    from duckdb_ml_spark.operators.textnorm import shingles_from_tokens
-
+    Plan shape: both gram sizes run through the codegen position-explode path
+    (HOF transform lambdas are interpreted — see textnorm.exploded_shingles)
+    and aggregate as explode → (doc, gram) count → per-doc rollup. The
+    documents are repartitioned by doc_id FIRST: hash-partitioning on doc_id
+    satisfies the clustered-distribution requirement of every aggregate
+    ((doc_id, g) is a superset clustering) and of the final joins, so the only
+    exchange in the whole plan moves compact doc rows — the exploded gram
+    streams and rollups never reshuffle; at scale the win grows with
+    grams-per-doc. All ratios are single IEEE divisions of exact integers —
+    bit-identical across engines, no rounding."""
     docs = load(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("__w")).repartition("doc_id")
-    # per-row 5-gram dup fraction: materialize the gram array once, then two
-    # array ops; no shuffle
-    g5 = toked.select(
-        "doc_id", shingles_from_tokens(F.col("__w"), 5).alias("__g5")
-    ).select(
-        "doc_id",
-        F.size("__g5").alias("n5"),
-        F.size(F.array_distinct("__g5")).alias("n5u"),
-    )
-    # bigram top/dup fractions: explode + (doc, gram) count + per-doc rollup
-    bi = toked.select("doc_id", F.explode(shingles_from_tokens(F.col("__w"), 2)).alias("g"))
-    per_doc = (
-        bi.groupBy("doc_id", "g")
+
+    def grams(n: int):
+        starts = F.when(
+            F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        pos = toked.select("doc_id", "__w", F.explode(starts).alias("__i"))
+        g = F.concat_ws(" ", *[F.element_at(F.col("__w"), F.col("__i") + j) for j in range(n)])
+        return pos.select("doc_id", g.alias("g"))
+
+    # bigram top/dup fractions: (doc, gram) count + per-doc rollup (colocated)
+    per_bi = (
+        grams(2)
+        .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
@@ -368,7 +385,20 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_uniq_bi"),
         )
     )
-    joined = g5.join(per_doc, "doc_id", "left")
+    # 5-gram totals/distincts via the same two-level rollup (no count_distinct
+    # Expand, no HOF array build); short docs (< 5 tokens) reappear via the
+    # left join with n5 = 0
+    per_5 = (
+        grams(5)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n5"), F.count(F.lit(1)).alias("n5u"))
+    )
+    joined = (
+        toked.select("doc_id").join(per_bi, "doc_id", "left").join(per_5, "doc_id", "left")
+    )
+    n5 = F.coalesce(F.col("n5"), F.lit(0))
     return joined.select(
         "doc_id",
         F.coalesce(F.col("n_bi"), F.lit(0)).cast("bigint").alias("n_bigrams"),
@@ -376,10 +406,10 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.col("n_uniq_bi").cast("double") / F.col("n_bi")).alias(
             "dup_bigram_frac"
         ),
-        F.col("n5").cast("bigint").alias("n_5grams"),
+        n5.cast("bigint").alias("n_5grams"),
         F.when(
-            F.col("n5") > 0,
-            F.lit(1.0) - F.col("n5u").cast("double") / F.col("n5"),
+            n5 > 0,
+            F.lit(1.0) - F.col("n5u").cast("double") / n5,
         ).alias("dup_5gram_frac"),
     )
 

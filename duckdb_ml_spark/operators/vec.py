@@ -137,6 +137,7 @@ def cosine_pairs_tiled(
     arr_col: str = "embedding",
     threshold: float = 0.4,
     max_tile_rows: int = 4096,
+    cache_key=None,
 ):
     """All-pairs cosine > threshold via BLOCKED broadcast: the corpus is split
     into ceil(N / max_tile_rows) hash tiles; each tile is collected (bounded
@@ -147,13 +148,24 @@ def cosine_pairs_tiled(
     This is the block-matmul shape: no single full-corpus driver collect, and
     each executor pass touches one O(max_tile_rows·dim) broadcast. At true
     100 TB scale run the tiles as separate jobs (append per tile) or — better —
-    bound candidates with LSH instead of exact all-pairs."""
-    n = df.count()
+    bound candidates with LSH instead of exact all-pairs.
+
+    `cache_key` (e.g. the sf_dir): memoize the row count and tile matrices of
+    an immutable source — dataset properties, not per-query jobs (same pattern
+    as embedding_dim / collect_matrix)."""
+    from duckdb_ml_spark.operators.dedup import _cached_count
+
+    n = _cached_count(df, cache_key)
     n_tiles = max(1, -(-n // max_tile_rows))
     parts = []
     for t in range(n_tiles):
         tile = df.where((F.col(id_col) % n_tiles) == t) if n_tiles > 1 else df
-        ids, M = collect_matrix(tile, id_col, arr_col)
+        ids, M = collect_matrix(
+            tile,
+            id_col,
+            arr_col,
+            cache_key=None if cache_key is None else (cache_key, "tile", n_tiles, t),
+        )
         parts.append(
             cosine_pairs_vs_broadcast(df, ids, M, id_col, arr_col, threshold=threshold)
         )
@@ -233,12 +245,17 @@ def score_id_pairs_cosine(
 
         def score_m(batches):
             ids_b, Mb = bc.value
-            pos = {int(v): i for i, v in enumerate(ids_b)}
+            # vectorized id→row mapping (a python-dict .map costs ~1 µs/row —
+            # dominates the kernel at millions of candidate pairs)
+            order = np.argsort(ids_b)
+            sorted_ids = ids_b[order]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                A = Mb[pdf["vec_a"].map(pos).to_numpy(dtype=np.int64)]
-                B = Mb[pdf["vec_b"].map(pos).to_numpy(dtype=np.int64)]
+                ia = order[np.searchsorted(sorted_ids, pdf["vec_a"].to_numpy())]
+                ib = order[np.searchsorted(sorted_ids, pdf["vec_b"].to_numpy())]
+                A = Mb[ia]
+                B = Mb[ib]
                 n = len(A)
                 dot = np.zeros(n)
                 na = np.zeros(n)
@@ -351,12 +368,13 @@ def cosine_to_assigned_query(
 
     def gen(batches):
         ids_b, Mb = bc.value
-        pos = {int(v): i for i, v in enumerate(ids_b)}
+        order = np.argsort(ids_b)
+        sorted_ids = ids_b[order]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
-            qidx = pdf[query_col].map(pos).to_numpy(dtype=np.int64)
+            qidx = order[np.searchsorted(sorted_ids, pdf[query_col].to_numpy())]
             Qsel = Mb[qidx]
             n = len(A)
             dot = np.zeros(n)

@@ -788,12 +788,16 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     doc="TPC-H Q5 shape: local-supplier revenue by nation — the canonical star "
-    "join. Scale plan: region/nation/supplier are dimension-sized and BROADCAST "
-    "(explicit hints), so the only shuffles are the two fact joins "
-    "(customer⋈orders on custkey, ⋈lineitem on orderkey); the orderdate filter "
-    "pushes to the orders scan and AQE join reordering handles the rest. The "
-    "c_nationkey = s_nationkey local-supplier predicate rides the lineitem join "
-    "as a post-join filter on broadcast columns — no extra shuffle.",
+    "join. Plan discipline: the FACT table (lineitem) always STREAMS — it is "
+    "never the build side of any join. Left to file-size stats the planner "
+    "builds a hash relation over whichever side is smallest on disk, which at "
+    "this SF picked lineitem itself (a 600k-row driver build per run; at scale "
+    "an OOM). Instead orders⋈customer reduces to a compact (orderkey → "
+    "nationkey) map that broadcasts, and lineitem streams through it plus the "
+    "dimension broadcasts in a single codegen stage — the only shuffle is the "
+    "5-row final aggregate. At 100 TB the same code drops the oc broadcast "
+    "hint (orders outgrows the threshold) and AQE plans the two fact joins as "
+    "shuffles; the invariant that survives is lineitem-on-the-stream-side.",
     tags=("join", "star", "aggregate"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,9 +809,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
+    # orders⋈customer first: dimension-sized build (customer), compact output
+    oc = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
     joined = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(oc), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))

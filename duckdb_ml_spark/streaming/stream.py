@@ -128,6 +128,14 @@ def dedup_events(ev: DataFrame, watermark: str | None = None) -> DataFrame:
     return ev.dropDuplicates(["event_id"])
 
 
+_INTERVAL_UNITS_S = {"SECOND": 1, "SECONDS": 1, "MINUTE": 60, "MINUTES": 60, "HOUR": 3600, "HOURS": 3600}
+
+
+def _interval_seconds(interval: str) -> int:
+    qty, unit = interval.strip().split()
+    return int(qty) * _INTERVAL_UNITS_S[unit.upper()]
+
+
 def interval_join_pairs(
     left: DataFrame, right: DataFrame, interval: str = "10 MINUTES", watermark: str = "1 hour"
 ) -> DataFrame:
@@ -137,18 +145,45 @@ def interval_join_pairs(
     bound each side's join state to the horizon (Spark requires them for
     stream-stream joins); on batch inputs withWatermark is a no-op and the
     same plan runs as a plain interval self-join. tests/test_streaming.py
-    asserts the two executions produce identical rows."""
-    a = left.select(
-        F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "user_id"
-    ).withWatermark("ts_a", watermark)
-    b = right.select(
-        F.col("event_id").alias("id_b"),
-        F.col("ts").alias("ts_b"),
-        F.col("user_id").alias("user_b"),
-    ).withWatermark("ts_b", watermark)
+    asserts the two executions produce identical rows.
+
+    The join key is (user_id, time-bucket), not user_id alone: the time axis
+    is bucketed at the interval width and the right side claims its own and
+    previous bucket, so a qualifying pair collides in EXACTLY one bucket (the
+    range spans < one width — no duplicates, no distinct pass) and the exact
+    range predicate filters the collision. Without the bucket key, the join
+    degenerates to a per-user cross product filtered after the fact —
+    quadratic in events-per-user, the thing that dies on a power user at
+    100 TB. Bucketing composes with streaming: the exploded right rows keep
+    their watermark column, and per-key state is bounded by the horizon as
+    before (each right event is stored at most twice)."""
+    w_us = _interval_seconds(interval) * 1_000_000
+    a = (
+        left.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"), "user_id")
+        .withWatermark("ts_a", watermark)
+        .withColumn("bk", F.floor(F.unix_micros("ts_a") / w_us))
+    )
+    b = (
+        right.select(
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("user_id").alias("user_b"),
+        )
+        .withWatermark("ts_b", watermark)
+        .withColumn(
+            "bk",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("ts_b") / w_us) - 1,
+                    F.floor(F.unix_micros("ts_b") / w_us),
+                )
+            ),
+        )
+    )
     return a.join(
         b,
         (F.col("user_id") == F.col("user_b"))
+        & (a["bk"] == b["bk"])
         & (F.col("id_a") != F.col("id_b"))
         & (F.col("ts_b") >= F.col("ts_a"))
         & (F.col("ts_b") < F.col("ts_a") + F.expr(f"INTERVAL {interval}")),

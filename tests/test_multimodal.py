@@ -22,3 +22,49 @@ def test_image_resize_pooling_math(spark):
             assert got[(1, r, c)] == sum(vals) / 4.0
     assert got[(2, 0, 0)] == (f32(255) + f32(255) + 0.0 + 0.0) / 4.0
     assert got[(2, 3, 3)] == 0.0
+
+
+def test_real_codec_seam(spark, sf_dir):
+    """fake=None decodes real images through PIL when available (VERDICT r2 #6);
+    without PIL on the worker it must raise a clean NotImplementedError."""
+    import pytest
+
+    from duckdb_ml_spark.operators.multimodal import _DECODE_DIM, decode_media
+
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        from duckdb_ml_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").limit(4)
+        from pyspark.sql import functions as F
+
+        media = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
+        with pytest.raises(Exception) as ei:
+            decode_media(media, fake=None).collect()
+        assert "NotImplementedError" in str(ei.value) or "decode unavailable" in str(
+            ei.value
+        )
+        return
+
+    # PIL present: build two tiny real PNGs and decode through the seam
+    def png_bytes(shade):
+        img = Image.new("L", (8, 8), color=shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, bytearray(png_bytes(0))), (2, bytearray(png_bytes(255)))]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r.doc_id: r for r in decode_media(media, fake=None).collect()}
+    assert len(out[1].features) == _DECODE_DIM
+    assert np.allclose(out[1].features, 0.0)
+    assert np.allclose(out[2].features, 1.0)
