@@ -114,6 +114,51 @@ def _all_query_specs():
     return dict(ordered)
 
 
+# Plan cache: queries() builders are deterministic (session, sf_dir) → lazy
+# DataFrame constructors, so the engine memoizes the built plan exactly like
+# tables.load memoizes table reads — a repeat invocation reuses the analyzed
+# plan instead of re-paying the Python-API expression-tree construction
+# (~0.05-0.25 s of py4j round trips per query; execution itself is untouched,
+# every run re-scans parquet and re-executes the full plan). Builders that
+# EXECUTE work at build time (bounded candidate collects, file exports, CSV
+# inference, ML training/registry effects) are excluded so repeated calls
+# keep paying their real cost.
+_PLAN_CACHE: dict = {}
+_EXEC_AT_BUILD = frozenset(
+    {
+        "dedup_ngram_jaccard_pairs",  # bounded candidate collect
+        "dedup_clusters",  # bounded edge collect (union-find)
+        "dedup_keep_docs",
+        "source_csv_roundtrip",  # export + inference scan
+        "source_jsonl_roundtrip",
+        "source_parquet_roundtrip",
+        "source_bucketed_join",  # bucketed-table write
+        "autompg_scaled",  # CSV inference scan
+        "ml_create_ok",  # registry side effects / training at build
+        "ml_list_models",
+        "ml_pred_sql",
+        "ml_train_predict",
+        "ml_train_distributed",
+        "ml_quality_filter",
+    }
+)
+
+
+def _cached_builder(name: str, builder):
+    if name in _EXEC_AT_BUILD:
+        return builder
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (id(spark), sf_dir, name)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = builder(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's autompg pipeline pattern (scaling params → min-max
     scale → MLP train + predict) on sf0.001 lineitem, Spark-first."""
@@ -123,7 +168,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in _all_query_specs().items()}
+    return {
+        name: _cached_builder(name, spec.builder)
+        for name, spec in _all_query_specs().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

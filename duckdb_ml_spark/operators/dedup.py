@@ -136,18 +136,21 @@ def minhash_signatures(
     0.67 s → 0.23 s at sf0.1; the win grows with k and shingles/doc).
     """
     sh = exploded_shingles(df.repartition(id_col), text_col=text_col, id_col=id_col)
+    # expression trees are built as SQL STRINGS (one py4j round trip each, via
+    # F.expr) rather than composed Column objects: the k-column Column-API form
+    # costs ~100 driver round trips to BUILD, a measurable slice of small-query
+    # wall time (tools: build-only profiling); the parsed plan is identical
     if hash_fn == "md5":
-        h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % F.lit(
-            MINHASH_P
+        sh = sh.selectExpr(
+            id_col,
+            f"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}L AS __h",
         )
-        # materialize h once per shingle; the k aggs are then cheap int ops
-        sh = sh.select(id_col, h.alias("__h"))
         aggs = [
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i:02d}")
+            F.expr(f"min(({a}L * __h + {b}L) % {MINHASH_P}L) AS mh{i:02d}")
             for i, (a, b) in enumerate(MINHASH_COEF[:k])
         ]
     elif hash_fn == "xxhash64":
-        aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i:02d}") for i in range(k)]
+        aggs = [F.expr(f"min(xxhash64({i}, shingle)) AS mh{i:02d}") for i in range(k)]
     else:
         raise ValueError(f"unknown hash_fn '{hash_fn}'")
     return sh.groupBy(id_col).agg(*aggs)
@@ -221,41 +224,30 @@ def minhash_lsh_pairs(
     in-band are k·8 bytes — at 100 TB the exchange moves signatures once,
     exactly like a checkpointed signature table would."""
     n_bands = k // band_size
-    bands = sig.select(
-        F.col(id_col),
-        *[F.col(f"mh{i:02d}") for i in range(k)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", *[f"mh{b * band_size + j:02d}" for j in range(band_size)]
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, *[f"mh{i:02d}" for i in range(k)], "bb.band", "bb.bh")
+    mh_cols = [f"mh{i:02d}" for i in range(k)]
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cat})) AS bh)".format(
+            b=b, cat=", ".join(f"mh{b * band_size + j:02d}" for j in range(band_size))
+        )
+        for b in range(n_bands)
+    )
+    # single-string selectExpr: one parse instead of ~100 Column round trips
+    bands = sig.selectExpr(
+        id_col, *mh_cols, f"explode(array({band_structs})) AS bb"
+    ).selectExpr(id_col, *mh_cols, "bb.band", "bb.bh")
     a, b = bands.alias("a"), bands.alias("b")
-    est = sum(
-        F.when(F.col(f"a.mh{i:02d}") == F.col(f"b.mh{i:02d}"), 1).otherwise(0)
-        for i in range(k)
+    est = " + ".join(
+        f"(CASE WHEN a.mh{i:02d} = b.mh{i:02d} THEN 1 ELSE 0 END)" for i in range(k)
     )
     joined = a.join(
         b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        F.expr(f"a.band = b.band AND a.bh = b.bh AND a.{id_col} < b.{id_col}"),
     )
     return (
-        joined.select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            (est.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        joined.selectExpr(
+            f"a.{id_col} AS doc_a",
+            f"b.{id_col} AS doc_b",
+            f"CAST({est} AS DOUBLE) / {float(k)} AS est_jaccard",
         )
         .where(F.col("est_jaccard") >= threshold)
         .distinct()
@@ -310,21 +302,22 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchange moves compact doc rows, not 60-column partials."""
     docs = load(spark, sf_dir, "documents").repartition("doc_id")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    hashed = toks.select("doc_id", h.alias("h"))
+    # SQL-string expressions: the 60-agg + 60-term Column-API form costs ~500
+    # driver round trips to build (a measurable slice of wall time); F.expr
+    # parses each in one call — identical plan
+    hashed = toks.selectExpr(
+        "doc_id", "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h"
+    )
     per_bit = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"s{b:02d}")
+            F.expr(f"sum(CASE WHEN h & {1 << b}L != 0 THEN 1 ELSE -1 END) AS s{b:02d}")
             for b in range(60)
         ]
     )
-    simhash = None
-    for b in range(60):
-        term = F.when(F.col(f"s{b:02d}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return per_bit.select("doc_id", simhash.alias("simhash"))
+    simhash = " + ".join(
+        f"(CASE WHEN s{b:02d} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(60)
+    )
+    return per_bit.selectExpr("doc_id", f"{simhash} AS simhash")
 
 
 _SIMHASH_ORACLE = f"""
@@ -871,16 +864,80 @@ def embedding_lsh_pairs(
     (random-pair collision ~1.6%, high recall for true near-dups at
     cos ≥ 0.9) — see tests/test_operators.py recall/candidate-count checks.
 
-    dedup BEFORE verify at this operating point — measured, not assumed: with
-    4-bit bands the multi-band duplicate fraction (~10%) costs more redundant
-    kernel work than the distinct exchange saves (pairs are 16 bytes; the
-    kernel's per-pair gather+fold dominates on this rig). At wide bands with
-    tiny duplicate fractions the dedup-after-verify variant
-    (embedding_lsh_candidates(dedup=False) → verify → distinct) wins instead
-    — both orders produce identical rows (deterministic scores)."""
+    Two strategies by corpus size (verify_pairs_cosine's exact pattern):
+
+    - corpus ≤ 65 536 rows: ONE masked broadcast kernel — signatures are
+      computed driver-side from the (cached) corpus matrix with the identical
+      sequential fold, and each streaming partition band-matches its rows
+      against the broadcast signature table and folds cosine only where the
+      mask fires. Same rows as the banded plan (bit-identical signatures ⇒
+      identical collisions; bit-identical cosine ⇒ identical filter), minus
+      the band explode, the 474k-row self-join, the distinct exchange and a
+      second Python crossing.
+    - larger: the banded shuffle plan — candidates via bucket self-join, then
+      exact-cosine verify. This is the 100 TB path: nothing is ever collected,
+      cost is candidate-bounded. Dedup BEFORE verify at the 4-bit operating
+      point (measured: the multi-band duplicate fraction costs more redundant
+      kernel work than the distinct exchange saves)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    if _cached_count(emb, sf_dir) <= 65536:
+        from duckdb_ml_spark.operators.vec import collect_matrix
+        from duckdb_ml_spark.session import ensure_shipped
+
+        ensure_shipped(spark)
+        ids, M = collect_matrix(emb, "vec_id", cache_key=(sf_dir, "corpus"))
+        H = _hyperplanes(M.shape[1], nbits)
+        weights = np.array([1 << b for b in range(nbits)], dtype=np.int64)
+        proj = np.zeros((len(M), nbits))
+        for i in range(M.shape[1]):  # sequential fold (signature parity)
+            proj += np.multiply.outer(M[:, i], H[:, i])
+        sigs = ((proj > 0) @ weights).astype(np.int64)
+        n_bands = nbits // band_bits
+        mask_v = (1 << band_bits) - 1
+        bc = spark.sparkContext.broadcast((ids, M, sigs))
+
+        def gen(batches):
+            ids_b, Mb, sigs_b = bc.value
+            from duckdb_ml_spark.operators.vec import _seq_cosine_matrix
+
+            bands_b = np.stack(
+                [(sigs_b >> (b * band_bits)) & mask_v for b in range(n_bands)]
+            )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                ids_a = pdf["vec_id"].to_numpy()
+                # row signatures: same sequential fold as the corpus side
+                pa = np.zeros((len(A), nbits))
+                for i in range(A.shape[1]):
+                    pa += np.multiply.outer(A[:, i], H[:, i])
+                sig_a = ((pa > 0) @ weights).astype(np.int64)
+                hit = np.zeros((len(A), len(ids_b)), dtype=bool)
+                for b in range(n_bands):
+                    hit |= np.equal.outer((sig_a >> (b * band_bits)) & mask_v, bands_b[b])
+                hit &= np.less.outer(ids_a, ids_b)
+                cos = _seq_cosine_matrix(A, Mb)
+                keep = hit & (cos > threshold)
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame({"vec_a": ids_a[ai], "vec_b": ids_b[bi]})
+
+        # a single parquet file scans as ONE partition locally — spread the
+        # row-blocks so the kernel runs task-parallel (at scale the corpus
+        # arrives already multi-partition and this repartition is a no-op
+        # cost: 16-byte rows)
+        par = max(8, spark.sparkContext.defaultParallelism // 2)
+        return (
+            emb.select("vec_id", "embedding")
+            .repartition(par)
+            .mapInPandas(gen, "vec_a bigint, vec_b bigint")
+        )
+
     sig = embedding_lsh_signatures(spark, sf_dir, nbits=nbits)
     cand = embedding_lsh_candidates(sig, nbits=nbits, band_bits=band_bits)
-    emb = load(spark, sf_dir, "embeddings")
     return verify_pairs_cosine(cand, emb, threshold, cache_key=sf_dir)
 
 

@@ -209,7 +209,14 @@ def cosine_pairs_vs_broadcast(
             ai, bi = np.nonzero(mask)
             yield pd.DataFrame({"vec_a": ids_a[ai], "vec_b": ids_b[bi]})
 
-    return df.select(id_col, arr_col).mapInPandas(gen, "vec_a bigint, vec_b bigint")
+    # single-file corpora scan as ONE partition locally — spread the stream so
+    # the kernel runs task-parallel (no-op cost at scale: rows carry id+vector)
+    par = max(8, spark.sparkContext.defaultParallelism // 2)
+    return (
+        df.select(id_col, arr_col)
+        .repartition(par)
+        .mapInPandas(gen, "vec_a bigint, vec_b bigint")
+    )
 
 
 def score_id_pairs_cosine(

@@ -537,3 +537,28 @@ def test_exploded_shingles_matches_hof_form(spark, sf_dir):
         ).collect()
     )
     assert fast == hof and fast
+
+
+def test_embedding_lsh_masked_path_matches_banded_plan(spark, sf_dir):
+    """The bounded-corpus masked-broadcast strategy of embedding_lsh_pairs must
+    emit exactly the banded shuffle plan's pairs (bit-identical signatures ⇒
+    identical collisions; bit-identical cosine ⇒ identical filter)."""
+    from duckdb_ml_spark.operators.dedup import (
+        embedding_lsh_candidates,
+        embedding_lsh_signatures,
+        embedding_lsh_pairs,
+        verify_pairs_cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in verify_pairs_cosine(
+            embedding_lsh_candidates(embedding_lsh_signatures(spark, sf_dir)),
+            emb,
+            0.4,
+            cache_key=sf_dir,
+        ).collect()
+    }
+    masked = {(r.vec_a, r.vec_b) for r in embedding_lsh_pairs(spark, sf_dir).collect()}
+    assert masked == banded and masked
