@@ -127,6 +127,7 @@ _PLAN_CACHE: dict = {}
 _EXEC_AT_BUILD = frozenset(
     {
         "dedup_ngram_jaccard_pairs",  # bounded candidate collect
+        "dedup_minhash_lsh_pairs",  # bounded signature collect
         "dedup_clusters",  # bounded edge collect (union-find)
         "dedup_keep_docs",
         "source_csv_roundtrip",  # export + inference scan

@@ -41,6 +41,7 @@ from duckdb_ml_spark.tables import load
 MINHASH_K = 16
 BAND_SIZE = 4
 N_BANDS = MINHASH_K // BAND_SIZE
+MAX_COLLECT_PAIRS = 2_000_000  # two int64s/row → ≤32 MB driver footprint
 
 # One md5 per shingle + k affine permutations over Z_p (p = 2^31-1) instead of
 # k md5s per shingle: h = low-60-bits(md5(shingle)) % p, mh_i = min(a_i·h+b_i mod p).
@@ -254,7 +255,72 @@ def minhash_lsh_pairs(
     )
 
 
+MAX_COLLECT_DOCS = 65536  # signature-collect gate: k·8 B/doc → ≤ ~9 MB driver
+
+
+def _collect_signatures(spark: SparkSession, sf_dir: str):
+    """(ids, k-col minhash matrix) via ONE bounded collect of the signature
+    relation — the driver-side twin of collect_matrix for embeddings. Returns
+    None above the gate (at 100 TB signatures are a checkpointed TABLE, not a
+    collectable; callers then use the banded shuffle plans)."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    if _cached_count(docs, (sf_dir, "documents")) > MAX_COLLECT_DOCS:
+        return None
+    rows = minhash_signatures(docs).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mh = np.array([[r[i + 1] for i in range(MINHASH_K)] for r in rows], dtype=np.int64)
+    return ids, mh
+
+
+def _driver_lsh_pairs(ids, mh, threshold: float | None, max_pairs: int = MAX_COLLECT_PAIRS):
+    """Banded LSH candidate pairs (+ est filter when threshold is not None)
+    from collected signatures, in plain Python/NumPy. Identical output to the
+    banded self-join plan: band equality is compared on the raw minhash
+    TUPLES, which the plan's md5(concat) band hash represents injectively
+    (modulo md5 collision — which would only ever ADD a candidate there).
+    Returns None if the candidate set exceeds max_pairs (adversarial band
+    config) — callers fall back to the distributed plan."""
+    from collections import defaultdict
+
+    k = mh.shape[1]
+    cand: set = set()
+    for b in range(N_BANDS):
+        groups = defaultdict(list)
+        lo, hi = b * BAND_SIZE, (b + 1) * BAND_SIZE
+        for i in range(len(ids)):
+            groups[tuple(mh[i, lo:hi])].append(i)
+        for g in groups.values():
+            if len(g) > 1:
+                for x in range(len(g)):
+                    for y in range(x + 1, len(g)):
+                        i, j = g[x], g[y]
+                        pair = (i, j) if ids[i] < ids[j] else (j, i)
+                        cand.add(pair)
+                        if len(cand) > max_pairs:
+                            return None
+    out = []
+    for i, j in cand:
+        est = float((mh[i] == mh[j]).sum()) / k
+        if threshold is None:
+            out.append((int(ids[i]), int(ids[j]), est))
+        elif est >= threshold:
+            out.append((int(ids[i]), int(ids[j]), est))
+    return out
+
+
 def _minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded corpora: ONE signature-collect job + driver band grouping (the
+    verify_pairs_cosine strategy-pair pattern; equivalence pytest-proven).
+    Larger: the banded self-join plan."""
+    sigs = _collect_signatures(spark, sf_dir)
+    if sigs is not None:
+        out = _driver_lsh_pairs(*sigs, threshold=0.3)
+        if out is not None:
+            return spark.createDataFrame(
+                out or [], "doc_a bigint, doc_b bigint, est_jaccard double"
+            )
     return minhash_lsh_pairs(_minhash_signatures_q(spark, sf_dir))
 
 
@@ -379,9 +445,6 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-MAX_COLLECT_PAIRS = 2_000_000  # two int64s/row → ≤32 MB driver footprint
-
-
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.05) -> DataFrame:
     """LSH-candidates → exact-Jaccard verify: the canonical two-stage near-dup
     pipeline (banding generates candidates, exact set overlap confirms them).
@@ -398,16 +461,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     job, zero recompute races, no persist+count barrier. Above the cap (an
     over-wide band config) it falls back to the persisted-candidates plan."""
     docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-    cand_plan = lsh_candidate_pairs(sig)
-    rows = cand_plan.limit(MAX_COLLECT_PAIRS + 1).collect()
-    if len(rows) <= MAX_COLLECT_PAIRS:
-        cand = spark.createDataFrame(
-            [(r.doc_a, r.doc_b) for r in rows] or [], "doc_a bigint, doc_b bigint"
-        )
-    else:  # fallback: candidate stream too big to localize — checkpoint shape
-        cand = cand_plan.persist()
-        cand.count()
+    rows = None
+    sigs = _collect_signatures(spark, sf_dir)
+    if sigs is not None:  # bounded corpus: one sig-collect job + driver banding
+        out = _driver_lsh_pairs(*sigs, threshold=None)
+        if out is not None:
+            rows = [(a, b) for a, b, _ in out]
+    if rows is None:
+        cand_plan = lsh_candidate_pairs(minhash_signatures(docs))
+        collected = cand_plan.limit(MAX_COLLECT_PAIRS + 1).collect()
+        if len(collected) <= MAX_COLLECT_PAIRS:
+            rows = [(r.doc_a, r.doc_b) for r in collected]
     # restrict the corpus BEFORE building shingle arrays: a semi-join placed
     # after the sets projection would not push below it (Catalyst moves
     # filters, not joins, through projects), so the shingle arrays would be
@@ -415,10 +479,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.0
     # collected candidate ids in hand the restriction is an isin FILTER —
     # pushed into the parquet scan, no broadcast-subplan job; the semi-join
     # form only remains for the too-many-candidates fallback.
-    if len(rows) <= MAX_COLLECT_PAIRS and len(rows) <= 100_000:
-        ids = sorted({r.doc_a for r in rows} | {r.doc_b for r in rows})
-        cand_docs = docs.where(F.col("doc_id").isin(ids))
+    if rows is not None and len(rows) <= 100_000:
+        cand = spark.createDataFrame(rows or [], "doc_a bigint, doc_b bigint")
+        ids = sorted({a for a, _ in rows} | {b for _, b in rows})
+        cand_docs = docs.where(F.col("doc_id").isin(ids) if ids else F.lit(False))
     else:
+        if rows is not None:
+            cand = spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+        else:  # candidate stream too big to localize — checkpoint shape
+            cand = lsh_candidate_pairs(minhash_signatures(docs)).persist()
+            cand.count()
         docs_in = (
             cand.select(F.col("doc_a").alias("doc_id"))
             .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -490,6 +560,28 @@ def _hyperplane_sign(b: int, i: int) -> int:
 # --- near-dup clustering (connected components) ------------------------------
 
 
+def _union_find_map(edges) -> list[tuple]:
+    """[(node, min-reachable-root)] for every node touching an edge —
+    union-find with path compression; min-id root == min cluster label."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(n, find(n)) for n in parent]
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -526,31 +618,8 @@ def dedup_clusters(
     spark = nodes.sparkSession
     probe = e.limit(max_collect_edges + 1).collect()
     if len(probe) <= max_collect_edges:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in probe:
-            a, b = row.src, row.dst
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)  # min-id root == min label
-        comp = [(n, find(n)) for n in parent]
-        if comp:
-            cmap = spark.createDataFrame(comp, schema=f"{id_col} bigint, __cl bigint")
-        else:
-            cmap = spark.createDataFrame([], schema=f"{id_col} bigint, __cl bigint")
-        return nodes.select(id_col).join(F.broadcast(cmap), id_col, "left").select(
-            id_col, F.coalesce("__cl", F.col(id_col)).alias("cluster_id")
-        )
+        comp = _union_find_map((row.src, row.dst) for row in probe)
+        return _apply_component_map(nodes, comp, id_col)
     e = e.persist()  # distributed path: edges feed every propagation round
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     labels = (
@@ -582,10 +651,29 @@ def dedup_clusters(
     ).select(id_col, F.coalesce("label", F.col(id_col)).alias("cluster_id"))
 
 
+def _apply_component_map(nodes: DataFrame, comp: list, id_col: str = "doc_id") -> DataFrame:
+    """Broadcast-join a driver component map onto the node set; isolated nodes
+    cluster with themselves."""
+    spark = nodes.sparkSession
+    cmap = spark.createDataFrame(comp or [], schema=f"{id_col} bigint, __cl bigint")
+    return nodes.select(id_col).join(F.broadcast(cmap), id_col, "left").select(
+        id_col, F.coalesce("__cl", F.col(id_col)).alias("cluster_id")
+    )
+
+
 def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded corpora: sig-collect job + driver banding/est/union-find + one
+    broadcast map join — two jobs end-to-end (the banded plan's collect probe
+    would recompute the whole pair pipeline as a second job anyway). Larger:
+    the distributed pair plan + dedup_clusters strategies."""
     docs = load(spark, sf_dir, "documents")
-    pairs = _minhash_lsh_pairs_q(spark, sf_dir)
-    return dedup_clusters(docs, pairs)
+    sigs = _collect_signatures(spark, sf_dir)
+    if sigs is not None:
+        out = _driver_lsh_pairs(*sigs, threshold=0.3)
+        if out is not None:
+            comp = _union_find_map((a, b) for a, b, _ in out)
+            return _apply_component_map(docs, comp)
+    return dedup_clusters(docs, _minhash_lsh_pairs_q(spark, sf_dir))
 
 
 def _dedup_clusters_oracle() -> str:
@@ -626,9 +714,12 @@ def dedup_keep_docs(
 
 
 def _dedup_keep_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = _minhash_lsh_pairs_q(spark, sf_dir)
-    return dedup_keep_docs(docs, pairs)
+    # rides _dedup_clusters_q's strategy gate (driver union-find on bounded
+    # corpora); the rollup itself is one colocatable groupBy either way
+    cl = _dedup_clusters_q(spark, sf_dir)
+    return cl.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
 
 
 def _dedup_keep_docs_oracle() -> str:

@@ -357,21 +357,93 @@ def knn_join(
     "find the nearest neighbor of every training example" dedup/curation
     passes.
 
-    Plan: signatures (Arrow kernel, no shuffle) → banded candidate pairs
-    (bucket self-join, undirected) → mirror to directed edges → exact cosine
-    scoring against the broadcast corpus matrix → per-vector rank window.
-    The 4-bit-band default is the oracle-parity benchmark point; at scale use
-    8-bit bands (same plan, ~16x fewer random collisions) and the ID-join
-    scoring variant per verify_pairs_cosine."""
+    Two strategies by corpus size (the verify_pairs_cosine pattern):
+
+    - corpus ≤ 65 536 rows: ONE masked broadcast kernel — driver-side
+      signatures from the cached corpus matrix, each streaming partition
+      band-matches its rows against the broadcast signature table, folds
+      cosine where the mask fires, and ranks its own top-k in the kernel
+      (cos DESC, id ASC — numpy lexsort, same tie-break as the window).
+      Replaces: signature job → 474k-pair self-join → distinct → mirror →
+      Python rescoring → rank-window shuffle+sort.
+    - larger: banded candidate pairs (bucket self-join, undirected) →
+      mirror-by-explode → exact cosine vs the gated scorer → rank window.
+      The 4-bit-band default is the oracle-parity benchmark point; at scale
+      use 8-bit bands (same plan, ~16x fewer random collisions)."""
+    import numpy as np
+    import pandas as pd
+
     from duckdb_ml_spark.operators.dedup import (
+        _cached_count,
+        _hyperplanes,
         embedding_lsh_candidates,
         embedding_lsh_signatures,
     )
     from duckdb_ml_spark.operators.vec import score_id_pairs_cosine
 
+    emb = load(spark, sf_dir, "embeddings")
+    if _cached_count(emb, sf_dir) <= 65536:
+        from duckdb_ml_spark.operators.vec import _seq_cosine_matrix, collect_matrix
+        from duckdb_ml_spark.session import ensure_shipped
+
+        ensure_shipped(spark)
+        ids, M = collect_matrix(emb, "vec_id", cache_key=(sf_dir, "corpus"))
+        H = _hyperplanes(M.shape[1], nbits)
+        weights = np.array([1 << b for b in range(nbits)], dtype=np.int64)
+        proj = np.zeros((len(M), nbits))
+        for i in range(M.shape[1]):  # sequential fold (signature parity)
+            proj += np.multiply.outer(M[:, i], H[:, i])
+        sigs = ((proj > 0) @ weights).astype(np.int64)
+        n_bands = nbits // band_bits
+        mask_v = (1 << band_bits) - 1
+        bc = spark.sparkContext.broadcast((ids, M, sigs))
+
+        def gen(batches):
+            ids_b, Mb, sigs_b = bc.value
+            bands_b = np.stack(
+                [(sigs_b >> (b * band_bits)) & mask_v for b in range(n_bands)]
+            )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                ids_a = pdf["vec_id"].to_numpy()
+                pa = np.zeros((len(A), nbits))
+                for i in range(A.shape[1]):
+                    pa += np.multiply.outer(A[:, i], H[:, i])
+                sig_a = ((pa > 0) @ weights).astype(np.int64)
+                hit = np.zeros((len(A), len(ids_b)), dtype=bool)
+                for b in range(n_bands):
+                    hit |= np.equal.outer((sig_a >> (b * band_bits)) & mask_v, bands_b[b])
+                hit &= np.not_equal.outer(ids_a, ids_b)
+                cos = _seq_cosine_matrix(A, Mb)
+                out_v, out_n, out_r = [], [], []
+                for r in range(len(A)):
+                    cidx = np.nonzero(hit[r])[0]
+                    if len(cidx) == 0:
+                        continue
+                    # cos DESC, neighbor_id ASC — lexsort is stable, last key primary
+                    top = cidx[np.lexsort((ids_b[cidx], -cos[r, cidx]))][:k]
+                    out_v.extend([ids_a[r]] * len(top))
+                    out_n.extend(ids_b[top])
+                    out_r.extend(range(1, len(top) + 1))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array(out_v, dtype=np.int64),
+                        "neighbor_id": np.array(out_n, dtype=np.int64),
+                        "rank": np.array(out_r, dtype=np.int32),
+                    }
+                )
+
+        par = max(8, spark.sparkContext.defaultParallelism // 2)
+        return (
+            emb.select("vec_id", "embedding")
+            .repartition(par)
+            .mapInPandas(gen, "vec_id bigint, neighbor_id bigint, rank int")
+        )
+
     sig = embedding_lsh_signatures(spark, sf_dir, nbits=nbits)
     und = embedding_lsh_candidates(sig, nbits=nbits, band_bits=band_bits)
-    emb = load(spark, sf_dir, "embeddings")
     # score each UNDIRECTED pair once, mirror the scored rows after: cosine is
     # symmetric bit-for-bit (commutative multiplies inside the same fold), so
     # this halves the kernel and pair-stream work vs mirroring before scoring.

@@ -562,3 +562,25 @@ def test_embedding_lsh_masked_path_matches_banded_plan(spark, sf_dir):
     }
     masked = {(r.vec_a, r.vec_b) for r in embedding_lsh_pairs(spark, sf_dir).collect()}
     assert masked == banded and masked
+
+
+def test_minhash_driver_banding_matches_plan(spark, sf_dir):
+    """The bounded-corpus signature-collect + driver-banding strategy must
+    produce exactly the banded self-join plan's (pair, est) rows."""
+    from duckdb_ml_spark.operators.dedup import (
+        _collect_signatures,
+        _driver_lsh_pairs,
+        minhash_signatures,
+        minhash_lsh_pairs,
+    )
+
+    sigs = _collect_signatures(spark, sf_dir)
+    assert sigs is not None
+    driver = {(a, b, e) for a, b, e in _driver_lsh_pairs(*sigs, threshold=0.3)}
+    plan = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(
+            minhash_signatures(load(spark, sf_dir, "documents"))
+        ).collect()
+    }
+    assert driver == plan and driver
