@@ -106,7 +106,10 @@ def main() -> int:
     # shows intermittent multi-second contention spikes (±3x on identical
     # plans), and min-of-N isolates the engine's steady-state cost — the
     # quantity the 2x-of-DuckDB contract is about — from scheduler noise.
-    RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+    # Default 3 (was 2): back-to-back paired suites still differed ±10% with
+    # min-of-2 because a spike can cover both runs; tools/duck_bench.py uses
+    # the same default so both sides of the ratio get identical treatment.
+    RUNS = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0

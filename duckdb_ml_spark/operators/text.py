@@ -246,11 +246,15 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFr
     carries (token, partial counts), never documents."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # two-level rollup instead of count+count_distinct in one aggregate: the
+    # mixed form plans an Expand (every input row doubled); per-(tok, doc)
+    # counts reduce the stream first and n_docs falls out as a plain count
+    per_doc = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     return (
-        tok.groupBy("tok")
+        per_doc.groupBy("tok")
         .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("c").alias("n_total"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.desc("n_total"), F.asc("tok"))
         .limit(k)
