@@ -88,6 +88,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.dedup",
         "duckdb_ml_spark.operators.similarity",
         "duckdb_ml_spark.operators.text",
+        "duckdb_ml_spark.operators.bpe",
         "duckdb_ml_spark.operators.multimodal",
         "duckdb_ml_spark.operators.asof",
         "duckdb_ml_spark.operators.analytics",
@@ -141,6 +142,7 @@ _EXEC_AT_BUILD = frozenset(
         "ml_train_predict",
         "ml_train_distributed",
         "ml_quality_filter",
+        "text_bpe_real",  # trains the merge table at build (bounded collect)
     }
 )
 

