@@ -162,9 +162,6 @@ def ml_train(
     """
     cfg = config if isinstance(config, nn.TrainingConfig) else nn.TrainingConfig.from_json(config)
     model = registry.get_model(name)
-    # the input feeds two passes (driver collect for training, distributed
-    # predict for the return value): persist so upstream plan runs once
-    df = df.persist()
     xy = df.select(F.col(features_col).alias("__x"), F.col(targets_col).alias("__y"))
     try:
         # Arrow-native collect: list columns land as ListArrays whose flat
@@ -183,13 +180,12 @@ def ml_train(
     if save:
         model.artifacts.append(artifacts.save_model(name, model.spec_json, params, cfg))
     registry.put_model(model)
-    pred = ml_pred(df, name, features_col=features_col)
-    # release the persisted input: the training pass (collect) is done, so
-    # repeated ml_train calls don't accumulate cached blocks in executor
-    # memory. The returned prediction plan recomputes its upstream on the
-    # caller's action — the broadcast-weights pandas_udf dominates it anyway.
-    df.unpersist(blocking=False)
-    return pred
+    # The input feeds two passes (driver collect for training, distributed
+    # predict for the return value). Measured choice: NO persist — caching
+    # 600k feature rows costs more (cache write + memory pressure) than
+    # recomputing the upstream scan+scale projection on the predict pass,
+    # and repeated ml_train calls don't accumulate executor cache blocks.
+    return ml_pred(df, name, features_col=features_col)
 
 
 def register_all(spark: SparkSession) -> None:
