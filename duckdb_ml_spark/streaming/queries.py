@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from duckdb_ml_spark.plans.relational import QuerySpec
 from duckdb_ml_spark.streaming.stream import (
     dedup_events,
+    hourly_topk_types,
     interval_join_pairs,
     session_windows,
     sliding_counts,
@@ -117,7 +118,29 @@ FROM events a JOIN events b
 """
 
 
+def _topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_topk_types(load(spark, sf_dir, "events"))
+
+
+_TOPK_ORACLE = """
+WITH c AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       row_number() OVER (PARTITION BY window_start
+                          ORDER BY n_events DESC, event_type ASC) AS rk
+FROM c QUALIFY rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_topk_types": QuerySpec(
+        "stream_topk_types", _topk_q, _TOPK_ORACLE,
+        doc="Top-3 event types per tumbling hour (rank in foreachBatch when streaming).",
+        tags=("streaming", "window", "rank"),
+    ),
     "stream_interval_join": QuerySpec(
         "stream_interval_join", _interval_join_q, _INTERVAL_JOIN_ORACLE,
         doc="Stream-stream interval self-join per user (watermark-bounded state in streaming).",

@@ -190,6 +190,35 @@ def interval_join_pairs(
     ).select("id_a", "id_b")
 
 
+def hourly_topk_types(ev: DataFrame, k: int = 3, watermark: str | None = None) -> DataFrame:
+    """Top-k event types per hour by count (ties → type asc) — the windowed
+    leaderboard every event pipeline dashboards.
+
+    Batch: tumbling counts + one rank window (both shuffles on the window
+    key). Streaming: the rank stage runs inside a foreachBatch sink over the
+    watermark-finalized tumbling aggregate (append-mode streaming cannot rank
+    across an unfinished window by definition) — tests/test_streaming.py
+    proves sink output == this batch form."""
+    counts = tumbling_counts(ev, watermark=watermark).select(
+        "window_start", "event_type", "n_events"
+    )
+    return rank_topk_types(counts, k=k)
+
+
+def rank_topk_types(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank stage shared by the batch plan and the foreachBatch sink."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
 STATE_SCHEMA = "n bigint, max_value double, last_ts_us bigint"
 OUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, last_ts_us bigint"
 

@@ -245,3 +245,42 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stream_topk_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
+    """Windowed top-k under streaming: the watermark-finalized tumbling
+    aggregate streams into a foreachBatch sink that applies the SAME rank
+    stage as the batch plan; sink rows must be a subset of the batch top-k
+    missing only watermark-open tail windows."""
+    import os
+
+    from duckdb_ml_spark.streaming.stream import (
+        hourly_topk_types,
+        rank_topk_types,
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    out = str(tmp_path / "topk")
+
+    def sink(batch_df, batch_id):
+        ranked = rank_topk_types(
+            batch_df.select("window_start", "event_type", "n_events")
+        )
+        ranked.write.mode("append").parquet(out)
+
+    agg = tumbling_counts(read_events_stream(spark, sf_dir), watermark="2 hours")
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(out)
+    sink_rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch_rows = {
+        tuple(r) for r in hourly_topk_types(load(spark, sf_dir, "events")).collect()
+    }
+    assert sink_rows and sink_rows <= batch_rows
