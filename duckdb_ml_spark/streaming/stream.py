@@ -128,7 +128,16 @@ def dedup_events(ev: DataFrame, watermark: str | None = None) -> DataFrame:
     return ev.dropDuplicates(["event_id"])
 
 
-_INTERVAL_UNITS_S = {"SECOND": 1, "SECONDS": 1, "MINUTE": 60, "MINUTES": 60, "HOUR": 3600, "HOURS": 3600}
+_INTERVAL_UNITS_S = {
+    "SECOND": 1,
+    "SECONDS": 1,
+    "MINUTE": 60,
+    "MINUTES": 60,
+    "HOUR": 3600,
+    "HOURS": 3600,
+    "DAY": 86400,
+    "DAYS": 86400,
+}
 
 
 def _interval_seconds(interval: str) -> int:

@@ -623,3 +623,17 @@ def test_bpe_end_to_end_compresses(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.n_bpe_tokens >= r.n_words  # a word is ≥ 1 subword
+
+
+def test_driver_lsh_pairs_bails_on_pair_blowup():
+    """Candidate blowup must return None (callers fall back to the
+    distributed banded plan) instead of materializing an unbounded set."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.dedup import MINHASH_K, _driver_lsh_pairs
+
+    ids = np.arange(10, dtype=np.int64)
+    mh = np.zeros((10, MINHASH_K), dtype=np.int64)  # all docs collide everywhere
+    assert _driver_lsh_pairs(ids, mh, threshold=0.3, max_pairs=5) is None
+    full = _driver_lsh_pairs(ids, mh, threshold=0.3)
+    assert len(full) == 45 and all(e == 1.0 for _, _, e in full)
