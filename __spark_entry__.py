@@ -60,6 +60,8 @@ _CHECK_PRIORITY = (
     "dedup_clusters",
     "dedup_keep_docs",
     "sim_knn_join",
+    # new in round 3 (composed curation flagship)
+    "pipeline_curate",
     # r1-green, never re-checked since
     "text_lang_id",
     "text_fingerprint",

@@ -318,7 +318,103 @@ GROUP BY p.doc_id
 """
 
 
+# --- end-to-end curation pipeline --------------------------------------------
+
+CURATE_MIN_QUALITY = 0.5
+
+
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE composed lazy plan — the system-level
+    flagship of the LLM-data story: quality filter → exact-dedup keep-list →
+    benchmark decontamination → sequence packing, ending in the per-source
+    pack/doc/token rollup a pipeline run reports.
+
+    Every stage is the already-tested operator (text.quality_score,
+    dedup.dedup_exact's keep-key shape, contaminated_docs, pack_sequences);
+    the value here is that Catalyst fuses the composition: one documents scan
+    feeds quality + dedup keys, the eval-shingle set broadcasts, and the
+    packing window runs per source shard. Scale shape = the stages' own
+    (each documented in place); nothing new shuffles."""
+    from duckdb_ml_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(spark, sf_dir).where(F.col("quality_score") >= CURATE_MIN_QUALITY)
+    kept_quality = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    # exact dedup among the quality-kept: keep the lowest doc_id per
+    # normalized text (dedup_exact's window-free groupBy+semi-join shape)
+    from duckdb_ml_spark.operators.dedup import dedup_exact
+
+    deduped = dedup_exact(kept_quality)
+    # decontaminate vs the eval pseudo-benchmark (doc_id % EVAL_MOD == 0):
+    # eval members themselves leave the training set, and any doc sharing a
+    # 3-gram with the eval set is dropped
+    ev = docs.where(F.col("doc_id") % EVAL_MOD == 0)
+    train = deduped.where(F.col("doc_id") % EVAL_MOD != 0)
+    contaminated = contaminated_docs(train, ev)
+    clean = train.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    # pack what survived and report per-source utilization
+    return pack_stats(pack_sequences(clean))
+
+
+_CURATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+q AS (
+    SELECT d.doc_id
+    FROM documents d JOIN toks t USING (doc_id)
+    WHERE 0.4 * (length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                 / length(d.text))
+        + 0.3 * (len(list_distinct(t.w))::DOUBLE / len(t.w))
+        + 0.3 * (len(list_filter(t.w, x -> x IN ('the','a','and','of','to','in','is','it','for','on')))::DOUBLE
+                 / len(t.w))
+        >= {CURATE_MIN_QUALITY}
+),
+dk AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents JOIN q USING (doc_id)
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+contaminated AS (
+    SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % {EVAL_MOD} != 0
+),
+clean AS (
+    SELECT d.doc_id, d.source, len(t.w) AS n_tokens
+    FROM documents d JOIN dk USING (doc_id) JOIN toks t USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} != 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+p AS (
+    SELECT source, n_tokens,
+           (coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_CAPACITY}
+           )::BIGINT AS pack_id
+    FROM clean
+)
+SELECT source,
+       (max(pack_id) + 1)::BIGINT AS n_packs,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(sum(n_tokens)::DOUBLE / ((max(pack_id) + 1) * {PACK_CAPACITY}), 6) AS fill_ratio
+FROM p GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_curate": QuerySpec(
+        name="pipeline_curate",
+        builder=curate_pipeline,
+        oracle=_CURATE_ORACLE,
+        doc="End-to-end curation: quality filter → exact dedup → decontaminate → pack → rollup (one composed plan).",
+        tags=("pipeline", "flagship", "dedup", "decontam", "packing"),
+    ),
     "pipeline_containment": QuerySpec(
         name="pipeline_containment",
         builder=_containment_q,

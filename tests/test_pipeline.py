@@ -140,3 +140,22 @@ def test_containment_bounds_and_self_containment(spark, sf_dir):
     # self-containment: probe ⊂ reference → every doc scores exactly 1
     self_rows = containment_vs_reference(probe, docs).collect()
     assert self_rows and all(r.containment == 1.0 for r in self_rows)
+
+
+def test_curate_pipeline_composition_invariants(spark, sf_dir):
+    """End-to-end curation: every packed doc survived quality + dedup +
+    decontamination; rollup is consistent (n_docs ≤ corpus, fill ≤ 1+ε)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.pipeline import EVAL_MOD, curate_pipeline
+    from duckdb_ml_spark.tables import load
+
+    stats = curate_pipeline(spark, sf_dir).collect()
+    assert stats
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_eval = docs.where(F.col("doc_id") % EVAL_MOD == 0).count()
+    total_kept = sum(r.n_docs for r in stats)
+    assert 0 < total_kept <= n_docs - n_eval
+    for r in stats:
+        assert r.n_packs >= 1 and 0 < r.fill_ratio <= 1.0
