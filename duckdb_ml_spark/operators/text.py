@@ -216,8 +216,11 @@ _BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counting with a BPE-flavored regex (letters runs,
-    capitalized runs, digit runs, single punctuation) — the cheap proxy for
-    tokenizer-cost estimation over a corpus."""
+    capitalized runs, digit runs, single punctuation) — the cheap JVM-only
+    proxy for tokenizer-cost estimation (oracle-paired). The REAL merge-table
+    BPE (distributed word counts → Sennrich merges → greedy encoding) is
+    operators/bpe.py / `text_bpe_real`; this regex form stays as the
+    zero-Python scan-speed estimate."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
