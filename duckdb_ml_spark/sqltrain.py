@@ -31,13 +31,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CAST_FLOAT = re.compile(r"(\w+)::float\b", re.IGNORECASE)
+_CAST_FLOAT = re.compile(r"(\w+(?:\(\))?)::float\b", re.IGNORECASE)
 _LIST = re.compile(r"\[([^\[\]]*)\]")
 _ML_TRAIN = re.compile(
     r"^\s*select\s+ml_train\(\s*'(?P<name>[^']+)'\s*,\s*"
     r"\[(?P<feats>[^\]]*)\]\s*,\s*\[(?P<tgts>[^\]]*)\]\s*"
     r"(?:,\s*(?P<cfg>\{[^}]*\})\s*::\s*json\s*)?\)\s*"
-    r"from\s+(?P<table>\w+)\s*;?\s*$",
+    r"(?:from\s+(?P<table>\w+)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ML_CREATE = re.compile(
@@ -63,8 +63,10 @@ def _struct_literal_to_json(struct: str) -> str:
 
 
 def _spark_expr(duck_expr: str) -> str:
-    """Rewrite a DuckDB scalar expression to Spark SQL (float casts)."""
-    return _CAST_FLOAT.sub(r"float(\1)", duck_expr)
+    """Rewrite a DuckDB scalar expression to Spark SQL (float casts incl.
+    zero-arg calls like random()::float, and random() → rand())."""
+    e = re.sub(r"\brandom\(\)", "rand()", duck_expr, flags=re.IGNORECASE)
+    return _CAST_FLOAT.sub(r"float(\1)", e)
 
 
 def sql(spark: SparkSession, statement: str) -> DataFrame:
@@ -81,9 +83,12 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if m:
         feats = _spark_expr(m.group("feats"))
         tgts = _spark_expr(m.group("tgts"))
+        # outer array<float> cast: DuckDB numeric literals like `0.` land as
+        # decimals; ml_train's Arrow path wants float lists either way
+        src = f" FROM {m.group('table')}" if m.group("table") else ""
         xy = spark.sql(
-            f"SELECT array({feats}) AS features, array({tgts}) AS targets "
-            f"FROM {m.group('table')}"
+            f"SELECT CAST(array({feats}) AS array<float>) AS features, "
+            f"CAST(array({tgts}) AS array<float>) AS targets{src}"
         )
         cfg = _struct_literal_to_json(m.group("cfg")) if m.group("cfg") else None
         pred = fn.ml_train(spark, m.group("name"), xy, config=cfg, save=False)

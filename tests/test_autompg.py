@@ -122,3 +122,29 @@ def test_reference_autompg_test_translated(spark):
     )
     assert pred2.count() == 392
     fn.ml_drop("autompg")
+
+
+def test_reference_functions_test_translated(spark):
+    """The reference's functions sqllogictest statement-for-statement
+    (reference test/sql/functions.test:1-14): create → list → FROM-less
+    constant-row train → SQL ml_pred over range(3)+random()."""
+    from duckdb_ml_spark import sqltrain
+
+    fn.ml_drop("foo")
+    spec = '{"layers": [{"in": 2, "out": 8, "activation": "relu"}, {"in": 8, "out": 1}]}'
+
+    r = sqltrain.sql(spark, f"select ml_create('foo', '{spec}');").collect()
+    assert [row.status for row in r] == ["Ok"]
+
+    listed = sqltrain.sql(spark, "from ml_list();").collect()
+    assert ("foo", spec) in [(row.model, row.json) for row in listed]
+
+    pred = sqltrain.sql(spark, "select ml_train('foo', [0.,0.], [0.]);").collect()
+    assert len(pred) == 1 and len(pred[0].prediction) == 1
+
+    out = sqltrain.sql(
+        spark,
+        "select ml_pred('foo', [random()::float, random()::float])\nfrom range(3);",
+    ).collect()
+    assert len(out) == 3 and all(len(r[0]) == 1 for r in out)
+    fn.ml_drop("foo")
