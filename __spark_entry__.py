@@ -133,6 +133,8 @@ _EXEC_AT_BUILD = frozenset(
         "dedup_minhash_lsh_pairs",  # bounded signature collect
         "dedup_clusters",  # bounded edge collect (union-find)
         "dedup_keep_docs",
+        "sim_knn_join",  # bounded-corpus count/collect/broadcast at build (ADVICE r3)
+        "dedup_embedding_lsh_pairs",  # same — masked-broadcast kernel prep
         "source_csv_roundtrip",  # export + inference scan
         "source_jsonl_roundtrip",
         "source_parquet_roundtrip",

@@ -69,10 +69,14 @@ def _ml_pred_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fn.ml_create("q_sql_mlp", SPEC_2_8_1)
     fn.register_all(spark)
+    # Project SCALAR columns only: the driver's canonicalizer sorts each
+    # column with pandas, and an array<float> column crashes it (r3 driver
+    # error). The smoke contract here is arity/shape (reference
+    # functions.test:13-14), which size() captures; values are rand()-fed.
     return spark.sql(
         "SELECT id, ml_pred('q_sql_mlp', array(cast(rand() as float), cast(rand() as float))) AS pred "
         "FROM range(3)"
-    )
+    ).selectExpr("id", "size(pred) AS pred_dim", "element_at(pred, 1) AS p1")
 
 
 def _ml_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:

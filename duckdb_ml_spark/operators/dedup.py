@@ -885,8 +885,10 @@ def verify_pairs_cosine(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                ia = order[np.searchsorted(sorted_ids, pdf["vec_a"].to_numpy())]
-                ib = order[np.searchsorted(sorted_ids, pdf["vec_b"].to_numpy())]
+                from duckdb_ml_spark.operators.vec import gather_indices
+
+                ia = gather_indices(order, sorted_ids, pdf["vec_a"].to_numpy())
+                ib = gather_indices(order, sorted_ids, pdf["vec_b"].to_numpy())
                 A = Mb[ia]
                 B = Mb[ib]
                 n = len(A)
@@ -910,8 +912,11 @@ def verify_pairs_cosine(
 
     ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
-    # both joins broadcast the (tiny) pair side; the corpus only ever streams
-    j = eb.join(F.broadcast(ea.join(F.broadcast(pairs), "vec_a")), "vec_b")
+    # broadcast ONLY the bare int64 pair list (tiny); the a-side gather result
+    # carries embedding arrays and streams through a shuffle join on vec_b —
+    # re-broadcasting it would collect O(candidates·dim) bytes to the driver
+    # on exactly the large-corpus path (ADVICE r3).
+    j = ea.join(F.broadcast(pairs.select("vec_a", "vec_b")), "vec_a").join(eb, "vec_b")
 
     def score(batches):
         for pdf in batches:

@@ -110,6 +110,26 @@ def _seq_cosine_matrix(A, B):  # (n,d) x (m,d) -> (n,m) cosine, sequential-fold 
 _MATRIX_CACHE: dict = {}
 
 
+def gather_indices(order, sorted_ids, wanted):
+    """Matrix-row indices for `wanted` ids, given argsort(order)/sorted ids.
+
+    np.searchsorted silently maps an id that is ABSENT from the matrix to an
+    arbitrary neighboring row — a caller passing pairs that reference missing
+    vec_ids would get wrong cosines instead of an error (ADVICE r3). One
+    vectorized equality check turns that into a loud KeyError; cost is one
+    gather + compare over the batch.
+    """
+    import numpy as np
+
+    wanted = np.asarray(wanted)
+    pos = np.minimum(np.searchsorted(sorted_ids, wanted), len(sorted_ids) - 1)
+    ok = sorted_ids[pos] == wanted
+    if not ok.all():
+        missing = wanted[~ok][:5]
+        raise KeyError(f"pair ids absent from corpus matrix: {missing.tolist()}")
+    return order[pos]
+
+
 def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding", cache_key=None):
     """(ids int64 array, float64 matrix) from a SMALL DataFrame (driver collect).
 
@@ -232,10 +252,11 @@ def score_id_pairs_cosine(
 
     - corpus ≤ max_matrix_rows: score against ONE broadcast corpus matrix
       (bounded driver collect; candidates carry only two int64s).
-    - larger corpus: ID-JOIN gather — the pair list broadcasts against the
-      streaming corpus twice (side a, then side b) and the kernel folds the
-      joined arrays. Nothing is collected to the driver; O(candidates·dim)
-      through the plan. This is the 100 TB shape."""
+    - larger corpus: ID-JOIN gather — only the BARE (vec_a, vec_b) int64 pair
+      list is broadcast (against streaming side a); the a-side gather result,
+      which carries embedding arrays, then shuffle-joins streaming side b on
+      vec_b. Nothing holding vectors is ever collected or broadcast;
+      O(candidates·dim) flows through the shuffle. This is the 100 TB shape."""
     import numpy as np
     import pandas as pd
 
@@ -259,8 +280,8 @@ def score_id_pairs_cosine(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                ia = order[np.searchsorted(sorted_ids, pdf["vec_a"].to_numpy())]
-                ib = order[np.searchsorted(sorted_ids, pdf["vec_b"].to_numpy())]
+                ia = gather_indices(order, sorted_ids, pdf["vec_a"].to_numpy())
+                ib = gather_indices(order, sorted_ids, pdf["vec_b"].to_numpy())
                 A = Mb[ia]
                 B = Mb[ib]
                 n = len(A)
@@ -283,7 +304,10 @@ def score_id_pairs_cosine(
 
     ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
-    j = eb.join(F.broadcast(ea.join(F.broadcast(pairs), "vec_a")), "vec_b")
+    # broadcast ONLY the bare int64 pair list; the a-side gather output carries
+    # O(candidates·dim) embedding bytes and must stream (shuffle join on vec_b),
+    # never be re-broadcast (ADVICE r3: driver collect + per-executor copy OOM).
+    j = ea.join(F.broadcast(pairs.select("vec_a", "vec_b")), "vec_a").join(eb, "vec_b")
 
     def score_j(batches):
         for pdf in batches:
@@ -381,7 +405,7 @@ def cosine_to_assigned_query(
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
-            qidx = order[np.searchsorted(sorted_ids, pdf[query_col].to_numpy())]
+            qidx = gather_indices(order, sorted_ids, pdf[query_col].to_numpy())
             Qsel = Mb[qidx]
             n = len(A)
             dot = np.zeros(n)

@@ -19,7 +19,8 @@ succeeds, functions/__init__.py:180-185).
 
 Rewrites applied (all DuckDB → Spark SQL):
 - `expr::float`            → `float(expr)`        (cast operator)
-- `[a, b, c]`              → `array(a, b, c)`     (list literal, ML args only)
+- `[a, b, c]`              → `array(a, b, c)`     (list literal only: skipped
+  after `\\w`/`)`/`]` — that's 1-based indexing — and inside string literals)
 - `FROM f()` bare leading  → `SELECT * FROM f()`  (DuckDB's FROM-first form)
 - `{k: v, ...}::json`      → JSON config string   (struct literal → TrainingConfig)
 """
@@ -32,7 +33,21 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _CAST_FLOAT = re.compile(r"(\w+(?:\(\))?)::float\b", re.IGNORECASE)
-_LIST = re.compile(r"\[([^\[\]]*)\]")
+# list literal ONLY: a bracket preceded by a word char / ')' / ']' is DuckDB
+# 1-based indexing (w[1]), not a list — leave those intact (ADVICE r3)
+_LIST = re.compile(r"(?<![\w\)\]])\[([^\[\]]*)\]")
+_SQUOTE = re.compile(r"('(?:[^']|'')*')")
+
+
+def _rewrite_list_literals(stmt: str) -> str:
+    """`[a, b]` → `array(a, b)` outside string literals and never after an
+    identifier/closing bracket (indexing). Quoted segments pass through
+    verbatim so brackets inside strings are not corrupted."""
+    parts = _SQUOTE.split(stmt)
+    return "".join(
+        p if i % 2 else _LIST.sub(lambda mm: f"array({mm.group(1)})", p)
+        for i, p in enumerate(parts)
+    )
 _ML_TRAIN = re.compile(
     r"^\s*select\s+ml_train\(\s*'(?P<name>[^']+)'\s*,\s*"
     r"\[(?P<feats>[^\]]*)\]\s*,\s*\[(?P<tgts>[^\]]*)\]\s*"
@@ -107,5 +122,5 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if stmt.lower().startswith("from "):
         stmt = "SELECT * " + stmt  # DuckDB FROM-first form
     # array literals in plain SQL (e.g. the ml_pred projection)
-    stmt = _LIST.sub(lambda mm: f"array({mm.group(1)})", _spark_expr(stmt))
+    stmt = _rewrite_list_literals(_spark_expr(stmt))
     return spark.sql(stmt)
