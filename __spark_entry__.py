@@ -147,6 +147,8 @@ _EXEC_AT_BUILD = frozenset(
         "ml_train_distributed",
         "ml_quality_filter",
         "text_bpe_real",  # trains the merge table at build (bounded collect)
+        "bpe_merge_table",  # same — merge training at build
+        "pack_sequences_bpe",  # same — BPE-budget packing trains at build
     }
 )
 

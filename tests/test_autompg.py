@@ -148,3 +148,17 @@ def test_reference_functions_test_translated(spark):
     ).collect()
     assert len(out) == 3 and all(len(r[0]) == 1 for r in out)
     fn.ml_drop("foo")
+
+
+def test_sqltrain_list_rewrite_spares_indexing_and_strings():
+    """[a, b] → array(a, b) must not corrupt DuckDB 1-based indexing (w[1])
+    or brackets inside string literals (ADVICE r3)."""
+    from duckdb_ml_spark.sqltrain import _rewrite_list_literals
+
+    assert _rewrite_list_literals("SELECT [1, 2]") == "SELECT array(1, 2)"
+    assert _rewrite_list_literals("SELECT w[1] FROM t") == "SELECT w[1] FROM t"
+    assert (
+        _rewrite_list_literals("SELECT '[not a list]', [3]")
+        == "SELECT '[not a list]', array(3)"
+    )
+    assert _rewrite_list_literals("SELECT f(x)[2]") == "SELECT f(x)[2]"

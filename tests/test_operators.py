@@ -637,3 +637,32 @@ def test_driver_lsh_pairs_bails_on_pair_blowup():
     assert _driver_lsh_pairs(ids, mh, threshold=0.3, max_pairs=5) is None
     full = _driver_lsh_pairs(ids, mh, threshold=0.3)
     assert len(full) == 45 and all(e == 1.0 for _, _, e in full)
+
+
+def test_gather_indices_raises_on_missing_id():
+    """searchsorted maps a missing id to a neighbor row silently — the guard
+    must turn that into a loud KeyError (ADVICE r3)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from duckdb_ml_spark.operators.vec import gather_indices
+
+    ids = np.array([10, 3, 7], dtype=np.int64)
+    order = np.argsort(ids)
+    sorted_ids = ids[order]
+    got = gather_indices(order, sorted_ids, np.array([7, 10, 3]))
+    assert [ids[i] for i in got] == [7, 10, 3]
+    with _pytest.raises(KeyError):
+        gather_indices(order, sorted_ids, np.array([7, 99]))
+    with _pytest.raises(KeyError):  # past the right edge (clipped position)
+        gather_indices(order, sorted_ids, np.array([1000]))
+
+
+def test_bpe_merge_table_matches_golden(spark):
+    """The sf0.01 merge-table query must reproduce the committed golden (the
+    VALUES oracle the driver checks against)."""
+    from duckdb_ml_spark.operators.bpe import _SF001_GOLDEN_MERGES, bpe_merge_table
+
+    rows = bpe_merge_table(spark, "/root/testdata/sf0.01").collect()
+    got = [(r.lhs, r.rhs) for r in sorted(rows, key=lambda r: r.merge_rank)]
+    assert got == list(_SF001_GOLDEN_MERGES)

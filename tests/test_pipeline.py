@@ -159,3 +159,38 @@ def test_curate_pipeline_composition_invariants(spark, sf_dir):
     assert 0 < total_kept <= n_docs - n_eval
     for r in stats:
         assert r.n_packs >= 1 and 0 < r.fill_ratio <= 1.0
+
+
+def test_pack_sequences_bpe_invariants(spark, sf_dir):
+    """BPE packing keeps the pack arithmetic invariants, with n_tokens equal to
+    the kernel's per-doc encode length sum (checked for a sample of docs)."""
+    from duckdb_ml_spark.operators.bpe import encode_word, train_bpe_merges
+    from duckdb_ml_spark.operators.pipeline import (
+        PACK_CAPACITY,
+        pack_sequences_bpe,
+    )
+    from duckdb_ml_spark.operators.textnorm import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = pack_sequences_bpe(docs, merges).collect()
+    assert len(rows) == docs.count()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_offset == cum, (src, r)
+            assert r.pack_id == cum // PACK_CAPACITY
+            cum += r.n_tokens
+    # spot-check the token counts against a driver-side re-encode
+    sample = docs.select("doc_id", norm_text(F.col("text")).alias("t")).limit(20).collect()
+    want = {
+        r.doc_id: sum(len(encode_word(w, ranks)) for w in r.t.split(" ") if w)
+        for r in sample
+    }
+    got = {r.doc_id: r.n_tokens for r in rows if r.doc_id in want}
+    assert got == want
