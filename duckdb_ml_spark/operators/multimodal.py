@@ -104,13 +104,15 @@ def decode_media(
 
     fake="bytes": deterministic pseudo-decode — first 16 payload bytes / 255.0
     (zero-padded) — exercising the full Arrow-batched plumbing with checkable
-    output. fake=None: the REAL codec path — when PIL is importable on the
-    worker, each payload is decoded as an image, converted to grayscale,
-    resized to 4×4, and flattened to the same 16-dim feature layout
-    (pixels / 255); without PIL it raises a clean NotImplementedError (this
-    container ships no codec libs — tests/test_multimodal.py skip-marks the
-    PIL leg). Audio/video codecs would slot into the same branch
-    (soundfile.read / frame extraction) — one batch-decode seam for all three.
+    output. fake=None: the REAL codec path — each payload is decoded as an
+    image (PIL.Image.open when importable, else the pure-stdlib PNG decoder in
+    operators/png.py — zlib + unfilter, all five scanline filters), converted
+    to grayscale (ITU-R 601 integer luma, PIL convert("L") semantics), mean-
+    pool resized to 4×4, and flattened to the same 16-dim feature layout
+    (pixels / 255). A non-PNG payload with no PIL raises a clean
+    NotImplementedError (JPEG etc. need codec libs this container lacks).
+    Audio/video codecs would slot into the same branch (soundfile.read /
+    frame extraction) — one batch-decode seam for all three.
 
     Output schema: (id, n_bytes, features array<float>). Batch-shaped exactly
     like a production decoder: one Arrow batch in → one pandas frame out, no
@@ -119,29 +121,46 @@ def decode_media(
     import pandas as pd
 
     dim = _DECODE_DIM
+    if fake is None:
+        from duckdb_ml_spark.session import ensure_shipped
+
+        ensure_shipped(df.sparkSession)  # workers import operators.png
 
     def gen(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if fake is None:
+                from duckdb_ml_spark.operators.png import (
+                    png_decode,
+                    resize_mean,
+                    to_gray,
+                )
+
                 try:
                     import io
 
                     from PIL import Image
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "real media decode unavailable: install PIL/soundfile "
-                        "(this branch decodes images via PIL.Image.open; the "
-                        "container ships no codec libraries)"
-                    ) from e
+                except ImportError:
+                    Image = None
+
                 payloads = pdf[media_col]
                 side = int(dim**0.5)
                 feats = np.zeros((len(pdf), dim), dtype=np.float32)
                 for j, b in enumerate(payloads):
-                    img = Image.open(io.BytesIO(bytes(b))).convert("L")
-                    px = np.asarray(img.resize((side, side)), dtype=np.float32)
-                    feats[j] = px.ravel() / 255.0
+                    raw = bytes(b)
+                    if Image is not None:
+                        arr = np.asarray(Image.open(io.BytesIO(raw)))
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = png_decode(raw)
+                    else:
+                        raise NotImplementedError(
+                            "real media decode: payload is not PNG and no PIL "
+                            "is importable (non-PNG codecs need libraries this "
+                            "container lacks)"
+                        )
+                    gray = resize_mean(to_gray(arr), side, side)
+                    feats[j] = (gray.ravel() / 255.0).astype(np.float32)
                 yield pd.DataFrame(
                     {
                         "doc_id": pdf[id_col].to_numpy(),
@@ -187,6 +206,66 @@ SELECT doc_id,
        octet_length(text::BLOB) AS n_bytes,
        (ord(substr(text, 1, 1))::FLOAT / 255.0::FLOAT)::FLOAT::DOUBLE AS f0,
        (ord(substr(text, 2, 1))::FLOAT / 255.0::FLOAT)::FLOAT::DOUBLE AS f1
+FROM documents
+"""
+
+
+def _png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec driver row (VERDICT r3 item 5): PNG-encode each payload's
+    first 16 bytes as a 4×4 grayscale image (pure-stdlib encoder), then run
+    decode_media(fake=None) — the genuine decode branch: PNG parse, zlib
+    inflate, unfilter, luma, resize. The image is already 4×4 so the resize is
+    identity and each feature is exactly byte/255 in float32 — which the
+    oracle reproduces byte-for-byte from the text column."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    side = int(_DECODE_DIM**0.5)
+
+    def enc(batches):
+        from duckdb_ml_spark.operators.png import png_encode
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for b in pdf["media"]:
+                grid = np.zeros(_DECODE_DIM, dtype=np.uint8)
+                head = np.frombuffer(bytes(b)[:_DECODE_DIM], dtype=np.uint8)
+                grid[: len(head)] = head
+                # vary the scanline filter by content so decode covers all
+                # five unfilter paths in production, not just filter 0
+                payloads.append(png_encode(grid.reshape(side, side), int(head[0] % 5) if len(head) else 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "media": payloads})
+
+    pngs = media_table(spark, sf_dir).select("doc_id", "media").mapInPandas(
+        enc, "doc_id bigint, media binary"
+    )
+    dec = decode_media(pngs, fake=None)
+    return dec.select(
+        "doc_id",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+        F.element_at("features", _DECODE_DIM).cast("double").alias("f_last"),
+    )
+
+
+# byte k of the text (zero when the text is shorter), float32-rounded /255 then
+# widened — identical formula to the fake-decode oracle, but the Spark side
+# reaches it through a real PNG encode→decode roundtrip.
+def _png_oracle() -> str:
+    def px(k: int) -> str:
+        return (
+            f"((CASE WHEN octet_length(text::BLOB) >= {k} "
+            f"THEN ord(substr(text, {k}, 1)) ELSE 0 END)::FLOAT "
+            f"/ 255.0::FLOAT)::FLOAT::DOUBLE"
+        )
+
+    return f"""
+SELECT doc_id, {px(1)} AS f0, {px(2)} AS f1, {px(_DECODE_DIM)} AS f_last
 FROM documents
 """
 
@@ -342,6 +421,12 @@ QUERIES: dict[str, QuerySpec] = {
     "mm_type_stats": QuerySpec(
         "mm_type_stats", media_type_stats, _TYPE_STATS_ORACLE,
         doc="Corpus inventory by media type (count/total/max bytes).", tags=("multimodal",),
+    ),
+    "mm_decode_png": QuerySpec(
+        "mm_decode_png", _png_roundtrip_q, _png_oracle(),
+        doc="REAL codec path: stdlib PNG encode -> decode_media(fake=None) "
+        "(zlib inflate + unfilter + luma + resize), value-checked per byte.",
+        tags=("multimodal", "udf", "codec"),
     ),
     "mm_decode_features": QuerySpec(
         "mm_decode_features", _decode_q, _DECODE_ORACLE,

