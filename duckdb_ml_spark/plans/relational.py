@@ -479,6 +479,58 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str, mode: str = "exact
 
 
 @_register(
+    "price_quantiles_approx_band",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           (approx_quantile(l_extendedprice, 0.25)
+                BETWEEN quantile_cont(l_extendedprice, 0.23)
+                    AND quantile_cont(l_extendedprice, 0.27)
+            AND approx_quantile(l_extendedprice, 0.50)
+                BETWEEN quantile_cont(l_extendedprice, 0.48)
+                    AND quantile_cont(l_extendedprice, 0.52)
+            AND approx_quantile(l_extendedprice, 0.75)
+                BETWEEN quantile_cont(l_extendedprice, 0.73)
+                    AND quantile_cont(l_extendedprice, 0.77)) AS approx_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Approximate quantiles with a rank-band invariant — the 100 TB scale "
+    "path for price_quantiles_by_flag (VERDICT r3 item 7). Spark's "
+    "approx_percentile (Greenwald-Khanna, accuracy 10000 → rank error ≤ "
+    "n/10000) and DuckDB's approx_quantile (t-digest) produce different raw "
+    "estimates, so — exactly like the HLL events_distinct_users_approx "
+    "contract — the hash-checked columns are the exact quantiles plus the "
+    "documented property both sketches guarantee: each estimate lies between "
+    "the exact quantiles at q ± 0.02. The sketch is the scale path: fixed-size "
+    "mergeable map-side partials, no per-group value materialization.",
+    tags=("aggregate", "percentile", "approx", "sketch"),
+)
+def price_quantiles_approx_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ex = F.expr(
+        "percentile(l_extendedprice, array(0.23D, 0.25D, 0.27D, 0.48D, 0.50D, "
+        "0.52D, 0.73D, 0.75D, 0.77D))"
+    )
+    ap = F.expr("approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)")
+    agg = li.groupBy("l_returnflag").agg(ex.alias("ex"), ap.alias("ap"))
+    e = lambda i: F.element_at("ex", i)
+    a = lambda i: F.element_at("ap", i)
+    band = (
+        a(1).between(e(1), e(3)) & a(2).between(e(4), e(6)) & a(3).between(e(7), e(9))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(e(2), 6).alias("p25"),
+        F.round(e(5), 6).alias("p50"),
+        F.round(e(8), 6).alias("p75"),
+        band.alias("approx_in_band"),
+    )
+
+
+@_register(
     "set_ops_names",
     """
     SELECT n_name AS name FROM nation
