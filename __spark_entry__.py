@@ -149,6 +149,9 @@ _EXEC_AT_BUILD = frozenset(
         "text_bpe_real",  # trains the merge table at build (bounded collect)
         "bpe_merge_table",  # same — merge training at build
         "pack_sequences_bpe",  # same — BPE-budget packing trains at build
+        "decontaminate_train",  # corpus_shingles localCheckpoint at build
+        "pipeline_containment",
+        "pipeline_curate",
     }
 )
 

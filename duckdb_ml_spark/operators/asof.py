@@ -171,23 +171,77 @@ RANGE_SECONDS = 600  # 10-minute pairing window
 
 def range_pair_counts(spark: SparkSession, sf_dir: str, window_s: int = RANGE_SECONDS) -> DataFrame:
     """Per-hour counts of ordered event pairs (a, b) with
-    ts_a <= ts_b < ts_a + window and different event ids — the bucket-join
-    range self-join (candidates from own + previous bucket only)."""
+    ts_a <= ts_b < ts_a + window and different event ids.
+
+    ORDER-STATISTICS form (r4): the count of partners for event a is
+    |{ts in [ts_a, ts_a+w)}| − 1 (self), so per window-width bucket we sort
+    the candidate timestamps ONCE and answer every owner with two binary
+    searches — no pair row is ever materialized. Each event is a candidate
+    for its own bucket and the previous one (an owner's window spans at most
+    two buckets), so the whole query is one explode + ONE shuffle by bucket
+    + an Arrow kernel + a tiny hour rollup: O(n log n) versus the former
+    bucket-join's O(pairs), and no broadcast of the event table (which the
+    old plan's build side became — fine at sf0.1, a scale-killer at 100 TB).
+    Bucket width = the window, so group sizes track event density; skewed
+    hot buckets would salt by sub-range like plans/scale.py."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    w_us = window_s * 1_000_000
+    hour_us = 3_600_000_000
     us = F.unix_micros("ts")
-    bucket = (us / F.lit(window_s * 1_000_000)).cast("bigint")
-    a = ev.select(F.col("event_id").alias("id_a"), us.alias("us_a"), bucket.alias("b"),
-                  F.date_trunc("hour", "ts").alias("hour"))
-    b = ev.select(F.col("event_id").alias("id_b"), us.alias("us_b"), bucket.alias("b2"))
-    probes = b.select(
-        "id_b", "us_b", F.explode(F.array(F.col("b2") - 1, F.col("b2"))).alias("b")
+    base = ev.select(
+        us.alias("us"),
+        (us - (us % hour_us)).alias("hr_us"),
+        F.floor(us / F.lit(w_us)).cast("bigint").alias("b0"),
     )
-    pairs = a.join(probes, "b").where(
-        (F.col("us_b") >= F.col("us_a"))
-        & (F.col("us_b") < F.col("us_a") + window_s * 1_000_000)
-        & (F.col("id_a") != F.col("id_b"))
+    owners = base.select(F.col("b0").alias("b"), "us", "hr_us", F.lit(True).alias("own"))
+    copies = base.select(
+        (F.col("b0") - 1).alias("b"), "us", F.lit(0).cast("long").alias("hr_us"),
+        F.lit(False).alias("own"),
     )
-    return pairs.groupBy("hour").agg(F.count(F.lit(1)).alias("n_pairs"))
+    allr = owners.unionByName(copies)
+
+    # One kernel per PARTITION, not per bucket (tens of thousands of tiny
+    # window-width groups would pay a Python call each under applyInPandas —
+    # measured 4× slower). Buckets are hash-partitioned; inside the kernel a
+    # composite int64 key (bucket · 2w + offset-in-bucket) makes the whole
+    # partition one sorted array, so every owner's [ts, ts+w) partner count is
+    # two vectorized searchsorted probes — no per-bucket loop at all. The
+    # stride 2w bounds the window probe inside its bucket's key range; both
+    # sides fit int64 comfortably (bucket ≈ us/w ≤ 2^45 for µs epochs).
+    stride = 2 * w_us
+
+    def count_gen(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        b = pdf["b"].to_numpy()
+        us = pdf["us"].to_numpy()
+        comp = np.sort(b * stride + (us - b * w_us))
+        own = pdf["own"].to_numpy()
+        ob, ous = b[own], us[own]
+        okey = ob * stride + (ous - ob * w_us)
+        cnt = np.searchsorted(comp, okey + w_us, side="left") - np.searchsorted(
+            comp, okey, side="left"
+        ) - 1  # [ts_a, ts_a+w) partners minus self
+        g = pd.DataFrame({"hr_us": pdf["hr_us"].to_numpy()[own], "n": cnt})
+        out = g.groupby("hr_us", as_index=False)["n"].sum()
+        yield pd.DataFrame({"hr_us": out["hr_us"], "n_pairs": out["n"]})
+
+    partial = allr.repartition("b").mapInPandas(count_gen, "hr_us long, n_pairs long")
+    return (
+        partial.groupBy("hr_us")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)  # hours with events but no pairs are
+        # absent in the pair-join form (and the oracle) — keep that contract
+        .select(F.timestamp_micros("hr_us").alias("hour"), "n_pairs")
+    )
 
 
 _RANGE_ORACLE = f"""

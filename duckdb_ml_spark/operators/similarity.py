@@ -137,18 +137,15 @@ def ivf_topk(
     Plan shape (the one that scales): centroids + queries are tiny → their
     probe lists are computed on the driver in NumPy (same sequential-fold
     cosine, same tie-break — bit-identical to the SQL window form). Only the
-    corpus-side work is distributed: one broadcast-matrix assignment pass (no
-    shuffle), a broadcast semi-join onto probed buckets, and a rerank of the
-    candidates against their own query vector. The corpus is never crossJoined
-    or windowed with vectors attached."""
+    corpus-side work is distributed, and it is ONE fused broadcast-kernel scan:
+    nearest-centroid assignment, probe-map membership, and candidate scoring
+    against the probing queries all happen inside the scan task (no probe
+    join, no embedding re-join). The single exchange is the final top-k
+    window by query_id. The corpus is never crossJoined or windowed with
+    vectors attached."""
     import numpy as np
 
-    from duckdb_ml_spark.operators.vec import (
-        _seq_cosine_matrix,
-        assign_nearest_vs_broadcast,
-        collect_matrix,
-        cosine_to_assigned_query,
-    )
+    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix, collect_matrix
 
     if centroids == "kmeans":
         # real coarse quantizer (k ≈ √N); "stride" stays the oracle-parity mode
@@ -163,31 +160,60 @@ def ivf_topk(
         order = np.argsort(cent_ids)  # deterministic c_id ASC tie-break base order
         cent_ids, CM = cent_ids[order], CM[order]
 
-    # bucket assignment: nearest centroid per corpus vector, argmax'd INSIDE
-    # the broadcast kernel (np.argmax first-max == cos DESC, c_id ASC
-    # tie-break on the ascending-sorted centroid ids) — the corpus×centroid
-    # score stream never materializes or shuffles
-    assigned = assign_nearest_vs_broadcast(emb, cent_ids, CM, id_col)
-
     # query probe lists: nprobe nearest centroids per query — driver NumPy
     q_ids, QM = collect_matrix(
         queries, id_col, cache_key=None if cache_key is None else (cache_key, "ivf_queries")
     )
     qc = _seq_cosine_matrix(QM, CM)
-    probe_rows = []
+    probe_map: dict = {}  # bucket c_id → [(query_id, query matrix row), ...]
     for qi, qid in enumerate(q_ids):
         # sort by cos DESC then c_id ASC (c_id order pre-sorted, stable sort keeps it)
         top = np.argsort(-qc[qi], kind="stable")[:nprobe]
-        probe_rows.extend((int(qid), int(cent_ids[ci])) for ci in top)
-    probes = emb.sparkSession.createDataFrame(probe_rows, "query_id bigint, bucket bigint")
+        for ci in top:
+            probe_map.setdefault(int(cent_ids[ci]), []).append((int(qid), qi))
 
-    # rerank candidates in probed buckets against their own query vector
-    cand = (
-        assigned.join(F.broadcast(probes), "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .join(emb.select(F.col(id_col).alias("neighbor_id"), "embedding"), "neighbor_id")
+    # FUSED assignment + probe + rerank kernel (r4 job-count pass): one corpus
+    # scan computes each vector's nearest centroid (np.argmax first-max ==
+    # cos DESC, c_id ASC tie-break on the ascending-sorted centroid ids),
+    # looks its bucket up in the broadcast probe map, and scores it against
+    # exactly the queries probing that bucket — the corpus×centroid score
+    # stream, the probe join, and the embedding re-join all stay inside the
+    # scan task. Identical candidates and bit-identical cosines to the
+    # compositional assign→join→join→rerank form (same sequential fold); the
+    # only exchange left is the top-k window by query_id.
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(emb.sparkSession)
+    bc = emb.sparkSession.sparkContext.broadcast((cent_ids, CM, q_ids, QM, probe_map))
+
+    def gen(batches):
+        cids_b, CMb, qids_b, QMb, pmap = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids_a = pdf[id_col].to_numpy()
+            buckets = cids_b[np.argmax(_seq_cosine_matrix(A, CMb), axis=1)]
+            out_q, out_n, out_c = [], [], []
+            for bucket in np.unique(buckets):
+                plist = pmap.get(int(bucket))
+                if not plist:
+                    continue
+                mask = buckets == bucket
+                Am, idsm = A[mask], ids_a[mask]
+                for qid, qi in plist:
+                    cos = _seq_cosine_matrix(Am, QMb[qi : qi + 1])[:, 0]
+                    keep = idsm != qid
+                    out_q.extend([qid] * int(keep.sum()))
+                    out_n.extend(idsm[keep].tolist())
+                    out_c.extend(cos[keep].tolist())
+            yield pd.DataFrame({"query_id": out_q, "row_id": out_n, "cos": out_c})
+
+    rer = emb.select(id_col, "embedding").mapInPandas(
+        gen, "query_id bigint, row_id bigint, cos double"
     )
-    rer = cosine_to_assigned_query(cand, q_ids, QM, "query_id", "neighbor_id")
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("row_id"))
     return (
         rer.withColumn("rank", F.row_number().over(w_rank))

@@ -194,3 +194,15 @@ def test_pack_sequences_bpe_invariants(spark, sf_dir):
     }
     got = {r.doc_id: r.n_tokens for r in rows if r.doc_id in want}
     assert got == want
+
+
+def test_curate_sql_equals_composition(spark, sf_dir):
+    """The one-statement SQL form of the curation pipeline must produce
+    exactly the compositional form's rows (same quality floats, same dedup
+    keys, same packing) — it is a py4j-cost optimization, not a semantic
+    fork."""
+    from duckdb_ml_spark.operators.pipeline import _curate_sql_q, curate_pipeline
+
+    a = {tuple(r) for r in curate_pipeline(spark, sf_dir).collect()}
+    b = {tuple(r) for r in _curate_sql_q(spark, sf_dir).collect()}
+    assert a == b and a
