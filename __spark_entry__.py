@@ -15,67 +15,71 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Priority order for round 3 (VERDICT r2 item 3): queries that have NEVER had a
-# driver correctness row come first (streaming/sources/pipeline/analytics/...),
-# then unverified r1 fixes, then everything whose implementation changed this
-# round (shingle fast path → the minhash/jaccard dedup family; score gate →
-# sim_knn_join), then r1-green-but-unrechecked entries. r2-green relational
-# queries rotate out of the window — their code is untouched.
+# Round-4 rotation (VERDICT r3 item 2): the 44 entries with no r3 row — the
+# r1/r2-green relational/dedup/similarity/text set that rotated out last round,
+# plus the 2 never-driver-checked entries (text_bpe_real, stream_topk_types) —
+# come first, then the 2 r3-red fixes (pack_sequences oracle cast, ml_pred_sql
+# scalar projection), then the 4 queries new this round. That is exactly 50;
+# with r3's window this seals every pre-r4 entry within the last two rounds.
+# The r4-changed-but-r3-green queries (pipeline family, sim_topk_ivf,
+# range_event_pairs) sit just outside and are locally oracle-checked
+# (tools/oracle_check.py) against the same gate.
 _CHECK_PRIORITY = (
-    # never driver-checked (26)
-    "stream_interval_join",
-    "stream_dedup_events",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h",
-    "stream_sessions",
-    "stream_user_state",
-    "source_bucketed_join",
-    "source_parquet_roundtrip",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "pipeline_containment",
-    "decontaminate_train",
+    # no r3 row: r2-green relational
+    "pricing_summary",
+    "scaling_params",
+    "minmax_scaled",
+    "array_features",
+    "range_ids",
+    "customers_by_region",
+    "segment_order_stats",
+    "customers_without_orders",
+    "parts_in_large_lineitems",
+    "top_orders_per_segment",
+    "price_quantiles_by_flag",
+    "set_ops_names",
+    "rollup_region_nation",
+    "distinct_segments",
+    "conditional_agg_status",
+    "orders_by_month",
+    "orders_status_pivot",
+    "events_hourly",
+    "events_json_extract",
+    "grouping_sets_customers",
+    "orders_top_global",
+    "customer_order_gaps",
+    "revenue_by_nation",
+    "orders_rank_metrics",
+    "unpivot_part_measures",
+    "customers_above_nation_avg",
+    "events_distinct_users_approx",
+    # no r3 row: r1/r2-green dedup + similarity + text
+    "dedup_exact_keys",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "dedup_embedding_lsh_sigs",
+    "dedup_embedding_lsh_pairs",
+    "sim_quantized_topk",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "text_unigram_logprob",
+    "text_repetition_signals",
+    "text_vocab_topk",
+    "text_source_quality",
+    "text_keywords_topk",
+    "text_token_stats",
+    "text_quality_score",
+    # never driver-checked in any round
+    "text_bpe_real",
+    "stream_topk_types",
+    # r3-red fixes (VERDICT r3 item 1)
     "pack_sequences",
-    "pack_manifest",
-    "pack_stats",
-    "events_funnel",
-    "events_retention",
-    "events_gap_fill",
-    "events_anomaly_robust",
-    "skew_salted_agg",
-    "sample_temperature",
-    "mm_image_resize",
-    "asof_next_order_tol",
-    "ml_quality_filter",
     "ml_pred_sql",
-    "autompg_scaled",
-    # r1 hash-fail fixes never re-checked + the r2 harness-err fix
-    "mm_type_stats",
-    "sample_split_train_test",
-    "emb_normalize_quantize",
-    # implementation changed in round 3 (shingle codegen path / score gate)
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_keep_docs",
-    "sim_knn_join",
-    # new in round 3 (composed curation flagship)
-    "pipeline_curate",
-    # r1-green, never re-checked since
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "mm_metadata",
-    "mm_decode_features",
-    "mm_sample_frames",
-    "asof_last_order",
-    "range_event_pairs",
-    "sample_stratified",
-    "ml_create_ok",
-    "ml_list_models",
-    "ml_train_distributed",
-    "ml_train_predict",
+    # new in round 4
+    "bpe_merge_table",
+    "pack_sequences_bpe",
+    "mm_decode_png",
+    "price_quantiles_approx_band",
 )
 
 

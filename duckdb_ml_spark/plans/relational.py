@@ -509,23 +509,45 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str, mode: str = "exact
     tags=("aggregate", "percentile", "approx", "sketch"),
 )
 def price_quantiles_approx_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    ex = F.expr(
-        "percentile(l_extendedprice, array(0.23D, 0.25D, 0.27D, 0.48D, 0.50D, "
-        "0.52D, 0.73D, 0.75D, 0.77D))"
+    # Exact side via the Arrow per-group kernel (np.percentile 'linear' ==
+    # Spark percentile == DuckDB quantile_cont; same choice as
+    # price_quantiles_by_flag — the JVM `percentile` value→count map
+    # degenerates on ~97%-distinct prices, measured 2× slower). Approx side
+    # stays the JVM GK sketch — the thing under test. The two 3-row aggs join
+    # broadcast-cheap at the end.
+    import numpy as np
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    qs = [0.23, 0.25, 0.27, 0.48, 0.50, 0.52, 0.73, 0.75, 0.77]
+
+    def _pct9(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["l_extendedprice"].to_numpy())
+        p = np.percentile(v, [q * 100 for q in qs], method="linear")
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]],
+             **{f"e{i + 1}": [p[i]] for i in range(9)}}
+        )
+
+    ex = li.groupBy("l_returnflag").applyInPandas(
+        _pct9, "l_returnflag string, " + ", ".join(f"e{i + 1} double" for i in range(9))
     )
-    ap = F.expr("approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)")
-    agg = li.groupBy("l_returnflag").agg(ex.alias("ex"), ap.alias("ap"))
-    e = lambda i: F.element_at("ex", i)
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D), 10000)"
+        ).alias("ap")
+    )
     a = lambda i: F.element_at("ap", i)
     band = (
-        a(1).between(e(1), e(3)) & a(2).between(e(4), e(6)) & a(3).between(e(7), e(9))
+        a(1).between(F.col("e1"), F.col("e3"))
+        & a(2).between(F.col("e4"), F.col("e6"))
+        & a(3).between(F.col("e7"), F.col("e9"))
     )
-    return agg.select(
+    return ex.join(ap, "l_returnflag").select(
         "l_returnflag",
-        F.round(e(2), 6).alias("p25"),
-        F.round(e(5), 6).alias("p50"),
-        F.round(e(8), 6).alias("p75"),
+        F.round("e2", 6).alias("p25"),
+        F.round("e5", 6).alias("p50"),
+        F.round("e8", 6).alias("p75"),
         band.alias("approx_in_band"),
     )
 
