@@ -143,6 +143,8 @@ _EXEC_AT_BUILD = frozenset(
         "source_jsonl_roundtrip",
         "source_parquet_roundtrip",
         "source_bucketed_join",  # bucketed-table write
+        "source_orc_roundtrip",  # export + re-scan
+        "source_partitioned_pruned",  # partitioned write
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

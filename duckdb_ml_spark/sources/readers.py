@@ -76,6 +76,53 @@ def _parquet_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, out)
 
 
+def _orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export → native re-scan: Spark's second columnar format, same
+    pushdown/pruning machinery as parquet (predicate pushdown, column pruning,
+    vectorized reader). Customer exercises strings/decimals-as-doubles/ints;
+    the oracle reads the original parquet view, so the hash proves the ORC
+    sink+scan is type- and value-preserving."""
+    cust = load(spark, sf_dir, "customer")
+    out = _export_once(
+        cust.orderBy("c_custkey"),
+        "orc",
+        os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "customer_orc"),
+    )
+    return spark.read.orc(out)
+
+
+def _partitioned_parquet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy(source)) → pruned re-scan.
+
+    The layout every 100 TB corpus actually uses: one directory per partition
+    value, so a filter on the partition column prunes entire directories at
+    planning time — the scan below reads ONLY the selected sources' files
+    (asserted via PartitionFilters in tests/test_relational.py). The query
+    aggregates the re-read table per source; the oracle runs the same rollup
+    on the original documents view."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    out_dir = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "documents_by_source")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        docs.write.partitionBy("source").mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    pruned = back.where(F.col("source").isin("src1", "src7", "src13"))
+    return pruned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_PARTITIONED_ORACLE = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+WHERE source IN ('src1', 'src7', 'src13')
+GROUP BY source
+"""
+
+
 _N_BUCKETS = 8
 
 
@@ -170,5 +217,15 @@ QUERIES: dict[str, QuerySpec] = {
         "source_jsonl_roundtrip", _jsonl_roundtrip_q, "SELECT * FROM nation",
         doc="JSONL export → inferred-schema scan reproduces the table exactly.",
         tags=("source", "json"),
+    ),
+    "source_orc_roundtrip": QuerySpec(
+        "source_orc_roundtrip", _orc_roundtrip_q, "SELECT * FROM customer",
+        doc="ORC export → native re-scan reproduces the table exactly (second columnar format).",
+        tags=("source", "orc"),
+    ),
+    "source_partitioned_pruned": QuerySpec(
+        "source_partitioned_pruned", _partitioned_parquet_q, _PARTITIONED_ORACLE,
+        doc="partitionBy(source) write → partition-pruned scan + rollup (directory pruning at plan time).",
+        tags=("source", "parquet", "partitioning"),
     ),
 }

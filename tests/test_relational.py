@@ -104,3 +104,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The partition-column filter must appear as a PartitionFilters entry on
+    the scan (directory pruning at plan time), not a post-scan Filter over all
+    partitions; and the ORC roundtrip must preserve the schema exactly."""
+    from duckdb_ml_spark.sources.readers import _orc_roundtrip_q, _partitioned_parquet_q
+    from duckdb_ml_spark.tables import load
+
+    df = _partitioned_parquet_q(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "src1" in scan_line or "isnotnull(source" in scan_line
+
+    orc = _orc_roundtrip_q(spark, sf_dir)
+    assert orc.schema == load(spark, sf_dir, "customer").schema
