@@ -137,6 +137,8 @@ _EXEC_AT_BUILD = frozenset(
         "dedup_minhash_lsh_pairs",  # bounded signature collect
         "dedup_clusters",  # bounded edge collect (union-find)
         "dedup_keep_docs",
+        "dedup_keep_best",  # rides the same bounded union-find collect
+        "sim_tfidf_rescore",  # LSH candidate collect feeds the rescore
         "sim_knn_join",  # bounded-corpus count/collect/broadcast at build (ADVICE r3)
         "dedup_embedding_lsh_pairs",  # same — masked-broadcast kernel prep
         "source_csv_roundtrip",  # export + inference scan

@@ -24,7 +24,7 @@ swaps in the cheaper 64-bit JVM hash (same plan shape, no oracle parity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_ml_spark.operators.textnorm import (
@@ -730,6 +730,67 @@ def _dedup_keep_docs_oracle() -> str:
     """
 
 
+def dedup_keep_best(
+    nodes: DataFrame,
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep the HIGHEST-SCORING doc per near-dup cluster (tie → lowest id) —
+    the refinement real pipelines apply once a quality signal exists: keep-min-
+    id (dedup_keep_docs) discards arbitrarily; keep-best keeps the copy worth
+    training on. One window over (cluster_id) ranked by (score DESC, id ASC),
+    cluster_size ridden on the same partition — a single exchange beyond the
+    cluster labels themselves."""
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        j.select(
+            "cluster_id",
+            F.col(id_col),
+            F.col(score_col),
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        )
+        .where(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_doc_id"),
+            F.col(score_col).alias("keep_quality"),
+            "cluster_size",
+        )
+    )
+
+
+def _dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    cl = _dedup_clusters_q(spark, sf_dir)
+    return dedup_keep_best(docs, cl, quality_score(spark, sf_dir))
+
+
+def _dedup_keep_best_oracle() -> str:
+    from duckdb_ml_spark.operators.text import _QUALITY_ORACLE
+
+    return f"""
+    WITH clusters AS ({_dedup_clusters_oracle()}),
+    q AS ({_QUALITY_ORACLE}),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, q.quality_score,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS keep_quality,
+           cluster_size::BIGINT AS cluster_size
+    FROM ranked WHERE rk = 1
+    """
+
+
 LSH_BAND_BITS = 4  # 4 bands x 4 bits from the 16-bit signature
 
 
@@ -1120,6 +1181,14 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_dedup_keep_docs_oracle(),
         doc="Dedup output: keeper doc (min id) + cluster size per near-dup cluster.",
         tags=("dedup", "clustering"),
+    ),
+    "dedup_keep_best": QuerySpec(
+        name="dedup_keep_best",
+        builder=_dedup_keep_best_q,
+        oracle=_dedup_keep_best_oracle(),
+        doc="Keep the highest-quality doc per near-dup cluster (quality_score "
+        "argmax, id tie-break) — keep-best refinement of dedup_keep_docs.",
+        tags=("dedup", "clustering", "text", "pipeline"),
     ),
     "dedup_embedding_lsh_sigs": QuerySpec(
         name="dedup_embedding_lsh_sigs",

@@ -624,7 +624,100 @@ def _quantized_topk_oracle(dim: int = 64, k: int = TOP_K) -> str:
     """
 
 
+# --- sparse (TF-IDF) similarity ---------------------------------------------
+
+
+def tfidf_weights(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, w) sparse TF-IDF vectors: w = tf · ln(N / df).
+
+    Three aggregations, all term- or doc-colocated: tf (one explode+groupBy,
+    the same shuffle word_counts pays), df (groupBy over the already-distinct
+    (doc, term) pairs), and the scalar N broadcast via a 1-row cross join.
+    At 100 TB this is the inverted-index build — the df table is
+    vocabulary-sized and broadcasts; nothing carries documents."""
+    from duckdb_ml_spark.operators.textnorm import tokens
+
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(id_col, "term", (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("w"))
+    )
+
+
+def _tfidf_rescore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore MinHash-LSH candidate pairs with exact sparse TF-IDF cosine —
+    the candidate-generate→exact-rescore composition every similarity pipeline
+    runs, with a SECOND metric family (term-weighted sparse vectors) against
+    the signatures that proposed the pair. Candidates are LSH-bounded, so the
+    pair side always broadcasts; the weight relation joins term-colocated.
+    Score is a rounded aggregate (summation-order discipline per NOTES)."""
+    from duckdb_ml_spark.operators.dedup import _minhash_lsh_pairs_q
+
+    docs = load(spark, sf_dir, "documents")
+    cand = _minhash_lsh_pairs_q(spark, sf_dir).select("doc_a", "doc_b")
+    w = tfidf_weights(docs)
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wa = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("__wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("__wb"))
+    dots = (
+        wa.join(F.broadcast(cand), "doc_a")
+        .join(wb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("__na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("__nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias("tfidf_cos"),
+        )
+    )
+
+
+def _tfidf_rescore_oracle() -> str:
+    from duckdb_ml_spark.operators.dedup import _minhash_lsh_oracle
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    return f"""
+    WITH cand0 AS ({_minhash_lsh_oracle()}),
+    cand AS (SELECT doc_a, doc_b FROM cand0),
+    tok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != '' GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    w AS (SELECT doc_id, term, tf * ln(n / df) AS w
+          FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
+    SELECT c.doc_a, c.doc_b,
+           round(sum(wa.w * wb.w) / (max(na.nrm) * max(nb.nrm)), 6) AS tfidf_cos
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.doc_a
+    JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+    JOIN nrm na ON na.doc_id = c.doc_a
+    JOIN nrm nb ON nb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_tfidf_rescore": QuerySpec(
+        name="sim_tfidf_rescore",
+        builder=_tfidf_rescore_q,
+        oracle=_tfidf_rescore_oracle(),
+        doc="Exact sparse TF-IDF cosine rescoring of MinHash-LSH candidate pairs "
+        "(generate→rescore with a second metric family).",
+        tags=("similarity", "text", "tfidf"),
+    ),
     "sim_quantized_topk": QuerySpec(
         name="sim_quantized_topk",
         builder=quantized_topk,

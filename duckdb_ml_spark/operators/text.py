@@ -499,7 +499,100 @@ FROM lp GROUP BY doc_id
 """
 
 
+# --- PII detection / redaction -----------------------------------------------
+#
+# The synthetic corpus carries no real PII, so the driver query AUGMENTS each
+# doc deterministically from doc_id (both engines build the identical string:
+# an email every 5th doc, a phone every 7th, an IP every 11th) and then runs
+# the actual operator — regex detection counts + placeholder redaction — over
+# the augmented text. The patterns are the portable subset (no lookbehind)
+# that Java regex and RE2 interpret identically.
+
+PII_EMAIL_RX = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RX = "[0-9]{3}-[0-9]{4}"
+PII_IP_RX = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII inventory + redaction: counts per category (pre-redaction)
+    and the text with each match replaced by a typed placeholder, applied
+    email → phone → IP. Pure codegen expressions (regexp_count /
+    regexp_replace) — a map-only scan, embarrassingly parallel at any scale."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>"), PII_PHONE_RX, "<PHONE>"
+        ),
+        PII_IP_RX,
+        "<IP>",
+    )
+    return df.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL_RX)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RX)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP_RX)).alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" from 192.168."), (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string"))).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def _pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_pii_augmented(spark, sf_dir))
+
+
+_PII_ORACLE = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+                   ELSE '' END AS text
+    FROM documents
+),
+red AS (
+    SELECT doc_id, text,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RX}', '<PHONE>', 'g'),
+               '{PII_IP_RX}', '<IP>', 'g') AS r
+    FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RX}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{PII_PHONE_RX}'))::INT AS n_phones,
+       len(regexp_extract_all(text, '{PII_IP_RX}'))::INT AS n_ips,
+       md5(r) AS redacted_md5,
+       length(r)::INT AS redacted_len
+FROM red
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_pii_redact": QuerySpec(
+        "text_pii_redact", _pii_redact_q, _PII_ORACLE,
+        doc="PII detection counts + typed-placeholder redaction (email/phone/IP) "
+        "over deterministically augmented text; map-only codegen scan.",
+        tags=("text", "pii", "pipeline"),
+    ),
     "text_unigram_logprob": QuerySpec(
         "text_unigram_logprob", unigram_logprob, _UNIGRAM_LOGPROB_ORACLE,
         doc="Per-doc avg unigram log-prob under the corpus unigram LM (perplexity proxy).",

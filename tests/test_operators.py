@@ -666,3 +666,61 @@ def test_bpe_merge_table_matches_golden(spark):
     rows = bpe_merge_table(spark, "/root/testdata/sf0.01").collect()
     got = [(r.lhs, r.rhs) for r in sorted(rows, key=lambda r: r.merge_rank)]
     assert got == list(_SF001_GOLDEN_MERGES)
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """keep-best must select the max-score doc per cluster with the id
+    tie-break, and report the right cluster sizes."""
+    from duckdb_ml_spark.operators.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id bigint, cluster_id bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id bigint, quality_score double",
+    )
+    got = {r.cluster_id: r for r in dedup_keep_best(None, clusters, scores).collect()}
+    assert got[1].keep_doc_id == 2 and got[1].cluster_size == 3  # 0.9 tie -> lower id
+    assert got[10].keep_doc_id == 10 and got[10].cluster_size == 2
+
+
+def test_tfidf_rescore_properties(spark, sf_dir):
+    """TF-IDF cosine of LSH candidates: scores in [-1, 1] (weights can be
+    negative only if df > N, impossible -> [0, 1]); identical texts score 1."""
+    from duckdb_ml_spark.operators.similarity import tfidf_weights
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),  # exact dup of 1
+        (3, "alpha delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    w = tfidf_weights(docs)
+    from pyspark.sql import functions as F
+
+    norms = {r.doc_id: r.n for r in w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n")).collect()}
+    wl = {(r.doc_id, r.term): r.w for r in w.collect()}
+    # dup pair scores exactly 1
+    dot12 = sum(wl[(1, t)] * wl[(2, t)] for t in ("alpha", "beta", "gamma"))
+    assert abs(dot12 / (norms[1] * norms[2]) - 1.0) < 1e-12
+    # 'alpha' appears in every doc -> idf = ln(1) = 0 -> zero weight
+    assert wl[(1, "alpha")] == 0.0
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    from duckdb_ml_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at bob.smith@corp.example then call 555-0199 from 10.0.0.1"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 1, 1)
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0)
+    import hashlib
+
+    want = "mail me at <EMAIL> then call <PHONE> from <IP>"
+    assert got[1].redacted_md5 == hashlib.md5(want.encode()).hexdigest()
+    assert got[1].redacted_len == len(want)
