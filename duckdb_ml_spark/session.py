@@ -69,6 +69,18 @@ def get_spark(
         # At cluster scale the trade flips and the default (true) is right.
         .config("spark.shuffle.compress", "false" if compact else "true")
         .config("spark.shuffle.spill.compress", "false" if compact else "true")
+        # Compact-mode floor shaves (measured, tools/floor_probe.py style: the
+        # pair cuts the 2-stage agg floor 150→118 ms, the noop job 50→29 ms):
+        # locality.wait=0 — in single-node local mode every task is
+        # PROCESS_LOCAL, so delay scheduling only ever adds waits; dynamic
+        # partition pruning's subquery planning costs more than it can save
+        # when inputs are <2 GB. Both revert to Spark defaults at scale where
+        # they earn their cost.
+        .config("spark.locality.wait", "0" if compact else "3s")
+        .config(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+            "false" if compact else "true",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
