@@ -775,8 +775,8 @@ def _dedup_keep_best_oracle() -> str:
     from duckdb_ml_spark.operators.text import _QUALITY_ORACLE
 
     return f"""
-    WITH clusters AS ({_dedup_clusters_oracle()}),
-    q AS ({_QUALITY_ORACLE}),
+    WITH clusters AS MATERIALIZED ({_dedup_clusters_oracle()}),
+    q AS MATERIALIZED ({_QUALITY_ORACLE}),
     ranked AS (
         SELECT c.cluster_id, c.doc_id, q.quality_score,
                row_number() OVER (

@@ -688,16 +688,20 @@ def _tfidf_rescore_oracle() -> str:
     from duckdb_ml_spark.operators.dedup import _minhash_lsh_oracle
     from duckdb_ml_spark.operators.textnorm import tokens_sql
 
+    # MATERIALIZED is load-bearing: w/nrm are referenced 2× each and nrm
+    # contains w which contains the minhash candidate chain — default CTE
+    # inlining re-evaluates the whole upstream per reference (measured 142.7 s
+    # at sf0.1; materialized 0.57 s).
     return f"""
-    WITH cand0 AS ({_minhash_lsh_oracle()}),
-    cand AS (SELECT doc_a, doc_b FROM cand0),
+    WITH cand0 AS MATERIALIZED ({_minhash_lsh_oracle()}),
+    cand AS MATERIALIZED (SELECT doc_a, doc_b FROM cand0),
     tok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != '' GROUP BY 1, 2),
-    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term != '' GROUP BY 1, 2),
+    dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
     nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
-    w AS (SELECT doc_id, term, tf * ln(n / df) AS w
+    w AS MATERIALIZED (SELECT doc_id, term, tf * ln(n / df) AS w
           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
-    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
+    nrm AS MATERIALIZED (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1)
     SELECT c.doc_a, c.doc_b,
            round(sum(wa.w * wb.w) / (max(na.nrm) * max(nb.nrm)), 6) AS tfidf_cos
     FROM cand c
