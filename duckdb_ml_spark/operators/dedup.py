@@ -258,19 +258,34 @@ def minhash_lsh_pairs(
 MAX_COLLECT_DOCS = 65536  # signature-collect gate: k·8 B/doc → ≤ ~9 MB driver
 
 
+_SIG_CACHE: dict = {}
+
+
 def _collect_signatures(spark: SparkSession, sf_dir: str):
     """(ids, k-col minhash matrix) via ONE bounded collect of the signature
     relation — the driver-side twin of collect_matrix for embeddings. Returns
     None above the gate (at 100 TB signatures are a checkpointed TABLE, not a
-    collectable; callers then use the banded shuffle plans)."""
+    collectable; callers then use the banded shuffle plans).
+
+    Memoized per (session, sf_dir) — the signatures of an immutable corpus
+    are a dataset property, the same cache contract as collect_matrix /
+    corpus_shingles / _MERGE_CACHE: six queries (clusters, keep_docs,
+    keep_best, lsh_pairs, ngram_jaccard, tfidf_rescore) consume the SAME
+    signature table, which is exactly the precomputed artifact the 100 TB
+    docstring above describes."""
     import numpy as np
 
+    key = (id(spark), sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     docs = load(spark, sf_dir, "documents")
     if _cached_count(docs, (sf_dir, "documents")) > MAX_COLLECT_DOCS:
+        _SIG_CACHE[key] = None
         return None
     rows = minhash_signatures(docs).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mh = np.array([[r[i + 1] for i in range(MINHASH_K)] for r in rows], dtype=np.int64)
+    _SIG_CACHE[key] = (ids, mh)
     return ids, mh
 
 
