@@ -54,10 +54,20 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults sized to the data."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    compact = _dir_bytes(sf_dir or DEFAULT_SF_DIR) < COMPACT_INPUT_BYTES
+    total_bytes = _dir_bytes(sf_dir or DEFAULT_SF_DIR)
+    compact = total_bytes < COMPACT_INPUT_BYTES
     if shuffle_partitions is None:
         env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-        shuffle_partitions = int(env) if env else (4 if compact else 32)
+        # compact mode sizes shuffles to the DATA, not a constant: ~16 MB of
+        # input per shuffle partition, floor 4 (tiny suites keep the low
+        # task-launch floor), cap 32 (the rig's cores). Measured at the 16×
+        # derived scale: a 9.6M-row shuffle-hash join runs 1.24 s on 4
+        # partitions vs 0.91 s on 16.
+        shuffle_partitions = (
+            int(env)
+            if env
+            else (max(4, min(32, total_bytes // (16 << 20))) if compact else 32)
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Paired Spark/DuckDB probe at ~16× the driver's largest scale factor.
+
+The 100 TB argument rests on a measured trend: the committed sf0.01→sf0.1
+pairs show the Spark/DuckDB ratio falling 7.0× → 1.6× as the constant
+per-query floor amortizes into the data term. This tool extends the curve one
+more decade by DERIVING a larger dataset from the driver's own sf0.1 parquet
+(facts replicated with shifted keys, dimensions kept — the realistic shape of
+corpus growth), then running the same `queries()` / `oracle_sql()` pairs on
+both engines in one window.
+
+Derivation (deterministic, documented):
+- facts `orders`/`lineitem`/`events`/`documents` are unioned FACTOR times with
+  key columns shifted by i·stride (join integrity preserved: l_orderkey and
+  o_orderkey shift together); `documents.text` gets a per-replica suffix token
+  so replicas are near-dups, not byte-dups (keeps dedup semantics meaningful);
+- dims `region`/`nation`/`customer`/`supplier`/`part` and `embeddings` are
+  copied unchanged (dims grow slowly in practice; the vector family's
+  above-gate behavior is covered by strategy-equivalence pytests instead).
+
+FACTOR = 16 puts `documents` at 80 000 rows — ABOVE the 65 536 signature- and
+matrix-collect gates, so this probe exercises the distributed (banded/shuffle)
+code paths the bounded-corpus fast paths fall back from: the plans the design
+claims survive 100 TB.
+
+Usage:
+    python tools/scaleup_bench.py [--factor 16] [--runs 2] [--only q1,q2]
+Writes derived parquet under .tmp/sfx<factor>/ (reused if present); prints one
+JSON line {spark: {q: sec}, duckdb: {q: sec}, totals...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+SRC_SF = "/root/testdata/sf0.1"
+
+DIMS = ("region", "nation", "customer", "supplier", "part", "embeddings")
+KEY_SHIFTS = {
+    # table -> [(column, stride)]
+    "orders": [("o_orderkey", 10_000_000)],
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "events": [("event_id", 10_000_000)],
+    "documents": [("doc_id", 1_000_000)],
+}
+
+# Representative, data-bound subset: scans/aggs/windows on every fact table,
+# the decontam family (shared shingle index at 16x), the dedup families on
+# BOTH sides of the collect gate, and the sketch/band queries.
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "orders_rank_metrics",
+    "price_quantiles_approx_band",
+    "events_hourly",
+    "events_anomaly_robust",
+    "range_event_pairs",
+    "asof_last_order",
+    "text_quality_score",
+    "text_vocab_topk",
+    "text_pii_redact",
+    "dedup_exact_keys",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "decontaminate_train",
+    "pack_sequences",
+    "sample_stratified",
+    "events_distinct_users_approx",
+]
+
+
+def build_derived(out_dir: Path, factor: int) -> None:
+    import duckdb
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    marker = out_dir / "_DERIVED"
+    if marker.exists():
+        return
+    con = duckdb.connect()
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet') TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, shifts in KEY_SHIFTS.items():
+        parts = []
+        for i in range(factor):
+            cols = ["*"]
+            replace = ", ".join(
+                f"{col} + {i * stride} AS {col}" for col, stride in shifts
+            )
+            sel = f"SELECT * REPLACE ({replace})"
+            if t == "documents" and i > 0:
+                sel = sel.replace(
+                    "REPLACE (", f"REPLACE (text || ' rep{i}' AS text, "
+                )
+            parts.append(f"{sel} FROM '{SRC_SF}/{t}.parquet'")
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+    marker.touch()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-duck", action="store_true")
+    args = ap.parse_args()
+
+    out_dir = REPO / ".tmp" / f"sfx{args.factor}"
+    t0 = time.time()
+    build_derived(out_dir, args.factor)
+    print(f"derived data ready in {time.time() - t0:.1f}s: {out_dir}", file=sys.stderr)
+
+    names = args.only.split(",") if args.only else DEFAULT_QUERIES
+
+    import __spark_entry__ as entrymod
+    from duckdb_ml_spark.session import get_spark
+    from duckdb_ml_spark.testing import duckdb_connection
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark("scaleup", sf_dir=str(out_dir))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    s_times: dict[str, float] = {}
+    for name in names:
+        best = -1.0
+        try:
+            for _ in range(args.runs):
+                t1 = time.time()
+                qs[name](spark, str(out_dir)).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t1
+                best = dt if best < 0 else min(best, dt)
+            s_times[name] = round(best, 3)
+        except Exception as e:  # pragma: no cover - probe robustness
+            print(f"spark {name} FAILED: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+            s_times[name] = -1.0
+        print(f"spark {name}: {s_times[name]}", file=sys.stderr)
+
+    d_times: dict[str, float] = {}
+    if not args.skip_duck:
+        con = duckdb_connection(str(out_dir))
+        for name in names:
+            if name not in oracles:
+                continue
+            best = -1.0
+            try:
+                for _ in range(args.runs):
+                    t1 = time.time()
+                    con.execute(oracles[name]).fetchall()
+                    dt = time.time() - t1
+                    best = dt if best < 0 else min(best, dt)
+                d_times[name] = round(best, 3)
+            except Exception as e:  # pragma: no cover
+                print(f"duck {name} FAILED: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+                d_times[name] = -1.0
+            print(f"duck {name}: {d_times[name]}", file=sys.stderr)
+
+    shared = [n for n in names if s_times.get(n, -1) >= 0 and d_times.get(n, -1) >= 0]
+    ts = sum(s_times[n] for n in shared)
+    td = sum(d_times[n] for n in shared)
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "runs": args.runs,
+                "spark": s_times,
+                "duckdb": d_times,
+                "shared_total_spark": round(ts, 2),
+                "shared_total_duckdb": round(td, 2),
+                "ratio": round(ts / td, 3) if td else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
