@@ -147,6 +147,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_bucketed_join",  # bucketed-table write
         "source_orc_roundtrip",  # export + re-scan
         "source_partitioned_pruned",  # partitioned write
+        "sink_merge_upsert",  # target rebuild + merge at build
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

@@ -103,6 +103,36 @@ def foreach_batch_upsert(
     return w.start()
 
 
+def merge_upsert_parquet(
+    spark: SparkSession, path: str, updates: DataFrame, key_cols: list[str]
+) -> None:
+    """Batch MERGE INTO over a keyed parquet target — the batch twin of
+    foreach_batch_upsert, sharing its copy-on-write contract: matched keys are
+    replaced by the update row (last-writer-wins inside `updates` via
+    dropDuplicates on key), unmatched update keys are inserted, everything
+    else is carried over; the rewrite is atomic (staging dir + rename).
+
+    This is exactly what Delta/Iceberg's MERGE compiles to on plain parquet:
+    copy-on-write of the affected files. At 100 TB the carry-over must not
+    rewrite the whole table — partition the target (write_parquet_partitioned)
+    and restrict the read+rewrite to partitions containing update keys
+    (dynamic partition overwrite); the merge body below is unchanged."""
+    batch = updates.dropDuplicates(key_cols)
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        cur = spark.read.parquet(path)
+        kept = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+        merged = kept.unionByName(batch)
+    else:
+        merged = batch
+    staging = path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.options(header=True, **options).mode(mode).csv(path)
 

@@ -123,6 +123,46 @@ GROUP BY source
 """
 
 
+def _merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO demo over a keyed parquet target (sinks.
+    merge_upsert_parquet): UPDATE every 3rd supplier's balance (+1000),
+    INSERT a NEW_ row for every 5th, carry the rest — then read the merged
+    target back. The target is rebuilt from the base table each call, so the
+    result is a pure function of `supplier` and the oracle reproduces it as
+    a three-way UNION."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import merge_upsert_parquet
+
+    base = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    target = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "supplier_merge")
+    import shutil
+
+    shutil.rmtree(target, ignore_errors=True)
+    base.write.mode("overwrite").parquet(target)
+    upd_exist = base.where(F.col("s_suppkey") % 3 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 1000
+    )
+    upd_new = base.where(F.col("s_suppkey") % 5 == 0).select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"),
+        F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
+        F.lit(0.0).alias("s_acctbal"),
+    )
+    merge_upsert_parquet(spark, target, upd_exist.unionByName(upd_new), ["s_suppkey"])
+    return spark.read.parquet(target)
+
+
+_MERGE_UPSERT_ORACLE = """
+SELECT s_suppkey, s_name, s_acctbal + 1000 AS s_acctbal
+FROM supplier WHERE s_suppkey % 3 = 0
+UNION ALL
+SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 3 != 0
+UNION ALL
+SELECT s_suppkey + 100000 AS s_suppkey, 'NEW_' || s_name AS s_name, 0.0 AS s_acctbal
+FROM supplier WHERE s_suppkey % 5 = 0
+"""
+
+
 _N_BUCKETS = 8
 
 
@@ -222,6 +262,13 @@ QUERIES: dict[str, QuerySpec] = {
         "source_orc_roundtrip", _orc_roundtrip_q, "SELECT * FROM customer",
         doc="ORC export → native re-scan reproduces the table exactly (second columnar format).",
         tags=("source", "orc"),
+    ),
+    "sink_merge_upsert": QuerySpec(
+        "sink_merge_upsert", _merge_upsert_q, _MERGE_UPSERT_ORACLE,
+        doc="Batch MERGE INTO over keyed parquet (update + insert + carry, "
+        "copy-on-write staging rename) — the batch twin of the streaming "
+        "foreachBatch upsert sink.",
+        tags=("sink", "merge", "parquet"),
     ),
     "source_partitioned_pruned": QuerySpec(
         "source_partitioned_pruned", _partitioned_parquet_q, _PARTITIONED_ORACLE,

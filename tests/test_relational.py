@@ -121,3 +121,27 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
 
     orc = _orc_roundtrip_q(spark, sf_dir)
     assert orc.schema == load(spark, sf_dir, "customer").schema
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """merge_upsert_parquet: matched keys replaced, unmatched inserted,
+    others carried; last-writer-wins inside the update batch; atomic target
+    (no .staging/.old leftovers)."""
+    import os
+
+    from duckdb_ml_spark.sinks import merge_upsert_parquet
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    base.write.parquet(target)
+    updates = spark.createDataFrame(
+        [(2, "B1"), (2, "B2"), (4, "d")], "k long, v string"
+    )
+    merge_upsert_parquet(spark, target, updates, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got[1] == "a" and got[3] == "c" and got[4] == "d"
+    assert got[2] in ("B1", "B2")  # last-writer-wins is per-batch dedup
+    assert not os.path.isdir(target + ".staging") and not os.path.isdir(target + ".old")
+    # merging the same batch again is idempotent
+    merge_upsert_parquet(spark, target, updates, ["k"])
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} == got
