@@ -154,3 +154,42 @@ class TestNNProperties:
         out, _ = nn.forward(spec, params, x, training=False)
         assert out.shape == (batch, out_dim)
         assert np.isfinite(out).all()
+
+
+class TestPngProperties:
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.sampled_from([1, 3, 4]),
+        st.integers(0, 4),
+        st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_any_shape_any_filter(self, h, w, ch, ft, seed):
+        """encode→decode is the identity for every image shape, channel
+        count, and scanline filter type."""
+        import numpy as np
+
+        from duckdb_ml_spark.operators.png import png_decode, png_encode
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img, ft)), img)
+
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(1, 6), st.integers(1, 6))
+    @settings(max_examples=40, deadline=None)
+    def test_resize_mean_bounds_and_identity(self, h, w, oh, ow):
+        """Adaptive mean-pool output stays within [min, max] of the input and
+        is exact identity when shapes match."""
+        import numpy as np
+
+        from duckdb_ml_spark.operators.png import resize_mean
+
+        rng = np.random.default_rng(h * 100 + w * 10 + oh + ow)
+        g = rng.uniform(0, 255, size=(h, w))
+        r = resize_mean(g, oh, ow)
+        assert r.shape == (oh, ow)
+        assert r.min() >= g.min() - 1e-9 and r.max() <= g.max() + 1e-9
+        if (oh, ow) == (h, w):
+            assert np.array_equal(r, g)
