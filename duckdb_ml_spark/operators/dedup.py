@@ -255,6 +255,80 @@ def minhash_lsh_pairs(
     )
 
 
+NEW_MOD = 10  # pseudo "incoming batch": doc_id % NEW_MOD == 0
+
+
+def incremental_lsh_pairs(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    band_size: int = BAND_SIZE,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """(new_doc_id, dup_of, est_jaccard): near-dups of an INCOMING batch
+    against the EXISTING corpus — incremental dedup, the operation a running
+    pipeline actually performs on every ingest. Only the new batch is
+    signatured fresh; the corpus side is the maintained signature table
+    (here passed as a DataFrame; at 100 TB a banded table partitioned by
+    (band, bh), so the join prunes to the new batch's buckets). Cost is
+    O(new·bands + colliding buckets) — never O(corpus²) and never old×old.
+
+    Same banding/estimate math as minhash_lsh_pairs; no id ordering predicate
+    because the sides are disjoint."""
+
+    def banded(sig):
+        n_bands = k // band_size
+        mh_cols = [f"mh{i:02d}" for i in range(k)]
+        band_structs = ", ".join(
+            "struct({b} AS band, md5(concat_ws('|', {cat})) AS bh)".format(
+                b=b, cat=", ".join(f"mh{b * band_size + j:02d}" for j in range(band_size))
+            )
+            for b in range(n_bands)
+        )
+        return sig.selectExpr(
+            id_col, *mh_cols, f"explode(array({band_structs})) AS bb"
+        ).selectExpr(id_col, *mh_cols, "bb.band", "bb.bh")
+
+    a, b = banded(new_sig).alias("a"), banded(corpus_sig).alias("b")
+    est = " + ".join(
+        f"(CASE WHEN a.mh{i:02d} = b.mh{i:02d} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        a.join(b, F.expr("a.band = b.band AND a.bh = b.bh"))
+        .selectExpr(
+            f"a.{id_col} AS new_doc_id",
+            f"b.{id_col} AS dup_of",
+            f"CAST({est} AS DOUBLE) / {float(k)} AS est_jaccard",
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def _dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(load(spark, sf_dir, "documents"))
+    return incremental_lsh_pairs(
+        sig.where(F.col("doc_id") % NEW_MOD == 0),
+        sig.where(F.col("doc_id") % NEW_MOD != 0),
+    )
+
+
+def _dedup_incremental_oracle() -> str:
+    est = " + ".join(f"(sa.mh{i:02d} = sb.mh{i:02d})::INT" for i in range(MINHASH_K))
+    return f"""
+    WITH {_cand_ctes()}
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS dup_of,
+           ({est})::DOUBLE / {MINHASH_K}.0 AS est_jaccard
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       AND a.doc_id % {NEW_MOD} = 0 AND b.doc_id % {NEW_MOD} != 0
+    JOIN sig sa ON sa.doc_id = a.doc_id
+    JOIN sig sb ON sb.doc_id = b.doc_id
+    WHERE ({est})::DOUBLE / {MINHASH_K}.0 >= 0.3
+    """
+
+
 MAX_COLLECT_DOCS = 65536  # signature-collect gate: k·8 B/doc → ≤ ~9 MB driver
 
 
@@ -1196,6 +1270,14 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_dedup_keep_docs_oracle(),
         doc="Dedup output: keeper doc (min id) + cluster size per near-dup cluster.",
         tags=("dedup", "clustering"),
+    ),
+    "dedup_incremental": QuerySpec(
+        name="dedup_incremental",
+        builder=_dedup_incremental_q,
+        oracle=_dedup_incremental_oracle(),
+        doc="Incremental dedup: banded LSH join of the incoming batch's "
+        "signatures against the maintained corpus table (never old×old).",
+        tags=("dedup", "lsh", "incremental"),
     ),
     "dedup_keep_best": QuerySpec(
         name="dedup_keep_best",

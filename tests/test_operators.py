@@ -724,3 +724,35 @@ def test_pii_redact_counts_and_replaces(spark):
     want = "mail me at <EMAIL> then call <PHONE> from <IP>"
     assert got[1].redacted_md5 == hashlib.md5(want.encode()).hexdigest()
     assert got[1].redacted_len == len(want)
+
+
+def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
+    """The incremental new-vs-corpus banded join must produce exactly the
+    (one-side-new) subset of the full all-pairs LSH output — the efficiency
+    path changes the plan, never the answer."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.dedup import (
+        NEW_MOD,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from duckdb_ml_spark.tables import load
+
+    sig = minhash_signatures(load(spark, sf_dir, "documents"))
+    inc = {
+        (r.new_doc_id, r.dup_of, r.est_jaccard)
+        for r in incremental_lsh_pairs(
+            sig.where(F.col("doc_id") % NEW_MOD == 0),
+            sig.where(F.col("doc_id") % NEW_MOD != 0),
+        ).collect()
+    }
+    full = minhash_lsh_pairs(sig).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r.doc_a % NEW_MOD == 0, r.doc_b % NEW_MOD == 0
+        if a_new != b_new:
+            new, old = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            want.add((new, old, r.est_jaccard))
+    assert inc == want and inc
