@@ -170,7 +170,55 @@ GROUP BY d.source
 """
 
 
+def importance_sample(
+    df: DataFrame, keep_prob: Column, id_col: str = "doc_id", salt: str = "imp"
+) -> DataFrame:
+    """Keep each row with its OWN probability, deterministically: row kept iff
+    hash-uniform(salt, id) < keep_prob. The quality-weighted downsampling
+    stage of a curation pipeline (better docs survive more often), with the
+    same reproducibility contract as every sampler here — pure column
+    expression, partition-order independent, re-runnable, engine-portable.
+    Uniform = md5-derived bucket / N (granularity 1/N; exact tie handling
+    matches the SQL twin by construction)."""
+    u = hash_bucket(F.col(id_col), salt).cast("double") / N_BUCKETS
+    return df.where(u < keep_prob)
+
+
+def _importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of quality-weighted sampling: keep_prob =
+    quality_score (∈[0,1] by construction on this corpus), kept counts and
+    mean kept-quality per source."""
+    from duckdb_ml_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    kept = importance_sample(docs.join(q, "doc_id"), F.col("quality_score"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality_score"), 6).alias("mean_kept_quality"),
+    )
+
+
+def _importance_oracle() -> str:
+    from duckdb_ml_spark.operators.text import _QUALITY_ORACLE
+
+    return f"""
+    WITH q AS MATERIALIZED ({_QUALITY_ORACLE})
+    SELECT d.source, count(*) AS n_kept,
+           round(avg(q.quality_score), 6) AS mean_kept_quality
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE {_hash_bucket_sql("d.doc_id", "imp")}::DOUBLE / {N_BUCKETS} < q.quality_score
+    GROUP BY d.source
+    """
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_importance": QuerySpec(
+        "sample_importance", _importance_q, _importance_oracle(),
+        doc="Quality-weighted importance sampling (per-row keep probability, "
+        "deterministic hash-uniform) with per-source audit rollup.",
+        tags=("sampling", "pipeline", "text"),
+    ),
     "sample_temperature": QuerySpec(
         "sample_temperature", _temperature_q, _TEMPERATURE_ORACLE,
         doc="Deterministic temperature (τ=0.5) source resampling: rate table + kept counts.",

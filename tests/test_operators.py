@@ -756,3 +756,21 @@ def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
             new, old = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
             want.add((new, old, r.est_jaccard))
     assert inc == want and inc
+
+
+def test_importance_sample_respects_probabilities(spark):
+    """keep_prob=0 keeps nothing, 1.0 keeps everything, and the kept set is
+    identical across repartitionings (determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id bigint")
+    assert importance_sample(df, F.lit(0.0)).count() == 0
+    assert importance_sample(df, F.lit(1.0)).count() == 500
+    half = importance_sample(df, F.lit(0.5))
+    n = half.count()
+    assert 150 < n < 350  # hash-uniform, not exact
+    a = {r.doc_id for r in half.collect()}
+    b = {r.doc_id for r in importance_sample(df.repartition(7), F.lit(0.5)).collect()}
+    assert a == b
