@@ -624,6 +624,113 @@ def _quantized_topk_oracle(dim: int = 64, k: int = TOP_K) -> str:
     """
 
 
+# --- persistent IVF index (build once, query many) ---------------------------
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, stride: int = CENTROID_STRIDE
+) -> None:
+    """Persist the IVF index as tables: `centroids` parquet (c_id, embedding)
+    + `assign` parquet PARTITIONED BY bucket. This is the serving shape every
+    ANN system uses — the corpus-scale assignment pass runs ONCE at build;
+    a query then touches only its probed buckets' partitions (directory
+    pruning, asserted in tests). Idempotent per path (marker file)."""
+    import os
+
+    from duckdb_ml_spark.operators.vec import assign_nearest_vs_broadcast, collect_matrix
+
+    marker = os.path.join(path, "_INDEX_READY")
+    if os.path.exists(marker):
+        return
+    emb = load(spark, sf_dir, "embeddings")
+    cent_ids, CM = collect_matrix(
+        emb.where(F.col("vec_id") % stride == 0), "vec_id",
+        cache_key=(sf_dir, "ivf_cent", stride),
+    )
+    import numpy as np
+
+    order = np.argsort(cent_ids)
+    cent_ids, CM = cent_ids[order], CM[order]
+    assigned = assign_nearest_vs_broadcast(emb, cent_ids, CM, "vec_id")
+    assigned.write.partitionBy("bucket").mode("overwrite").parquet(
+        os.path.join(path, "assign")
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in CM[i]]) for i, c in enumerate(cent_ids)],
+        "c_id bigint, embedding array<double>",
+    )
+    cdf.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    open(marker, "w").close()
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Query the PERSISTED index: probe lists computed on the driver from the
+    stored centroid table (same argsort/tie-break as ivf_topk — bit-identical
+    results), the stored assignment table read with a bucket filter that
+    prunes to the probed partitions, candidates gathered + reranked against
+    their own query vector. No assignment pass, no full-index scan."""
+    import os
+
+    import numpy as np
+
+    from duckdb_ml_spark.operators.vec import (
+        _seq_cosine_matrix,
+        collect_matrix,
+        cosine_to_assigned_query,
+    )
+
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    crows.sort(key=lambda r: r.c_id)
+    cent_ids = np.array([r.c_id for r in crows], dtype=np.int64)
+    CM = np.array([r.embedding for r in crows], dtype=np.float64)
+    q_ids, QM = collect_matrix(
+        queries, "vec_id", cache_key=(sf_dir, "ivf_queries")
+    )
+    qc = _seq_cosine_matrix(QM, CM)
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        top = np.argsort(-qc[qi], kind="stable")[:nprobe]
+        probe_rows.extend((int(qid), int(cent_ids[ci])) for ci in top)
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, bucket bigint")
+    buckets = sorted({b for _, b in probe_rows})
+
+    assign = spark.read.parquet(os.path.join(path, "assign")).where(
+        F.col("bucket").isin(buckets)  # partition-pruned scan
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    cand = (
+        assign.join(F.broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+    )
+    rer = cosine_to_assigned_query(cand, q_ids, QM, "query_id", "neighbor_id")
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("row_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("row_id").alias("neighbor_id"), "rank")
+    )
+
+
+def _ivf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".tmp", os.path.basename(sf_dir), "ivf_index")
+    build_ivf_index(spark, sf_dir, path)
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_from_index(
+        spark, sf_dir, path, emb.where(F.col("vec_id") < N_QUERIES)
+    )
+
+
 # --- sparse (TF-IDF) similarity ---------------------------------------------
 
 
@@ -772,5 +879,14 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_IVF_ORACLE,
         doc="IVF-bucketed approximate top-5 (probe 3 of N/25 coarse buckets).",
         tags=("similarity", "ann", "ivf"),
+    ),
+    "sim_topk_ivf_index": QuerySpec(
+        name="sim_topk_ivf_index",
+        builder=_ivf_index_q,
+        oracle=_IVF_ORACLE,  # identical contract: the persisted index must
+        # answer exactly like a fresh build
+        doc="Persistent IVF index: build-once (partitioned assignment table + "
+        "centroid table) then probe-pruned query — same results as sim_topk_ivf.",
+        tags=("similarity", "ann", "ivf", "index"),
     ),
 }

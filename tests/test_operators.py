@@ -774,3 +774,30 @@ def test_importance_sample_respects_probabilities(spark):
     a = {r.doc_id for r in half.collect()}
     b = {r.doc_id for r in importance_sample(df.repartition(7), F.lit(0.5)).collect()}
     assert a == b
+
+
+def test_ivf_index_prunes_partitions_and_matches_fresh(spark, sf_dir, tmp_path):
+    """The persisted index's query scan must carry a bucket PartitionFilter
+    (directory pruning — the point of partitioning the assignment table) and
+    return exactly the fresh-build ivf_topk rows."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from duckdb_ml_spark.operators.vec import embedding_dim
+    from duckdb_ml_spark.tables import load
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, path)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    got = ivf_topk_from_index(spark, sf_dir, path, queries)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in scan_line
+    fresh = ivf_topk(emb, queries, dim=embedding_dim(emb, cache_key=sf_dir), cache_key=sf_dir)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in fresh.collect()}
