@@ -99,6 +99,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.asof",
         "duckdb_ml_spark.operators.analytics",
         "duckdb_ml_spark.operators.sampling",
+        "duckdb_ml_spark.operators.dq",
         "duckdb_ml_spark.operators.pipeline",
         "duckdb_ml_spark.plans.scale",
         "duckdb_ml_spark.functions.queries",

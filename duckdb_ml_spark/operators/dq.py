@@ -1,0 +1,161 @@
+"""Data-quality operators: constraint audits + column profiling.
+
+Every production pipeline gates ingest on declared expectations (the
+deequ/great-expectations pattern): primary-key uniqueness, referential
+integrity, non-null columns, value ranges, enum domains. These run as plain
+aggregations — one scan per table, a broadcast/shuffle anti-join for the FK
+check — so the audit costs one pass at any scale and the output is a tiny
+(check, violations) table a scheduler can gate on.
+
+The profiler is the ANALYZE-style per-column statistics table (null counts,
+distinct counts, numeric min/max) that drives partition sizing, skew
+detection, and join planning decisions when humans are in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_ml_spark.plans.relational import QuerySpec
+from duckdb_ml_spark.tables import load
+
+ORDER_STATUSES = ("O", "F", "P")
+
+
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over orders/lineitem: one row per declared check.
+
+    Checks: PK uniqueness (o_orderkey), FK integrity (every l_orderkey has an
+    order — anti-join count), non-null o_custkey, positive o_totalprice, and
+    the o_orderstatus enum domain. All but the FK are ONE aggregate over one
+    scan; the FK is a left-anti join that at scale shuffles on the join key
+    (here the orders side broadcasts). Violations == 0 rows are reported too:
+    an audit that omits passing checks can't distinguish 'passed' from
+    'never ran'."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    agg = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup_orderkey"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_totalprice"
+        ),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(*ORDER_STATUSES), 1).otherwise(0)
+        ).alias("bad_orderstatus"),
+    )
+    fk = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    row = agg.crossJoin(F.broadcast(fk))
+    checks = [
+        "pk_dup_orderkey",
+        "null_custkey",
+        "nonpositive_totalprice",
+        "bad_orderstatus",
+        "orphan_lineitems",
+    ]
+    stacked = ", ".join(f"'{c}', {c}" for c in checks)
+    return row.selectExpr(
+        f"stack({len(checks)}, {stacked}) AS (check_name, violations)"
+    ).select("check_name", F.col("violations").cast("long").alias("violations"))
+
+
+_DQ_AUDIT_ORACLE = f"""
+WITH a AS (
+    SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dup_orderkey,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_totalprice,
+           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_orderstatus
+    FROM orders
+),
+fk AS (
+    SELECT count(*) AS orphan_lineitems
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+)
+SELECT 'pk_dup_orderkey' AS check_name, pk_dup_orderkey::BIGINT AS violations FROM a
+UNION ALL SELECT 'null_custkey', null_custkey::BIGINT FROM a
+UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice::BIGINT FROM a
+UNION ALL SELECT 'bad_orderstatus', bad_orderstatus::BIGINT FROM a
+UNION ALL SELECT 'orphan_lineitems', orphan_lineitems::BIGINT FROM fk
+"""
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics over orders: rows, nulls, exact
+    distinct count, numeric min/max (NULL for string columns), string min/max
+    (NULL for numerics). One aggregate pass computes every column's stats
+    simultaneously (map-side partials; no per-column scans), then the wide
+    row unpivots via stack — the same one-scan shape ANALYZE TABLE uses."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__dist"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    wide = orders.agg(*aggs)
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        mn = f"{c}__min" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx = f"{c}__max" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{c}', __n, {c}__nulls, {c}__dist, {mn}, {mx}")
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+    ).selectExpr(
+        "column_name",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_nulls AS BIGINT) AS n_nulls",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "min_num",
+        "max_num",
+    )
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        mn = f"min({c})::DOUBLE" if kind == "num" else "NULL::DOUBLE"
+        mx = f"max({c})::DOUBLE" if kind == "num" else "NULL::DOUBLE"
+        selects.append(
+            f"SELECT '{c}' AS column_name, count(*)::BIGINT AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, {mn} AS min_num, "
+            f"{mx} AS max_num FROM orders"
+        )
+    return "\nUNION ALL ".join(selects)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dq_audit_orders": QuerySpec(
+        name="dq_audit_orders",
+        builder=dq_audit_orders,
+        oracle=_DQ_AUDIT_ORACLE,
+        doc="Constraint audit (PK uniqueness, FK integrity, non-null, range, "
+        "enum domain) as a (check, violations) gate table.",
+        tags=("dq", "pipeline"),
+    ),
+    "dq_profile_orders": QuerySpec(
+        name="dq_profile_orders",
+        builder=profile_orders,
+        oracle=_profile_oracle(),
+        doc="ANALYZE-style per-column profile (rows/nulls/distinct/min/max) "
+        "in one aggregate pass + stack unpivot.",
+        tags=("dq", "profiling"),
+    ),
+}

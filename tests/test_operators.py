@@ -801,3 +801,46 @@ def test_ivf_index_prunes_partitions_and_matches_fresh(spark, sf_dir, tmp_path):
     assert "bucket" in scan_line
     fresh = ivf_topk(emb, queries, dim=embedding_dim(emb, cache_key=sf_dir), cache_key=sf_dir)
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in fresh.collect()}
+
+
+def test_dq_audit_detects_injected_violations(spark, sf_dir):
+    """The audit must be 0-violation on the clean corpus and detect every
+    class of injected corruption."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.dq import dq_audit_orders
+    from duckdb_ml_spark.tables import load
+
+    clean = {r.check_name: r.violations for r in dq_audit_orders(spark, sf_dir).collect()}
+    assert set(clean) == {
+        "pk_dup_orderkey", "null_custkey", "nonpositive_totalprice",
+        "bad_orderstatus", "orphan_lineitems",
+    }
+    assert all(v == 0 for v in clean.values()), clean
+
+    # inject: a duplicated key, a null custkey, a negative price, a bad enum
+    orders = load(spark, sf_dir, "orders")
+    first = orders.limit(1)
+    bad = first.select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        *[F.col(c) for c in orders.columns if c not in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")],
+        F.lit(-5.0).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    ).select(*orders.columns)
+    import duckdb_ml_spark.operators.dq as dq
+    import duckdb_ml_spark.tables as tables
+
+    corrupted = orders.unionByName(bad)
+    orig = tables.load
+    try:
+        tables_load = lambda sp, sf, t: corrupted if t == "orders" else orig(sp, sf, t)
+        dq.load = tables_load
+        got = {r.check_name: r.violations for r in dq.dq_audit_orders(spark, sf_dir).collect()}
+    finally:
+        dq.load = orig
+    assert got["pk_dup_orderkey"] == 1
+    assert got["null_custkey"] == 1
+    assert got["nonpositive_totalprice"] == 1
+    assert got["bad_orderstatus"] == 1
+    assert got["orphan_lineitems"] == 0
