@@ -150,6 +150,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_partitioned_pruned",  # partitioned write
         "sink_merge_upsert",  # target rebuild + merge at build
         "sim_topk_ivf_index",  # index build/write + probe collect at build
+        "source_schema_evolution",  # snapshot writes at build
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

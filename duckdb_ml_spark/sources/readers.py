@@ -163,6 +163,47 @@ FROM supplier WHERE s_suppkey % 5 = 0
 """
 
 
+def _schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet snapshots of the same table written
+    with DIFFERENT schemas (v2 adds o_orderstatus), read together with
+    mergeSchema=true — the reader widens to the union schema and fills
+    missing columns with NULL. This is how a 100 TB corpus actually ages:
+    early shards lack columns later pipelines added, and every consumer must
+    read across the boundary without rewriting history. The rollup groups by
+    the evolved column, so v1 rows surface as the NULL group."""
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders")
+    base = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "orders_evolving")
+    marker = os.path.join(base, "_SNAPSHOTS_READY")
+    if not os.path.exists(marker):
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+        open(marker, "w").close()
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM (
+    SELECT o_totalprice, NULL AS o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderstatus
+"""
+
+
 _N_BUCKETS = 8
 
 
@@ -262,6 +303,12 @@ QUERIES: dict[str, QuerySpec] = {
         "source_orc_roundtrip", _orc_roundtrip_q, "SELECT * FROM customer",
         doc="ORC export → native re-scan reproduces the table exactly (second columnar format).",
         tags=("source", "orc"),
+    ),
+    "source_schema_evolution": QuerySpec(
+        "source_schema_evolution", _schema_evolution_q, _SCHEMA_EVOLUTION_ORACLE,
+        doc="mergeSchema read across snapshots with different schemas (added "
+        "column surfaces as NULL for old shards) + rollup by the evolved column.",
+        tags=("source", "parquet", "schema"),
     ),
     "sink_merge_upsert": QuerySpec(
         "sink_merge_upsert", _merge_upsert_q, _MERGE_UPSERT_ORACLE,
