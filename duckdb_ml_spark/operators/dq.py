@@ -141,7 +141,88 @@ def _profile_oracle() -> str:
     return "\nUNION ALL ".join(selects)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    part_col: str = "source",
+) -> DataFrame:
+    """Release diff between two corpus snapshots: per partition, how many
+    docs were added / removed / changed (same id, different content hash) /
+    unchanged. The audit every corpus release publishes; one full-outer join
+    on the id (at scale both sides bucketed by id → exchange-free) with
+    content compared by hash so full texts never shuffle."""
+    o = old.select(
+        F.col(id_col), F.col(part_col).alias("__po"), F.md5(F.col(content_col)).alias("__ho")
+    )
+    n = new.select(
+        F.col(id_col), F.col(part_col).alias("__pn"), F.md5(F.col(content_col)).alias("__hn")
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce("__pn", "__po").alias(part_col), status.alias("status"))
+        .groupBy(part_col, "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 snapshot simulated deterministically from documents (both engines
+    derive the identical v2): drop doc_id%13==0, rewrite text of %7==0,
+    add a new doc (id+5_000_000) for every %11==0."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") % 13 != 0)
+    changed = kept.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    new = changed.unionByName(added.select(*changed.columns))
+    return snapshot_diff(docs, new)
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH new AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 != 0
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, source, text
+    FROM documents WHERE doc_id % 11 = 0
+),
+j AS (
+    SELECT coalesce(n.source, o.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN md5(o.text) != md5(n.text) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_snapshot_diff": QuerySpec(
+        name="dq_snapshot_diff",
+        builder=_snapshot_diff_q,
+        oracle=_SNAPSHOT_DIFF_ORACLE,
+        doc="Corpus release diff: added/removed/changed/unchanged doc counts "
+        "per source between two snapshots (hash-compared full-outer join).",
+        tags=("dq", "pipeline", "snapshot"),
+    ),
     "dq_audit_orders": QuerySpec(
         name="dq_audit_orders",
         builder=dq_audit_orders,

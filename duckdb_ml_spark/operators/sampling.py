@@ -190,9 +190,12 @@ def _importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean kept-quality per source."""
     from duckdb_ml_spark.operators.text import quality_score
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    kept = importance_sample(docs.join(q, "doc_id"), F.col("quality_score"))
+    # quality carried with source in ONE projection over the scan — no join
+    # back onto documents (saves a shuffle + second scan)
+    q = quality_score(spark, sf_dir, carry=("source",)).select(
+        "doc_id", "source", "quality_score"
+    )
+    kept = importance_sample(q, F.col("quality_score"))
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("quality_score"), 6).alias("mean_kept_quality"),

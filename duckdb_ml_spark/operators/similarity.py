@@ -663,6 +663,9 @@ def build_ivf_index(
     open(marker, "w").close()
 
 
+_INDEX_CACHE: dict = {}
+
+
 def ivf_topk_from_index(
     spark: SparkSession,
     sf_dir: str,
@@ -686,10 +689,20 @@ def ivf_topk_from_index(
         cosine_to_assigned_query,
     )
 
-    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    crows.sort(key=lambda r: r.c_id)
-    cent_ids = np.array([r.c_id for r in crows], dtype=np.int64)
-    CM = np.array([r.embedding for r in crows], dtype=np.float64)
+    # a serving process holds the index open: centroid matrix + the assign
+    # table's file listing are loaded once per (session, path), not per query
+    ckey = (id(spark), path)
+    cached = _INDEX_CACHE.get(ckey)
+    if cached is None:
+        crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+        crows.sort(key=lambda r: r.c_id)
+        cached = (
+            np.array([r.c_id for r in crows], dtype=np.int64),
+            np.array([r.embedding for r in crows], dtype=np.float64),
+            spark.read.parquet(os.path.join(path, "assign")),
+        )
+        _INDEX_CACHE[ckey] = cached
+    cent_ids, CM, assign_df = cached
     q_ids, QM = collect_matrix(
         queries, "vec_id", cache_key=(sf_dir, "ivf_queries")
     )
@@ -701,9 +714,7 @@ def ivf_topk_from_index(
     probes = spark.createDataFrame(probe_rows, "query_id bigint, bucket bigint")
     buckets = sorted({b for _, b in probe_rows})
 
-    assign = spark.read.parquet(os.path.join(path, "assign")).where(
-        F.col("bucket").isin(buckets)  # partition-pruned scan
-    )
+    assign = assign_df.where(F.col("bucket").isin(buckets))  # partition-pruned scan
     emb = load(spark, sf_dir, "embeddings")
     cand = (
         assign.join(F.broadcast(probes), "bucket")

@@ -76,16 +76,19 @@ FROM documents
 # --- quality score -----------------------------------------------------------
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(spark: SparkSession, sf_dir: str, carry: tuple = ()) -> DataFrame:
     """Heuristic quality components + combined score, all integer/double exact.
 
     score = 0.4·alpha_ratio + 0.3·uniq_ratio + 0.3·stopword_presence
     (alpha-heavy text, lexical diversity, and natural-language stopword rate —
-    the standard cheap pre-filters in LLM data pipelines)."""
+    the standard cheap pre-filters in LLM data pipelines). `carry` columns
+    ride the projection so consumers (importance sampling) need no join back
+    onto documents."""
     docs = load(spark, sf_dir, "documents")
     # normalized text materialized once; tokens/hits both derive from it
     base = docs.select(
         "doc_id",
+        *carry,
         F.length("text").alias("__nc"),
         F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).alias("__na"),
         norm_text(F.col("text")).alias("__n"),
@@ -99,6 +102,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = stop_hits.cast("double") / n_tokens
     return base.select(
         "doc_id",
+        *carry,
         alpha_ratio.alias("alpha_ratio"),
         uniq_ratio.alias("uniq_ratio"),
         stop_ratio.alias("stop_ratio"),
