@@ -151,6 +151,7 @@ _EXEC_AT_BUILD = frozenset(
         "sink_merge_upsert",  # target rebuild + merge at build
         "sim_topk_ivf_index",  # index build/write + probe collect at build
         "source_schema_evolution",  # snapshot writes at build
+        "sink_compaction",  # shard + compact writes at build
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

@@ -133,6 +133,26 @@ def merge_upsert_parquet(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def compact_small_files(
+    spark: SparkSession, in_dir: str, out_dir: str, target_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction: rewrite a directory of parquet shards into
+    ceil(total_bytes / target_bytes) size-targeted files. The housekeeping op
+    every parquet lake runs — thousands of tiny files mean per-file open
+    cost, tiny row groups, and task-scheduling overhead at read time; after
+    compaction each scan task gets a full-size file. The rewrite is one read
+    + one coalesce write (no shuffle: coalesce only merges partitions).
+    Returns the output file count."""
+    total = 0
+    for root, _dirs, files in os.walk(in_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, -(-total // target_bytes))
+    spark.read.parquet(in_dir).coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.options(header=True, **options).mode(mode).csv(path)
 

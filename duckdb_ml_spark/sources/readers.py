@@ -123,6 +123,38 @@ GROUP BY source
 """
 
 
+def _compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shatter documents into 64 tiny shards, compact them back to
+    size-targeted files (sinks.compact_small_files), then prove content
+    preservation with a per-source rollup the oracle runs on the original
+    table. The file-count collapse itself is pytest-asserted."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import compact_small_files
+
+    docs = load(spark, sf_dir, "documents")
+    base = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "compaction")
+    shards, out = os.path.join(base, "shards"), os.path.join(base, "compacted")
+    marker = os.path.join(base, "_COMPACTED")
+    if not os.path.exists(marker):
+        docs.repartition(64).write.mode("overwrite").parquet(shards)
+        compact_small_files(spark, shards, out)
+        open(marker, "w").close()
+    back = spark.read.parquet(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars")).alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents GROUP BY source
+"""
+
+
 def _merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE INTO demo over a keyed parquet target (sinks.
     merge_upsert_parquet): UPDATE every 3rd supplier's balance (+1000),
@@ -309,6 +341,12 @@ QUERIES: dict[str, QuerySpec] = {
         doc="mergeSchema read across snapshots with different schemas (added "
         "column surfaces as NULL for old shards) + rollup by the evolved column.",
         tags=("source", "parquet", "schema"),
+    ),
+    "sink_compaction": QuerySpec(
+        "sink_compaction", _compaction_q, _COMPACTION_ORACLE,
+        doc="Small-file compaction (64 shards -> size-targeted files) with a "
+        "content-preservation rollup checked against the original table.",
+        tags=("sink", "compaction", "parquet"),
     ),
     "sink_merge_upsert": QuerySpec(
         "sink_merge_upsert", _merge_upsert_q, _MERGE_UPSERT_ORACLE,

@@ -145,3 +145,18 @@ def test_merge_upsert_semantics(spark, tmp_path):
     # merging the same batch again is idempotent
     merge_upsert_parquet(spark, target, updates, ["k"])
     assert {r.k: r.v for r in spark.read.parquet(target).collect()} == got
+
+
+def test_compaction_collapses_files_preserving_rows(spark, sf_dir, tmp_path):
+    from duckdb_ml_spark.sinks import compact_small_files
+    from duckdb_ml_spark.tables import load
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    shards = str(tmp_path / "shards")
+    out = str(tmp_path / "out")
+    docs.repartition(32).write.parquet(shards)
+    n_in = sum(1 for f in os.listdir(shards) if f.endswith(".parquet"))
+    n_out = compact_small_files(spark, shards, out, target_bytes=128 << 20)
+    assert n_in == 32 and n_out < n_in
+    assert spark.read.parquet(out).count() == docs.count()
