@@ -92,6 +92,18 @@ def min_max_scaler(c: str) -> Column:
     return (F.col(c) - F.col(f"min_{c}")) / F.nullif(rng, F.lit(0))
 
 
+def register_sql_macros(spark: SparkSession) -> None:
+    """The reference's CREATE MACRO surface at the SQL level (SURVEY §2.3 #13):
+    Spark 3.5 SQL scalar functions are the direct analogue of DuckDB scalar
+    macros — same declaration shape, same SQL-callable ergonomics. The Python
+    Column form (min_max_scaler above) stays the engine-internal path; this
+    registration serves users who write SQL, exactly like autompg.sql:14-16."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION min_max_scaler(v DOUBLE, mn DOUBLE, mx DOUBLE) "
+        "RETURNS DOUBLE RETURN (v - mn) / nullif(mx - mn, 0)"
+    )
+
+
 def scaled_autompg(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """CSV scan -> params cross join -> min-max-scaled projection of all six
     columns (autompg.sql:25-68). sf_dir is unused (the dataset is fixed-shape)

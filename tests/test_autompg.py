@@ -162,3 +162,26 @@ def test_sqltrain_list_rewrite_spares_indexing_and_strings():
         == "SELECT '[not a list]', array(3)"
     )
     assert _rewrite_list_literals("SELECT f(x)[2]") == "SELECT f(x)[2]"
+
+
+def test_sql_macro_form_matches_column_macro(spark):
+    """The SQL-surface scalar macro (CREATE FUNCTION ... RETURN, SURVEY §2.3
+    #13) must scale identically to the Python Column macro."""
+    from duckdb_ml_spark.autompg import (
+        COLUMNS,
+        ensure_autompg_csv,
+        register_sql_macros,
+        scaled_autompg,
+        scaling_params,
+    )
+    from duckdb_ml_spark.sources.readers import read_csv
+
+    register_sql_macros(spark)
+    df = read_csv(spark, ensure_autompg_csv())
+    df.crossJoin(scaling_params(df)).createOrReplaceTempView("__amg")
+    exprs = ", ".join(
+        f"min_max_scaler({c}, min_{c}, max_{c}) AS scaled_{c}" for c in COLUMNS
+    )
+    sql_rows = {tuple(r) for r in spark.sql(f"SELECT {exprs} FROM __amg").collect()}
+    col_rows = {tuple(r) for r in scaled_autompg(spark).collect()}
+    assert sql_rows == col_rows and sql_rows
