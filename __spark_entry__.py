@@ -99,6 +99,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.asof",
         "duckdb_ml_spark.operators.analytics",
         "duckdb_ml_spark.operators.sampling",
+        "duckdb_ml_spark.operators.pq",
         "duckdb_ml_spark.operators.dq",
         "duckdb_ml_spark.operators.pipeline",
         "duckdb_ml_spark.plans.scale",
@@ -150,6 +151,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_partitioned_pruned",  # partitioned write
         "sink_merge_upsert",  # target rebuild + merge at build
         "sim_topk_ivf_index",  # index build/write + probe collect at build
+        "sim_pq_recall_band",  # codebook training collect + LUT build at build
         "source_schema_evolution",  # snapshot writes at build
         "sink_compaction",  # shard + compact writes at build
         "autompg_scaled",  # CSV inference scan

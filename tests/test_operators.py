@@ -844,3 +844,50 @@ def test_dq_audit_detects_injected_violations(spark, sf_dir):
     assert got["nonpositive_totalprice"] == 1
     assert got["bad_orderstatus"] == 1
     assert got["orphan_lineitems"] == 0
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    import numpy as np
+
+    from duckdb_ml_spark.operators.pq import train_pq_codebooks
+
+    rs = np.random.RandomState(7)
+    X = rs.randn(200, 64)
+    b1 = train_pq_codebooks(X, m=8, k=16, seed=13, iters=4)
+    b2 = train_pq_codebooks(X, m=8, k=16, seed=13, iters=4)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)  # bit-identical across runs (seeded init)
+    b3 = train_pq_codebooks(X, m=8, k=16, seed=14, iters=4)
+    assert not np.array_equal(b1, b3)
+
+
+def test_pq_encode_matches_numpy_argmin(spark, sf_dir):
+    import numpy as np
+
+    from duckdb_ml_spark.operators.pq import pq_codebooks_for, pq_encode
+    from duckdb_ml_spark.operators.vec import collect_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks_for(spark, sf_dir)
+    got = {
+        r.vec_id: (r.l2, list(r.codes))
+        for r in pq_encode(emb, books).collect()
+    }
+    ids, X = collect_matrix(emb, "vec_id")
+    m, _, dsub = books.shape
+    for i, vid in enumerate(ids[:50]):
+        l2, codes = got[int(vid)]
+        assert abs(l2 - np.sqrt((X[i] * X[i]).sum())) < 1e-9
+        for s in range(m):
+            sub = X[i, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[None, :] - books[s]) ** 2).sum(axis=1)
+            assert codes[s] == int(np.argmin(d2))
+
+
+def test_pq_recall_band_all_ok(spark, sf_dir):
+    from duckdb_ml_spark.operators.pq import _pq_recall_band_q
+    from duckdb_ml_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = _pq_recall_band_q(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    assert all(r.pq_recall_ok for r in rows)
