@@ -322,6 +322,101 @@ FROM p, LATERAL unnest(generate_series((o // {PACK_CAPACITY})::BIGINT,
 """
 
 
+# --- provenance manifest (byte spans) ----------------------------------------
+
+
+def pack_manifest_spans(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Pack manifest with DOCUMENT-SPAN PROVENANCE: per (doc, pack) segment,
+    the doc-relative token span AND the byte span within the doc's normalized
+    text (NOTES r4 surface candidate — a loader needs byte offsets to slice
+    the source document without re-tokenizing; an attribution query needs the
+    inverse map from a training block back into the document).
+
+    Offsets are against the normalized text (textnorm contract: lowercase,
+    alnum-collapsed, single-space-joined — the exact string
+    `concat_ws(' ', tokens)`), so byte_start/byte_end are well-defined and
+    engine-checkable: token i starts at len(join(tokens[:i])) + 1 separator.
+    The corpus here is ASCII so bytes == chars on both engines.
+
+    Plan: the same one-window-per-shard running sum as pack_sequences, then a
+    per-doc explode of touched pack_ids; the byte arithmetic is
+    slice + concat_ws + length — all codegen builtins, no HOF lambdas, no
+    second pass over the text."""
+    ws = tokens(F.col(text_col))
+    base = docs.select(id_col, part_col, ws.alias("__w")).select(
+        id_col, part_col, "__w", F.size("__w").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    off = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    packed = base.select(
+        id_col, part_col, "__w", "n_tokens", off.alias("o")
+    )
+    o, n = F.col("o"), F.col("n_tokens")
+    first = F.floor(o / capacity).cast("bigint")
+    last = F.floor((o + n - 1) / capacity).cast("bigint")
+    seg = packed.select(
+        id_col, part_col, "__w", "n_tokens", "o",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    p = F.col("pack_id")
+    ts = F.greatest(p * capacity - o, F.lit(0)).cast("bigint")
+    te = F.least((p + 1) * capacity - o, n).cast("bigint")
+    # byte offset of token i in concat_ws(' ', w): len of the first i tokens
+    # joined, +1 separator when i > 0; end offset is inclusive-join length
+    pre = F.length(F.concat_ws(" ", F.slice("__w", 1, ts.cast("int"))))
+    byte_start = F.when(ts == 0, F.lit(0)).otherwise(pre + 1).cast("bigint")
+    byte_end = F.length(F.concat_ws(" ", F.slice("__w", 1, te.cast("int")))).cast("bigint")
+    return seg.select(
+        id_col,
+        part_col,
+        "pack_id",
+        ts.alias("tok_start"),
+        (te - ts).alias("tokens_in_pack"),
+        byte_start.alias("byte_start"),
+        byte_end.alias("byte_end"),
+    )
+
+
+def _pack_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_manifest_spans(load(spark, sf_dir, "documents"))
+
+
+_PACK_SPANS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents
+),
+p AS (
+    SELECT doc_id, source, ws, len(ws) AS n,
+           coalesce(sum(len(ws)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+    FROM t
+),
+seg AS (
+    SELECT doc_id, source, ws, n, o, pack_id,
+           greatest(pack_id * {PACK_CAPACITY} - o, 0) AS ts,
+           least((pack_id + 1) * {PACK_CAPACITY} - o, n) AS te
+    FROM p, LATERAL unnest(generate_series((o // {PACK_CAPACITY})::BIGINT,
+                                           ((o + n - 1) // {PACK_CAPACITY})::BIGINT)) AS u(pack_id)
+)
+SELECT doc_id, source, pack_id,
+       ts::BIGINT AS tok_start,
+       (te - ts)::BIGINT AS tokens_in_pack,
+       (CASE WHEN ts = 0 THEN 0
+             ELSE length(array_to_string(ws[1:ts::INT], ' ')) + 1 END)::BIGINT AS byte_start,
+       length(array_to_string(ws[1:te::INT], ' '))::BIGINT AS byte_end
+FROM seg
+"""
+
+
 # --- pack utilization rollup -------------------------------------------------
 
 
@@ -661,6 +756,14 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_PACK_MANIFEST_ORACLE,
         doc="Pack manifest: one row per (doc, pack) segment with the token span.",
         tags=("pipeline", "packing"),
+    ),
+    "pack_manifest_spans": QuerySpec(
+        name="pack_manifest_spans",
+        builder=_pack_spans_q,
+        oracle=_PACK_SPANS_ORACLE,
+        doc="Pack manifest with byte-span provenance: per (doc, pack) segment, "
+        "the doc-relative token span and byte offsets into the normalized text.",
+        tags=("pipeline", "packing", "provenance"),
     ),
     "pack_stats": QuerySpec(
         name="pack_stats",

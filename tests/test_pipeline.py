@@ -206,3 +206,35 @@ def test_curate_sql_equals_composition(spark, sf_dir):
     a = {tuple(r) for r in curate_pipeline(spark, sf_dir).collect()}
     b = {tuple(r) for r in _curate_sql_q(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_pack_manifest_spans_slice_back_to_tokens(spark, sf_dir):
+    """byte_start/byte_end must slice the normalized text to exactly the
+    segment's tokens — the provenance contract a loader relies on."""
+    from duckdb_ml_spark.operators.pipeline import pack_manifest_spans
+    from duckdb_ml_spark.operators.textnorm import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    norm = {r.doc_id: r.nt for r in docs.select("doc_id", norm_text(F.col("text")).alias("nt")).collect()}
+    rows = pack_manifest_spans(docs).collect()
+    assert len(rows) > 0
+    seen_multi = False
+    for r in rows:
+        nt = norm[r.doc_id]
+        seg = nt[r.byte_start:r.byte_end]
+        toks = nt.split(" ")[r.tok_start:r.tok_start + r.tokens_in_pack]
+        assert seg == " ".join(toks), (r.doc_id, r.pack_id)
+        if r.tok_start > 0 or r.tokens_in_pack < len(nt.split(" ")):
+            seen_multi = True
+    # the corpus must actually exercise boundary-straddling docs
+    assert seen_multi
+    # per-doc segments tile the doc: token spans concatenate to the full text
+    from collections import defaultdict
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.pack_id)
+        total = sum(r.tokens_in_pack for r in rs)
+        assert total == len(norm[d].split(" "))
+        assert rs[0].tok_start == 0
