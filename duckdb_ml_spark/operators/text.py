@@ -590,7 +590,83 @@ FROM red
 """
 
 
+# --- overlapping token-window chunking ---------------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (CHUNK_W - CHUNK_S = 8 tokens of overlap)
+
+
+def chunk_stride(
+    df: DataFrame,
+    window: int = CHUNK_W,
+    stride: int = CHUNK_S,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks — the RAG /
+    context-window preprocessing every retrieval or embedding pipeline runs
+    before encoding: chunk i covers tokens [i*stride, i*stride + window),
+    the tail chunk is shorter, a doc with <= window tokens is one chunk.
+
+    n_chunks = 1 + ceil(max(0, n - window) / stride), so consecutive chunks
+    overlap by window - stride tokens and every token is covered.
+
+    Plan: map-only — tokenize once, explode `sequence(0, n_chunks-1)`, build
+    each chunk with slice + concat_ws (codegen builtins; the token array is
+    carried per exploded row, same linear-copy asymptotics as
+    exploded_shingles). No shuffle at any scale."""
+    ws = tokens(F.col(text_col))
+    base = df.select(id_col, ws.alias("__w")).select(
+        id_col, "__w", F.size("__w").cast("bigint").alias("n")
+    )
+    n = F.col("n")
+    n_chunks = 1 + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("bigint")
+    ch = base.select(
+        id_col, "__w", "n", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id")
+    )
+    start = F.col("chunk_id") * stride
+    clen = F.least(F.lit(window), n - start)
+    return ch.select(
+        id_col,
+        "chunk_id",
+        start.cast("bigint").alias("tok_start"),
+        clen.cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("__w", (start + 1).cast("int"), clen.cast("int"))
+        ).alias("chunk_text"),
+    )
+
+
+def _chunk_stride_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_stride(load(spark, sf_dir, "documents"))
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {tokens_sql("text")} AS ws FROM documents
+),
+b AS (
+    SELECT doc_id, ws, len(ws) AS n,
+           1 + ceil(greatest(n - {CHUNK_W}, 0) / {CHUNK_S}.0)::BIGINT AS n_chunks
+    FROM t
+)
+SELECT doc_id, chunk_id,
+       (chunk_id * {CHUNK_S})::BIGINT AS tok_start,
+       least({CHUNK_W}, n - chunk_id * {CHUNK_S})::BIGINT AS n_chunk_tokens,
+       array_to_string(ws[(chunk_id * {CHUNK_S} + 1)::INT
+                         : (chunk_id * {CHUNK_S} + least({CHUNK_W}, n - chunk_id * {CHUNK_S}))::INT],
+                       ' ') AS chunk_text
+FROM b, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(chunk_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_chunk_stride": QuerySpec(
+        "text_chunk_stride", _chunk_stride_q, _CHUNK_ORACLE,
+        doc="Overlapping fixed-token chunking (window 32, stride 24) — the "
+        "RAG/embedding context-window splitter; map-only codegen plan.",
+        tags=("text", "chunking", "pipeline"),
+    ),
     "text_pii_redact": QuerySpec(
         "text_pii_redact", _pii_redact_q, _PII_ORACLE,
         doc="PII detection counts + typed-placeholder redaction (email/phone/IP) "

@@ -891,3 +891,42 @@ def test_pq_recall_band_all_ok(spark, sf_dir):
     rows = _pq_recall_band_q(spark, sf_dir).collect()
     assert len(rows) == N_QUERIES * TOP_K
     assert all(r.pq_recall_ok for r in rows)
+
+
+def test_chunk_stride_covers_and_overlaps(spark, sf_dir):
+    """Chunk coverage contract: chunks tile each doc with window/stride
+    overlap, the tail is shorter, every token appears in >= 1 chunk, and
+    chunk_text round-trips against the normalized text."""
+    from duckdb_ml_spark.operators.text import CHUNK_S, CHUNK_W, chunk_stride
+    from duckdb_ml_spark.operators.textnorm import norm_text
+
+    docs = load(spark, sf_dir, "documents")
+    norm = {
+        r.doc_id: r.nt
+        for r in docs.select("doc_id", norm_text(F.col("text")).alias("nt")).collect()
+    }
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in chunk_stride(docs).collect():
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == set(norm)
+    saw_multi = False
+    for d, rs in by_doc.items():
+        toks = norm[d].split(" ")
+        n = len(toks)
+        rs.sort(key=lambda r: r.chunk_id)
+        assert rs[0].tok_start == 0
+        expected = 1 + max(0, -(-(n - CHUNK_W) // CHUNK_S)) if n > CHUNK_W else 1
+        assert len(rs) == expected
+        covered = set()
+        for r in rs:
+            assert r.chunk_text == " ".join(toks[r.tok_start:r.tok_start + r.n_chunk_tokens])
+            assert r.n_chunk_tokens <= CHUNK_W
+            covered.update(range(r.tok_start, r.tok_start + r.n_chunk_tokens))
+        assert covered == set(range(n))
+        if len(rs) > 1:
+            saw_multi = True
+            # consecutive chunks overlap by exactly W - S (except the tail)
+            assert rs[1].tok_start == CHUNK_S
+    assert saw_multi
