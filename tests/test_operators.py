@@ -930,3 +930,34 @@ def test_chunk_stride_covers_and_overlaps(spark, sf_dir):
             # consecutive chunks overlap by exactly W - S (except the tail)
             assert rs[1].tok_start == CHUNK_S
     assert saw_multi
+
+
+def test_dedup_clusters_distributed_path_matches_union_find(spark, sf_dir):
+    """Force max_collect_edges=0 so the distributed min-label propagation
+    executes, and prove it emits exactly the bounded union-find's components —
+    the strategy-equivalence contract for the clustering gate."""
+    from duckdb_ml_spark.operators.dedup import dedup_clusters
+
+    # toy graph with a chain (needs >1 propagation hop) + isolated node
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    bounded = {r.doc_id: r.cluster_id for r in dedup_clusters(nodes, pairs).collect()}
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(nodes, pairs, max_collect_edges=0).collect()
+    }
+    assert dist == bounded == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    # real corpus pair graph at test SF
+    from duckdb_ml_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    b2 = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, cand).collect()}
+    d2 = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, cand, max_collect_edges=0).collect()
+    }
+    assert d2 == b2
