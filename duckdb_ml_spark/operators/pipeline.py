@@ -417,6 +417,84 @@ FROM seg
 """
 
 
+# --- greedy no-split packing -------------------------------------------------
+
+
+def pack_greedy_nosplit(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """First-fit-in-order packing that NEVER SPLITS a document across packs —
+    the padded-batch discipline (each pack is padded to capacity; a doc that
+    would overflow starts a new pack; an oversize doc gets its own pack).
+    The complement of pack_sequences' concat-then-chunk.
+
+    Semantics (per shard, doc_id order): fill += n; when fill + n > capacity
+    the doc opens pack p+1 with fill = n. This running state has no
+    prefix-sum closed form (each boundary depends on the previous boundary),
+    so it is genuinely sequential WITHIN a shard — and embarrassingly
+    parallel ACROSS shards, which is the axis that matters at 100 TB (shards
+    are the unit of packing in practice, same as pack_sequences). Implemented
+    as one applyInPandas kernel per source shard — few LARGE groups, the
+    sanctioned shape (NOTES: per-tiny-group applyInPandas is the
+    anti-pattern); the kernel is a single O(n_docs) pass.
+
+    The oracle is a DuckDB recursive CTE stepping rn → rn+1 per shard — the
+    same recursion-depth-bounded pattern as the dedup_clusters oracle."""
+    import pandas as pd
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = docs.select(id_col, part_col, n_tok.cast("bigint").alias("n_tokens"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        pack_ids = []
+        p, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            if first:
+                p, fill, first = 0, int(n), False
+            elif fill + int(n) > capacity:
+                p, fill = p + 1, int(n)
+            else:
+                fill += int(n)
+            pack_ids.append(p)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[[id_col, part_col, "n_tokens", "pack_id"]]
+
+    return base.groupBy(part_col).applyInPandas(
+        _pack, f"{id_col} bigint, {part_col} string, n_tokens bigint, pack_id bigint"
+    )
+
+
+def _pack_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_greedy_nosplit(load(spark, sf_dir, "documents"))
+
+
+_PACK_NOSPLIT_ORACLE = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, source, len({tokens_sql("text")})::BIGINT AS n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, n_tokens, rn, 0::BIGINT AS pack_id, n_tokens AS fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+           CASE WHEN r.fill + t.n_tokens > {PACK_CAPACITY}
+                THEN r.pack_id + 1 ELSE r.pack_id END,
+           CASE WHEN r.fill + t.n_tokens > {PACK_CAPACITY}
+                THEN t.n_tokens ELSE r.fill + t.n_tokens END
+    FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT doc_id, source, n_tokens, pack_id FROM r
+"""
+
+
 # --- pack utilization rollup -------------------------------------------------
 
 
@@ -755,6 +833,14 @@ QUERIES: dict[str, QuerySpec] = {
         builder=_pack_manifest_q,
         oracle=_PACK_MANIFEST_ORACLE,
         doc="Pack manifest: one row per (doc, pack) segment with the token span.",
+        tags=("pipeline", "packing"),
+    ),
+    "pack_greedy_nosplit": QuerySpec(
+        name="pack_greedy_nosplit",
+        builder=_pack_nosplit_q,
+        oracle=_PACK_NOSPLIT_ORACLE,
+        doc="First-fit no-split packing (padded-batch discipline) — sequential "
+        "per-shard Arrow kernel vs a recursive-CTE oracle.",
         tags=("pipeline", "packing"),
     ),
     "pack_manifest_spans": QuerySpec(

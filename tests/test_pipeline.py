@@ -238,3 +238,37 @@ def test_pack_manifest_spans_slice_back_to_tokens(spark, sf_dir):
         total = sum(r.tokens_in_pack for r in rs)
         assert total == len(norm[d].split(" "))
         assert rs[0].tok_start == 0
+
+
+def test_pack_greedy_nosplit_invariants(spark, sf_dir):
+    """No-split contract: within a (source, pack) the token sum never exceeds
+    capacity unless the pack is a single oversize doc; pack ids are dense and
+    start at 0; packing is first-fit in doc_id order (adding the next doc to
+    the previous pack would overflow)."""
+    from collections import defaultdict
+
+    from duckdb_ml_spark.operators.pipeline import PACK_CAPACITY, pack_greedy_nosplit
+
+    rows = pack_greedy_nosplit(load(spark, sf_dir, "documents")).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        fills = defaultdict(int)
+        counts = defaultdict(int)
+        for r in rs:
+            fills[r.pack_id] += r.n_tokens
+            counts[r.pack_id] += 1
+        packs = sorted(fills)
+        assert packs == list(range(len(packs)))  # dense from 0
+        for p in packs:
+            assert fills[p] <= PACK_CAPACITY or counts[p] == 1
+        # first-fit: each pack transition was forced by overflow
+        prev_pack, prev_fill = 0, 0
+        for r in rs:
+            if r.pack_id != prev_pack:
+                assert prev_fill + r.n_tokens > PACK_CAPACITY
+                prev_pack, prev_fill = r.pack_id, r.n_tokens
+            else:
+                prev_fill += r.n_tokens
