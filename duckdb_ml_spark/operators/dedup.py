@@ -1210,7 +1210,85 @@ def _embedding_lsh_pairs_oracle() -> str:
     """
 
 
+# --- cross-document duplicate-span fraction -----------------------------------
+
+SPAN_N = 5  # window width (tokens) for the span-duplication signal
+
+
+def span_dup_fraction(
+    docs: DataFrame, n: int = SPAN_N, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc fraction of n-token window POSITIONS whose exact token sequence
+    also occurs in at least one OTHER document — the aggregate form of
+    span-level exact dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes LMs Better": duplicated substrings, not just duplicated documents).
+    MinHash/Jaccard flags near-identical DOCS; this flags boilerplate SPANS
+    inside otherwise-unique docs — the curation signal that decides
+    span-excision rather than doc-dropping.
+
+    Plan: explode n-gram windows once (position-explode codegen, same as the
+    shingle family), ONE groupBy(shingle) for distinct-doc counts, join back
+    co-partitioned on shingle, ONE groupBy(doc). Two shuffles of compact
+    (id, gram) pairs — at 100 TB the gram-count relation is the shared-span
+    index, a maintainable dataset artifact like corpus_shingles. Docs shorter
+    than n tokens have no windows and report fraction 0.0."""
+    sh = exploded_shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    counts = sh.distinct().groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    per_win = sh.join(counts, "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("n_docs_with") >= 2).cast("bigint")).alias("n_dup_windows"),
+    )
+    return docs.select(id_col).join(per_win, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), F.lit(0.0)
+        ).alias("dup_fraction"),
+    )
+
+
+def _span_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dup_fraction(load(spark, sf_dir, "documents"))
+
+
+_SPAN_DUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS w FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - {SPAN_N - 1}),
+                                 i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(SPAN_N))})) AS shingle
+    FROM toks
+),
+counts AS (
+    SELECT shingle, count(DISTINCT doc_id) AS n_docs_with FROM sh GROUP BY shingle
+),
+per AS (
+    SELECT s.doc_id,
+           count(*) AS n_windows,
+           sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+    FROM sh s JOIN counts c ON s.shingle = c.shingle
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       coalesce(p.n_dup_windows::DOUBLE / p.n_windows, 0.0) AS dup_fraction
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_span_fraction": QuerySpec(
+        name="dedup_span_fraction",
+        builder=_span_dup_q,
+        oracle=_SPAN_DUP_ORACLE,
+        doc="Span-level duplication signal: per-doc fraction of 5-token windows "
+        "shared with another document (cross-doc boilerplate detector).",
+        tags=("dedup", "span", "pipeline"),
+    ),
     "dedup_exact_keys": QuerySpec(
         name="dedup_exact_keys",
         builder=exact_dedup_keys,

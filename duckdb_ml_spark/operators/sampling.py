@@ -215,7 +215,86 @@ def _importance_oracle() -> str:
     """
 
 
+# --- length-bucketed batching -------------------------------------------------
+
+LEN_BUCKETS = 8
+
+
+def length_buckets(
+    docs: DataFrame, n_buckets: int = LEN_BUCKETS,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket documents into n equal-frequency token-length tiers — the
+    batching prep every inference/embedding service runs so a batch's padding
+    waste is bounded (batching a 10-token doc with a 400-token doc pads 97%).
+    Emits the per-bucket decision table: count, min/max/avg token length, and
+    the padding-waste ratio if each bucket were padded to its max.
+
+    Deterministic: ntile over (n_tokens, id) — a total order, so both engines
+    assign identical tiers. Plan: one map-side token count, one ntile window
+    (single total-order sort — at 100 TB replace with approx-quantile range
+    boundaries to avoid the global sort; the decision table is identical),
+    one groupBy(bucket) rollup."""
+    from duckdb_ml_spark.operators.textnorm import tokens
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    w = Window.orderBy("n_tokens", id_col)
+    tiered = base.select(id_col, "n_tokens", F.ntile(n_buckets).over(w).alias("bucket"))
+    return (
+        tiered.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            F.round(F.col("sum_tokens") / F.col("n_docs"), 6).alias("avg_tokens"),
+            F.round(
+                F.lit(1.0) - F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ).alias("pad_waste"),
+        )
+    )
+
+
+def _length_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_buckets(load(spark, sf_dir, "documents"))
+
+
+def _length_buckets_oracle() -> str:
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, len({tokens_sql("text")})::BIGINT AS n_tokens FROM documents
+),
+tiered AS (
+    SELECT doc_id, n_tokens,
+           ntile({LEN_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+    FROM t
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       round(sum(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE / (count(*) * max(n_tokens)), 6) AS pad_waste
+FROM tiered GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_length_buckets": QuerySpec(
+        "sample_length_buckets", _length_buckets_q, _length_buckets_oracle(),
+        doc="Equal-frequency token-length tiers with padding-waste rollup "
+        "(inference batch-bucketing decision table).",
+        tags=("sampling", "batching", "pipeline"),
+    ),
     "sample_importance": QuerySpec(
         "sample_importance", _importance_q, _importance_oracle(),
         doc="Quality-weighted importance sampling (per-row keep probability, "

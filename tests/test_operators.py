@@ -961,3 +961,44 @@ def test_dedup_clusters_distributed_path_matches_union_find(spark, sf_dir):
         for r in dedup_clusters(docs, cand, max_collect_edges=0).collect()
     }
     assert d2 == b2
+
+
+def test_span_dup_fraction_detects_injected_boilerplate(spark):
+    """Two docs sharing an exact 6-token boilerplate span must both report
+    dup windows; a unique doc reports zero; a short doc (<5 tokens) reports
+    fraction 0 with 0 windows."""
+    from duckdb_ml_spark.operators.dedup import span_dup_fraction
+
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, "totally different words here " + boiler),
+            (3, "nothing shared with anyone at all in this one"),
+            (4, "tiny doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in span_dup_fraction(docs).collect()}
+    assert got[1].n_dup_windows > 0 and got[2].n_dup_windows > 0
+    assert got[3].n_dup_windows == 0 and got[3].dup_fraction == 0.0
+    assert got[4].n_windows == 0 and got[4].dup_fraction == 0.0
+    # doc 1: 10 tokens -> 6 windows; the 2 windows inside the boilerplate
+    # (and only those) are shared
+    assert got[1].n_windows == 6 and got[1].n_dup_windows == 2
+
+
+def test_length_buckets_monotone_and_exhaustive(spark, sf_dir):
+    from duckdb_ml_spark.operators.sampling import LEN_BUCKETS, length_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    rows = sorted(length_buckets(docs).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, LEN_BUCKETS + 1))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # equal-frequency: bucket sizes differ by at most 1
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # tiers are ordered: bucket i's max <= bucket i+1's min
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tokens <= b.min_tokens
+        assert 0.0 <= a.pad_waste < 1.0
