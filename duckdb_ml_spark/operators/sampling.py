@@ -288,7 +288,98 @@ FROM tiered GROUP BY bucket
 """
 
 
+# --- quality-ranked token-budget selection ------------------------------------
+
+BUDGET_FRACTION = 0.5  # keep the best docs until 50% of each source's tokens
+
+
+def token_budget_selection(
+    spark: SparkSession, sf_dir: str, fraction: float = BUDGET_FRACTION
+) -> DataFrame:
+    """Data-budget curation: per source, rank documents by quality score and
+    keep the best until the shard's token budget (fraction of its total
+    tokens) is spent — the "train on the best half" selection step every
+    budgeted pretraining run performs after scoring.
+
+    A doc is kept iff the tokens BEFORE it in quality order fit the budget
+    (the budget-crossing doc is included — first-fit, so the budget is a
+    floor not a ceiling; deterministic either way).
+
+    Determinism: quality_score is the same IEEE expression chain on both
+    engines (text_quality_score hash-passes unrounded), and the order is
+    (score DESC, doc_id) — a total order. Plan: ONE window partition per
+    source computing both the shard total and the exclusive running sum —
+    shards rank independently in parallel, no global sort."""
+    from duckdb_ml_spark.operators.text import quality_score
+    from duckdb_ml_spark.operators.textnorm import tokens
+    from pyspark.sql.window import Window
+
+    q = quality_score(spark, sf_dir, carry=("source", "text"))
+    base = q.select(
+        "doc_id", "source", "quality_score",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy("source")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    total = F.sum("n_tokens").over(w_all)
+    before = F.coalesce(
+        F.sum("n_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality_score",
+        before.alias("tokens_before"),
+        (before < total * fraction).alias("kept"),
+    )
+
+
+def _token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_selection(spark, sf_dir)
+
+
+def _token_budget_oracle() -> str:
+    from duckdb_ml_spark.operators.text import STOPWORDS, _hits_sql
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           {tokens_sql("text")} AS w,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+    FROM documents
+),
+q AS (
+    SELECT doc_id, source, len(w)::BIGINT AS n_tokens,
+           0.4 * (n_alpha::DOUBLE / n_chars)
+         + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+         + 0.3 * ({_hits_sql(STOPWORDS["en"])}::DOUBLE / len(w)) AS quality_score
+    FROM t
+)
+SELECT doc_id, source, n_tokens, quality_score,
+       coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tokens_before,
+       coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         < sum(n_tokens) OVER (PARTITION BY source) * {BUDGET_FRACTION} AS kept
+FROM q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_token_budget": QuerySpec(
+        "sample_token_budget", _token_budget_q, _token_budget_oracle(),
+        doc="Quality-ranked token-budget selection: per source, keep the best "
+        "docs until 50% of the shard's tokens are spent (budgeted curation).",
+        tags=("sampling", "quality", "pipeline"),
+    ),
     "sample_length_buckets": QuerySpec(
         "sample_length_buckets", _length_buckets_q, _length_buckets_oracle(),
         doc="Equal-frequency token-length tiers with padding-waste rollup "

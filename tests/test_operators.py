@@ -1002,3 +1002,31 @@ def test_length_buckets_monotone_and_exhaustive(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.max_tokens <= b.min_tokens
         assert 0.0 <= a.pad_waste < 1.0
+
+
+def test_token_budget_selection_properties(spark, sf_dir):
+    """Budget contract: per source, kept docs are a quality-prefix (no kept
+    doc ranks below a dropped one), the pre-crossing kept mass is under
+    budget, and adding the first dropped doc would exceed it."""
+    from collections import defaultdict
+
+    from duckdb_ml_spark.operators.sampling import BUDGET_FRACTION, token_budget_selection
+
+    rows = token_budget_selection(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r.quality_score, r.doc_id))
+        total = sum(r.n_tokens for r in rs)
+        budget = total * BUDGET_FRACTION
+        kept_flags = [r.kept for r in rs]
+        # prefix property: once a doc is dropped, everything after is dropped
+        assert kept_flags == sorted(kept_flags, reverse=True)
+        kept = [r for r in rs if r.kept]
+        assert kept, src
+        # every kept doc started within budget; the first drop did not
+        assert all(r.tokens_before < budget for r in kept)
+        dropped = [r for r in rs if not r.kept]
+        if dropped:
+            assert dropped[0].tokens_before >= budget
