@@ -74,6 +74,14 @@ DEFAULT_QUERIES = [
     "pack_sequences",
     "sample_stratified",
     "events_distinct_users_approx",
+    # late-round-4 operators: the doc-bound ones scale with the derived corpus
+    "dedup_span_fraction",
+    "text_chunk_stride",
+    "pack_greedy_nosplit",
+    "pack_manifest_spans",
+    "sample_token_budget",
+    "sample_length_buckets",
+    "orders_winsorized_stats",
 ]
 
 
