@@ -1233,15 +1233,19 @@ def span_dup_fraction(
     index, a maintainable dataset artifact like corpus_shingles. Docs shorter
     than n tokens have no windows and report fraction 0.0."""
     sh = exploded_shingles(docs, text_col=text_col, id_col=id_col, n=n)
-    # ONE corpus scan: pre-aggregate window multiplicity per (doc, shingle),
-    # derive distinct-doc counts FROM that compact relation (count rows per
-    # shingle == distinct docs), join the two shingle-clustered sides, roll up
-    # per doc weighted by multiplicity. The naive explode→distinct→count→
-    # join-back chain re-executes the tokenizer+explode lineage twice (the two
-    # consumers need different partitionings, so ReuseExchange can't help);
-    # at sf0.1 the second scan is cheaper than the extra hash agg (measured
-    # 1.06 vs 1.17 s), but at 100 TB re-scanning the corpus text dominates —
-    # this is the scan-once shape. Output identical (same oracle hash).
+    # Pre-aggregate window multiplicity per (doc, shingle); distinct-doc
+    # counts derive FROM that compact relation (count rows per shingle ==
+    # distinct docs) and broadcast back onto it. The g lineage executes twice
+    # (its two consumers end in a broadcast build vs a stream side, so no
+    # common Exchange exists for ReuseExchange to dedup — verified in the
+    # executed plan), but both executions are map-only scan→explode→partial-agg
+    # pipelines with ONE exchange each; the alternatives measured worse or
+    # riskier at sf0.1: naive explode→distinct→join re-runs the bigger
+    # un-aggregated lineage (1.06 s vs 1.17 s here, but its join leg carries
+    # raw window rows), and the true single-scan form (count over a
+    # shingle-partitioned window) pays a corpus-scale sort (1.47 s). At
+    # 100 TB the (doc, shingle) relation would be a maintained table (the
+    # corpus_shingles pattern) and every variant collapses to one scan of it.
     g = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("mult"))
     counts = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
     per_win = g.join(counts, "shingle").groupBy(id_col).agg(
