@@ -162,6 +162,7 @@ _EXEC_AT_BUILD = frozenset(
         "ml_train_distributed",
         "ml_quality_filter",
         "text_bpe_real",  # trains the merge table at build (bounded collect)
+        "text_bpe_counts_budget",  # same — 30-merge training at build
         "bpe_merge_table",  # same — merge training at build
         "pack_sequences_bpe",  # same — BPE-budget packing trains at build
         "decontaminate_train",  # corpus_shingles localCheckpoint at build

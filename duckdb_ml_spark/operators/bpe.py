@@ -263,7 +263,54 @@ def _bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+def _bpe_counts_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc encoder output under the 30-merge PACKING budget — the
+    non-degenerate regime (the full merge table collapses every corpus word
+    to one token, making counts == word counts; at 30 merges words split
+    into 1-6 subwords, so this drives the greedy merge loop for real). The
+    merge table is shared with pack_sequences_bpe via _MERGE_CACHE."""
+    from duckdb_ml_spark.operators.pipeline import PACK_BPE_MERGES
+
+    docs = load(spark, sf_dir, "documents")
+    key = (sf_dir, PACK_BPE_MERGES)
+    merges = _MERGE_CACHE.get(key)
+    if merges is None:
+        merges = train_bpe_merges(docs, n_merges=PACK_BPE_MERGES)
+        _MERGE_CACHE[key] = merges
+    return bpe_token_counts(docs, merges)
+
+
+def _bpe_counts_budget_oracle() -> str:
+    """Golden word→token-count lexicon join (the pack_sequences_bpe contract):
+    the oracle can't run the greedy encoder, but the corpus vocabulary is 31
+    words, each word's encode length under the 30-merge table is deterministic
+    (independently pytest-golden), and per-doc counts are a lexicon join away —
+    so the ENCODER OUTPUT is value-hash checked, closing the last non-ML
+    rows-only entry."""
+    from duckdb_ml_spark.operators.pipeline import _SF001_BPE_LEXICON
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    lex_vals = ", ".join(f"('{w}', {n})" for w, n in _SF001_BPE_LEXICON)
+    return f"""
+WITH lex(word, n_bpe) AS (VALUES {lex_vals}),
+toks AS (SELECT doc_id, {tokens_sql("text")} AS ws FROM documents),
+u AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+c AS (SELECT u.doc_id, sum(lex.n_bpe) AS s
+      FROM u JOIN lex ON u.word = lex.word GROUP BY u.doc_id)
+SELECT t.doc_id, len(t.ws)::INT AS n_words, coalesce(c.s, 0)::INT AS n_bpe_tokens
+FROM toks t LEFT JOIN c ON t.doc_id = c.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bpe_counts_budget": QuerySpec(
+        name="text_bpe_counts_budget",
+        builder=_bpe_counts_budget_q,
+        oracle=_bpe_counts_budget_oracle(),
+        doc="Arrow greedy-BPE encoder output under the 30-merge budget vs the "
+        "golden lexicon oracle — the encoder's value-checked driver row.",
+        tags=("text", "bpe", "tokenizer"),
+    ),
     "bpe_merge_table": QuerySpec(
         name="bpe_merge_table",
         builder=_bpe_merge_table_q,
