@@ -1248,13 +1248,21 @@ def span_dup_fraction(
     # corpus_shingles pattern) and every variant collapses to one scan of it.
     g = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("mult"))
     counts = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
-    per_win = g.join(counts, "shingle").groupBy(id_col).agg(
+    # SHUFFLE_HASH hints, deliberately: BOTH join sides here grow linearly
+    # with the corpus (counts is one row per distinct n-gram, per_win one row
+    # per doc), so Catalyst's stats-based broadcast election is a trap —
+    # measured at the 16× probe it broadcast the multi-million-row gram-count
+    # relation (hundreds of MB to every executor, 27.7 s vs DuckDB 8.2). With
+    # the hints both joins are co-partitioned hash joins on their keys and the
+    # whole plan is stats-independent: 16× drops 27.7 → 11.4 s (DuckDB 8.2)
+    # and sf0.1 is unchanged (hash-identical output, floor-level delta).
+    per_win = g.join(counts.hint("SHUFFLE_HASH"), "shingle").groupBy(id_col).agg(
         F.sum("mult").alias("n_windows"),
         F.sum(F.col("mult") * (F.col("n_docs_with") >= 2).cast("bigint")).alias(
             "n_dup_windows"
         ),
     )
-    return docs.select(id_col).join(per_win, id_col, "left").select(
+    return docs.select(id_col).join(per_win.hint("SHUFFLE_HASH"), id_col, "left").select(
         id_col,
         F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
         F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),

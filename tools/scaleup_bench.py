@@ -74,10 +74,14 @@ DEFAULT_QUERIES = [
     "pack_sequences",
     "sample_stratified",
     "events_distinct_users_approx",
-    # late-round-4 operators: the doc-bound ones scale with the derived corpus
+    # late-round-4 operators: the doc-bound ones scale with the derived corpus.
+    # pack_greedy_nosplit is deliberately absent: its ORACLE is a recursive
+    # CTE stepping one doc per iteration (fine at the driver's sf0.01 check
+    # scale, ~170 docs/shard; quadratic at 16k docs/shard — it alone blew the
+    # probe's wall clock). The Spark side is a linear per-shard kernel; its
+    # 16× behavior is covered by the identically-shaped pack_manifest_spans.
     "dedup_span_fraction",
     "text_chunk_stride",
-    "pack_greedy_nosplit",
     "pack_manifest_spans",
     "sample_token_budget",
     "sample_length_buckets",
