@@ -100,6 +100,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.analytics",
         "duckdb_ml_spark.operators.sampling",
         "duckdb_ml_spark.operators.pq",
+        "duckdb_ml_spark.operators.mlprep",
         "duckdb_ml_spark.operators.dq",
         "duckdb_ml_spark.operators.pipeline",
         "duckdb_ml_spark.plans.scale",
