@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from duckdb_ml_spark import artifacts, functions as fn, nn, registry
+from duckdb_ml_spark.tables import load
 from duckdb_ml_spark.spec import parse_spec
 
 SPEC = '{"layers": [{"in": 2, "out": 8, "activation": "relu"}, {"in": 8, "out": 1}]}'
@@ -222,3 +223,69 @@ def test_sql_ml_pred_rejects_mixed_model_names(spark):
     )
     with pytest.raises(Exception, match="constant per query"):
         df.collect()
+
+
+def test_one_hot_encode_generic_derives_vocabulary(spark):
+    from duckdb_ml_spark.operators.mlprep import one_hot_encode
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "red"), (4, "green!")],
+        "id bigint, color string",
+    )
+    out = one_hot_encode(df, "color")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].is_red == 1 and rows[1].is_blue == 0
+    assert rows[2].is_blue == 1
+    assert rows[4].is_green == 1  # sanitized column name
+    # exactly one indicator fires per row
+    ind_cols = [c for c in out.columns if c.startswith("is_")]
+    for r in rows.values():
+        assert sum(getattr(r, c) for c in ind_cols) == 1
+
+
+def test_one_hot_encode_rejects_unbounded_cardinality(spark):
+    import pytest as _pytest
+
+    from duckdb_ml_spark.operators.mlprep import one_hot_encode
+
+    df = spark.range(300).select("id", F.col("id").cast("string").alias("cat"))
+    with _pytest.raises(ValueError, match="feature_hash"):
+        one_hot_encode(df, "cat", max_categories=256)
+
+
+def test_feature_hash_partition_independent(spark, sf_dir):
+    """Hashed counts must not depend on partitioning (pure column expr)."""
+    from duckdb_ml_spark.operators.mlprep import feature_hash_counts
+
+    docs = load(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.bucket): r.cnt for r in feature_hash_counts(docs).collect()}
+    b = {
+        (r.doc_id, r.bucket): r.cnt
+        for r in feature_hash_counts(docs.repartition(7)).collect()
+    }
+    assert a == b
+    from duckdb_ml_spark.operators.mlprep import FH_BUCKETS
+
+    assert all(0 <= k[1] < FH_BUCKETS for k in a)
+
+
+def test_eval_metrics_perfect_and_imperfect(spark):
+    """R² is 1 for a perfect scorer, < 1 with error; MSE/MAE match numpy."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.mlprep import eval_metrics_by_group
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(2 * i + 1)) for i in range(50)],
+        "grp string, x double, y double",
+    )
+    perfect = eval_metrics_by_group(
+        df, F.col("x") * 2 + 1, F.col("y"), "grp"
+    ).collect()[0]
+    assert perfect.mse == 0.0 and perfect.mae == 0.0 and perfect.r2 == 1.0
+    noisy = eval_metrics_by_group(df, F.col("x") * 2, F.col("y"), "grp").collect()[0]
+    xs = np.arange(50.0)
+    err = (2 * xs) - (2 * xs + 1)
+    assert abs(noisy.mse - np.mean(err**2)) < 1e-6
+    assert abs(noisy.mae - np.mean(np.abs(err))) < 1e-6
+    assert noisy.r2 < 1.0
