@@ -209,7 +209,130 @@ def pq_adc_shortlist(codes_df: DataFrame, q_ids, Q, books,
     )
 
 
+def pq_eval_scores(emb: DataFrame, q_ids, Q, books,
+                   id_col: str = "vec_id", arr_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cos, adc_cos) in ONE corpus pass — the fused
+    EVAL kernel: exact cosine (bit-identical to vec.cosine_scores_vs_broadcast's
+    sequential fold) and the ADC score (bit-identical expressions to
+    pq_encode + pq_adc_shortlist: same argmin codes, same LUT gather-sum)
+    computed side by side while the vectors are already in cache. Exists to
+    cut the eval harness from three corpus map passes (encode, ADC, brute)
+    to one; PRODUCTION serving still scans the persisted code table via
+    pq_encode/pq_adc_shortlist (pytest-proven to produce identical rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix
+    from duckdb_ml_spark.session import ensure_shipped
+
+    spark = emb.sparkSession
+    ensure_shipped(spark)
+    m, k, dsub = books.shape
+    nq = Q.shape[0]
+    lut = np.empty((nq, m, k))
+    for s in range(m):
+        lut[:, s, :] = Q[:, s * dsub:(s + 1) * dsub] @ books[s].T
+    l2q = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((np.asarray(q_ids), Q, books, lut, l2q))
+
+    def gen(batches):
+        ids_q, Qb, B, lut_b, l2q_b = bc.value
+        mb, kb, dsub_b = B.shape
+        flat = lut_b.reshape(len(ids_q), mb * kb)
+        offs = np.arange(mb) * kb
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            ids_c = pdf[id_col].to_numpy()
+            cos = _seq_cosine_matrix(X, Qb).T  # (nq, n) — same fold as brute
+            # codes: same argmin as pq_encode
+            codes = np.empty((len(pdf), mb), dtype=np.int64)
+            for s in range(mb):
+                sub = X[:, s * dsub_b:(s + 1) * dsub_b]
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            # l2: same sequential fold as pq_encode
+            l2 = np.zeros(len(pdf))
+            for i in range(X.shape[1]):
+                l2 = l2 + X[:, i] * X[:, i]
+            l2 = np.sqrt(l2)
+            # ADC: same gather-sum expression as pq_adc_shortlist
+            idx = codes + offs[None, :]
+            dots = flat[:, idx].sum(axis=2)  # (nq, n)
+            adc = dots / (l2q_b[:, None] * l2[None, :])
+            n = len(pdf)
+            out = pd.DataFrame({
+                "query_id": np.repeat(ids_q, n),
+                "neighbor_id": np.tile(ids_c, len(ids_q)),
+                "cos": cos.ravel(),
+                "adc_cos": adc.ravel(),
+            })
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    return emb.select(id_col, arr_col).mapInPandas(
+        gen, "query_id bigint, neighbor_id bigint, cos double, adc_cos double"
+    )
+
+
+def _recall_flag(exact: DataFrame, shortlist: DataFrame, top_k: int) -> DataFrame:
+    """exact top-k rows + per-query pq_recall_ok from shortlist coverage."""
+    hits = (
+        exact.join(shortlist, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ok = hits.select(
+        "query_id",
+        (F.col("n_hit") >= F.lit(int(RECALL_MIN * top_k + 0.5))).alias("pq_recall_ok"),
+    )
+    return exact.join(F.broadcast(ok), "query_id").select(
+        "query_id", "neighbor_id", "rank", "pq_recall_ok"
+    )
+
+
 def _pq_recall_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.operators.similarity import N_QUERIES, TOP_K
+    from duckdb_ml_spark.operators.vec import collect_matrix
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    books = pq_codebooks_for(spark, sf_dir)
+    q_ids, Q = collect_matrix(queries, "vec_id", cache_key=(sf_dir, "bf_queries"))
+    scored = pq_eval_scores(emb, q_ids, Q, books)
+    # LINEAR pipeline — every relation has exactly one consumer, so the eval
+    # kernel executes once (a DataFrame consumed twice re-runs its lineage;
+    # the first fused attempt fed `ranked` into exact + shortlist + a
+    # semi-join and re-ran the kernel three times, measured SLOWER than the
+    # three-pass composition). Both ranks and the per-query hit count are
+    # windows over the SAME query_id partitioning — one exchange total after
+    # the kernel; the recall flag needs no join at all.
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    w_q = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(w_cos).alias("rank"),
+        F.row_number().over(w_adc).alias("adc_rank"),
+    )
+    hit = ((F.col("rank") <= TOP_K) & (F.col("adc_rank") <= PQ_SHORTLIST)).cast("bigint")
+    flagged = ranked.select(
+        "query_id", "neighbor_id", "rank",
+        (F.sum(hit).over(w_q) >= F.lit(int(RECALL_MIN * TOP_K + 0.5))).alias(
+            "pq_recall_ok"
+        ),
+    )
+    return flagged.where(F.col("rank") <= TOP_K).select(
+        "query_id", "neighbor_id", "rank", "pq_recall_ok"
+    )
+
+
+def _pq_recall_band_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-path composition (encode the code table, ADC over codes,
+    brute-force exact) — pytest-proven row-identical to the fused eval form;
+    this is the plan a production index actually runs."""
     from duckdb_ml_spark.operators.similarity import (
         N_QUERIES, TOP_K, brute_force_topk,
     )
@@ -219,26 +342,13 @@ def _pq_recall_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = embedding_dim(emb, cache_key=sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     exact = brute_force_topk(emb, queries, dim=dim, cache_key=sf_dir)
-
     books = pq_codebooks_for(spark, sf_dir)
     q_ids, Q = collect_matrix(queries, "vec_id", cache_key=(sf_dir, "bf_queries"))
     codes = pq_encode(emb, books)
     shortlist = pq_adc_shortlist(codes, q_ids, Q, books).select(
         "query_id", "neighbor_id"
     )
-    # recall per query: fraction of the exact top-k present in the shortlist
-    hits = (
-        exact.join(shortlist, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    ok = hits.select(
-        "query_id",
-        (F.col("n_hit") >= F.lit(int(RECALL_MIN * TOP_K + 0.5))).alias("pq_recall_ok"),
-    )
-    return exact.join(F.broadcast(ok), "query_id").select(
-        "query_id", "neighbor_id", "rank", "pq_recall_ok"
-    )
+    return _recall_flag(exact, shortlist, TOP_K)
 
 
 def _pq_recall_band_oracle() -> str:

@@ -1030,3 +1030,15 @@ def test_token_budget_selection_properties(spark, sf_dir):
         dropped = [r for r in rs if not r.kept]
         if dropped:
             assert dropped[0].tokens_before >= budget
+
+
+def test_pq_fused_eval_matches_serving_composition(spark, sf_dir):
+    """The fused one-pass eval kernel and the serving-path composition
+    (encode table → ADC → brute exact) must emit identical rows."""
+    from duckdb_ml_spark.operators.pq import (
+        _pq_recall_band_composed, _pq_recall_band_q,
+    )
+
+    fused = {tuple(r) for r in _pq_recall_band_q(spark, sf_dir).collect()}
+    composed = {tuple(r) for r in _pq_recall_band_composed(spark, sf_dir).collect()}
+    assert fused == composed and fused
