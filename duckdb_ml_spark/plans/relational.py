@@ -553,6 +553,58 @@ def price_quantiles_approx_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over (status, priority): all four aggregation "
+    "granularities in ONE pass (Expand + single shuffle) — completes the "
+    "ROLLUP / GROUPING SETS / CUBE trio. NULL-filled levels match DuckDB.",
+    tags=("cube", "groupby"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "orders_rank_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions percent_rank + cume_dist per priority "
+    "— the remaining window family next to rank/lag/ntile. Deterministic "
+    "total order (price, key); per-row doubles are exact rationals k/(n−1) "
+    "and k/n so rounding is safe on both engines.",
+    tags=("window", "rank"),
+)
+def orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@_register(
     "orders_winsorized_stats",
     """
     WITH b AS (
