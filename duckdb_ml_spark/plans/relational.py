@@ -588,7 +588,10 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distribution window functions percent_rank + cume_dist per priority "
     "— the remaining window family next to rank/lag/ntile. Deterministic "
     "total order (price, key); per-row doubles are exact rationals k/(n−1) "
-    "and k/n so rounding is safe on both engines.",
+    "and k/n so rounding is safe on both engines. Scale note: a window "
+    "partitioned on a low-cardinality key sorts each partition on ONE task; "
+    "at 100 TB compute these as global-sort + per-partition offsets (the "
+    "two-pass rank join) or bucket the percentile with approx ranks.",
     tags=("window", "rank"),
 )
 def orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
