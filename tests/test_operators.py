@@ -1042,3 +1042,51 @@ def test_pq_fused_eval_matches_serving_composition(spark, sf_dir):
     fused = {tuple(r) for r in _pq_recall_band_q(spark, sf_dir).collect()}
     composed = {tuple(r) for r in _pq_recall_band_composed(spark, sf_dir).collect()}
     assert fused == composed and fused
+
+
+def test_pack_greedy_nosplit_property_random(spark):
+    """Hypothesis: the distributed no-split packing equals a straight Python
+    reference on random token-length corpora (incl. zero-length and oversize
+    docs), for any shard layout."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_ml_spark.operators.pipeline import pack_greedy_nosplit
+
+    CAP = 16
+
+    def ref_pack(lens):
+        out, p, fill = [], 0, 0
+        for i, n in enumerate(lens):
+            if i == 0:
+                p, fill = 0, n
+            elif fill + n > CAP:
+                p, fill = p + 1, n
+            else:
+                fill += n
+            out.append(p)
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=24), min_size=1, max_size=30),
+        st.integers(min_value=1, max_value=3),
+    )
+    def run(lens, n_shards):
+        rows = [
+            (i, f"s{i % n_shards}", " ".join(["w"] * n) if n else "")
+            for i, n in enumerate(lens)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        got = {
+            r.doc_id: r.pack_id
+            for r in pack_greedy_nosplit(docs, capacity=CAP).collect()
+        }
+        for s in range(n_shards):
+            shard = [i for i in range(len(lens)) if i % n_shards == s]
+            # Spark's tokenizer counts '' as one token of the empty string;
+            # replicate: n_tokens = len(split(norm)) == max(n, 1)... except
+            # norm('') == '' splits to [''] -> 1 token; 'w '*n -> n tokens
+            expect = ref_pack([max(lens[i], 1) if lens[i] == 0 else lens[i] for i in shard])
+            assert [got[i] for i in shard] == expect
+
+    run()
