@@ -263,21 +263,42 @@ def _bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+def budget_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    """Merge table at an explicit budget, cached per (sf_dir, budget) — the
+    ONE train-or-cache path shared by pack_sequences_bpe and
+    text_bpe_counts_budget (previously duplicated line-for-line)."""
+    key = (sf_dir, n_merges)
+    merges = _MERGE_CACHE.get(key)
+    if merges is None:
+        merges = train_bpe_merges(load(spark, sf_dir, "documents"), n_merges=n_merges)
+        _MERGE_CACHE[key] = merges
+    return merges
+
+
+def lexicon_count_ctes(lexicon: tuple) -> str:
+    """Shared oracle fragment: CTEs mapping each doc to (source-carrying)
+    tokenized words and the lexicon-joined BPE token sum `c.s` — used by
+    both budget-BPE oracles so lexicon format changes stay in lockstep."""
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    lex_vals = ", ".join(f"('{w}', {n})" for w, n in lexicon)
+    return f"""lex(word, n_bpe) AS (VALUES {lex_vals}),
+toks AS (SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents),
+u AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+c AS (SELECT u.doc_id, sum(lex.n_bpe) AS s
+      FROM u JOIN lex ON u.word = lex.word GROUP BY u.doc_id)"""
+
+
 def _bpe_counts_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc encoder output under the 30-merge PACKING budget — the
     non-degenerate regime (the full merge table collapses every corpus word
     to one token, making counts == word counts; at 30 merges words split
     into 1-6 subwords, so this drives the greedy merge loop for real). The
-    merge table is shared with pack_sequences_bpe via _MERGE_CACHE."""
+    merge table is shared with pack_sequences_bpe via budget_merges."""
     from duckdb_ml_spark.operators.pipeline import PACK_BPE_MERGES
 
     docs = load(spark, sf_dir, "documents")
-    key = (sf_dir, PACK_BPE_MERGES)
-    merges = _MERGE_CACHE.get(key)
-    if merges is None:
-        merges = train_bpe_merges(docs, n_merges=PACK_BPE_MERGES)
-        _MERGE_CACHE[key] = merges
-    return bpe_token_counts(docs, merges)
+    return bpe_token_counts(docs, budget_merges(spark, sf_dir, PACK_BPE_MERGES))
 
 
 def _bpe_counts_budget_oracle() -> str:
@@ -288,15 +309,9 @@ def _bpe_counts_budget_oracle() -> str:
     so the ENCODER OUTPUT is value-hash checked, closing the last non-ML
     rows-only entry."""
     from duckdb_ml_spark.operators.pipeline import _SF001_BPE_LEXICON
-    from duckdb_ml_spark.operators.textnorm import tokens_sql
 
-    lex_vals = ", ".join(f"('{w}', {n})" for w, n in _SF001_BPE_LEXICON)
     return f"""
-WITH lex(word, n_bpe) AS (VALUES {lex_vals}),
-toks AS (SELECT doc_id, {tokens_sql("text")} AS ws FROM documents),
-u AS (SELECT doc_id, unnest(ws) AS word FROM toks),
-c AS (SELECT u.doc_id, sum(lex.n_bpe) AS s
-      FROM u JOIN lex ON u.word = lex.word GROUP BY u.doc_id)
+WITH {lexicon_count_ctes(_SF001_BPE_LEXICON)}
 SELECT t.doc_id, len(t.ws)::INT AS n_words, coalesce(c.s, 0)::INT AS n_bpe_tokens
 FROM toks t LEFT JOIN c ON t.doc_id = c.doc_id
 """

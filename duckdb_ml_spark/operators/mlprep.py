@@ -27,12 +27,18 @@ ORDERPRIORITY_VALUES = (
 
 
 def one_hot(col: Column, categories: tuple, other: bool = True) -> list[Column]:
-    """One indicator Column per category (+ optional catch-all), map-only."""
+    """One indicator Column per category (+ optional catch-all), map-only.
+
+    CASE-WHEN form, not a bare boolean cast: `(col == lit).cast(int)` is NULL
+    for NULL input while the oracle's `CASE WHEN ... THEN 1 ELSE 0` is 0 —
+    when/otherwise matches SQL semantics exactly (a NULL value encodes as
+    all-zeros, including is_other, on both engines)."""
     cols = [
-        (col == F.lit(c)).cast("int").alias(f"is_{i}") for i, c in enumerate(categories)
+        F.when(col == F.lit(c), 1).otherwise(0).alias(f"is_{i}")
+        for i, c in enumerate(categories)
     ]
     if other:
-        cols.append((~col.isin(list(categories))).cast("int").alias("is_other"))
+        cols.append(F.when(~col.isin(list(categories)), 1).otherwise(0).alias("is_other"))
     return cols
 
 
@@ -45,18 +51,32 @@ def one_hot_encode(
     feature_hash below). Column names carry the sanitized category value."""
     if categories is None:
         rows = df.select(column).distinct().limit(max_categories + 1).collect()
-        if len(rows) > max_categories:
+        # NULL is not a category: it would break the sort (None vs str) and a
+        # NULL input row correctly encodes as all-zeros
+        vals = [r[0] for r in rows if r[0] is not None]
+        if len(vals) > max_categories:
             raise ValueError(
                 f"{column} has >{max_categories} distinct values; use feature_hash"
             )
-        categories = tuple(sorted(r[0] for r in rows))
+        categories = tuple(sorted(vals))
     import re
 
+    # sanitized names can collide ("a b" and "a_b") or be empty ("!!!") —
+    # dedupe with a positional suffix so the projection never has duplicate
+    # column names (Spark would accept the select but any later reference
+    # raises AMBIGUOUS_REFERENCE)
+    names: list[str] = []
+    seen: set[str] = set()
+    for i, c in enumerate(categories):
+        base = "is_" + re.sub(r"[^A-Za-z0-9]+", "_", str(c)).strip("_").lower()
+        name = base if base != "is_" else f"is_cat{i}"
+        if name in seen:
+            name = f"{name}_{i}"
+        seen.add(name)
+        names.append(name)
     cols = [
-        (F.col(column) == F.lit(c)).cast("int").alias(
-            "is_" + re.sub(r"[^A-Za-z0-9]+", "_", str(c)).strip("_").lower()
-        )
-        for c in categories
+        F.when(F.col(column) == F.lit(c), 1).otherwise(0).alias(n)
+        for c, n in zip(categories, names)
     ]
     return df.select("*", *cols)
 

@@ -127,6 +127,18 @@ GROUP BY d.doc_id
 # --- sequence packing --------------------------------------------------------
 
 
+
+def _exclusive_offset(part_col: str, id_col: str):
+    """The packing running sum: exclusive prefix of `n_tokens` per shard in
+    id order — THE offset definition shared by pack_sequences,
+    pack_sequences_bpe, and pack_manifest_spans (one copy, one semantics;
+    the oracles replicate it as the identical SQL window)."""
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    return F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = PACK_CAPACITY,
@@ -146,11 +158,8 @@ def pack_sequences(
     no global ordering. Token counts are whitespace tokens of the normalized
     text (the same tokenizer the dedup family uses)."""
     n_tok = F.size(tokens(F.col(text_col)))
-    w = Window.partitionBy(part_col).orderBy(id_col)
     base = docs.select(id_col, part_col, n_tok.alias("n_tokens"))
-    off = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
+    off = _exclusive_offset(part_col, id_col)
     return base.select(
         id_col,
         part_col,
@@ -227,10 +236,7 @@ def pack_sequences_bpe(
     base = counts.select(
         id_col, part_col, F.col("n_bpe_tokens").cast("bigint").alias("n_tokens")
     )
-    w = Window.partitionBy(part_col).orderBy(id_col)
-    off = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
+    off = _exclusive_offset(part_col, id_col)
     return base.select(
         id_col,
         part_col,
@@ -241,25 +247,21 @@ def pack_sequences_bpe(
 
 
 def _pack_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_ml_spark.operators.bpe import _MERGE_CACHE, train_bpe_merges
+    from duckdb_ml_spark.operators.bpe import budget_merges
 
     docs = load(spark, sf_dir, "documents")
-    key = (sf_dir, PACK_BPE_MERGES)
-    merges = _MERGE_CACHE.get(key)
-    if merges is None:
-        merges = train_bpe_merges(docs, n_merges=PACK_BPE_MERGES)
-        _MERGE_CACHE[key] = merges
-    return pack_sequences_bpe(docs, merges)
+    return pack_sequences_bpe(docs, budget_merges(spark, sf_dir, PACK_BPE_MERGES))
 
 
 def _pack_bpe_oracle() -> str:
-    lex_vals = ", ".join(f"('{w}', {n})" for w, n in _SF001_BPE_LEXICON)
+    # shared lexicon-join fragment lives in bpe.py (one copy for both budget-
+    # BPE oracles). Import-cycle note: bpe's own oracle imports THIS module's
+    # lexicon constant; that works because the constants are defined above the
+    # QUERIES registrations in both modules — keep it that way.
+    from duckdb_ml_spark.operators.bpe import lexicon_count_ctes
+
     return f"""
-WITH lex(word, n_bpe) AS (VALUES {lex_vals}),
-toks AS (SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents),
-u AS (SELECT doc_id, unnest(ws) AS word FROM toks),
-c AS (SELECT u.doc_id, sum(lex.n_bpe) AS s
-      FROM u JOIN lex ON u.word = lex.word GROUP BY u.doc_id),
+WITH {lexicon_count_ctes(_SF001_BPE_LEXICON)},
 cnt AS (SELECT t.doc_id, t.source, coalesce(c.s, 0)::BIGINT AS n_tokens
         FROM toks t LEFT JOIN c ON t.doc_id = c.doc_id)
 SELECT doc_id, source, n_tokens,
@@ -352,12 +354,9 @@ def pack_manifest_spans(
     base = docs.select(id_col, part_col, ws.alias("__w")).select(
         id_col, part_col, "__w", F.size("__w").cast("bigint").alias("n_tokens")
     )
-    w = Window.partitionBy(part_col).orderBy(id_col)
-    off = F.coalesce(
-        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
     packed = base.select(
-        id_col, part_col, "__w", "n_tokens", off.alias("o")
+        id_col, part_col, "__w", "n_tokens",
+        _exclusive_offset(part_col, id_col).alias("o"),
     )
     o, n = F.col("o"), F.col("n_tokens")
     first = F.floor(o / capacity).cast("bigint")

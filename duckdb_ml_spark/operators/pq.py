@@ -5,7 +5,7 @@ similarity-search scale path, NOTES r4 surface candidate).
 PQ (Jegou et al., "Product Quantization for Nearest Neighbor Search",
 TPAMI 2011) splits each D-dim vector into M subvectors and vector-quantizes
 each subspace against its own K-centroid codebook, so a vector is stored as M
-uint8 codes (here 64 dims -> 8 codes = 32x smaller than float32). Queries are
+uint8 codes (here 64 dims -> 16 codes = 16x smaller than float32). Queries are
 answered with ADC (asymmetric distance computation): the query stays float,
 each subspace contributes a K-entry lookup table of partial dot products, and
 a corpus vector's approximate score is the sum of M table lookups — no
@@ -276,18 +276,24 @@ def pq_eval_scores(emb: DataFrame, q_ids, Q, books,
 
 
 def _recall_flag(exact: DataFrame, shortlist: DataFrame, top_k: int) -> DataFrame:
-    """exact top-k rows + per-query pq_recall_ok from shortlist coverage."""
+    """exact top-k rows + per-query pq_recall_ok from shortlist coverage.
+
+    LEFT join + coalesce(n_hit, 0): a query whose shortlist covers ZERO of
+    its true top-k has no row in `hits` at all — an inner join would silently
+    DROP that query's rows exactly in the regime the flag exists to expose
+    (total quantizer regression); it must surface as pq_recall_ok=false."""
     hits = (
         exact.join(shortlist, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    ok = hits.select(
+    return exact.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
-        (F.col("n_hit") >= F.lit(int(RECALL_MIN * top_k + 0.5))).alias("pq_recall_ok"),
-    )
-    return exact.join(F.broadcast(ok), "query_id").select(
-        "query_id", "neighbor_id", "rank", "pq_recall_ok"
+        "neighbor_id",
+        "rank",
+        (
+            F.coalesce("n_hit", F.lit(0)) >= F.lit(int(RECALL_MIN * top_k + 0.5))
+        ).alias("pq_recall_ok"),
     )
 
 
@@ -373,7 +379,7 @@ QUERIES: dict[str, QuerySpec] = {
         name="sim_pq_recall_band",
         builder=_pq_recall_band_q,
         oracle=_pq_recall_band_oracle(),
-        doc="Product-quantization ANN (8x16 codebooks, ADC serving) with a "
+        doc="Product-quantization ANN (16x256 codebooks, ADC serving) with a "
         "recall-band invariant: the hash-checked rows are the exact top-5 "
         "plus the contract that the PQ shortlist covers >=80% of them.",
         tags=("similarity", "ann", "pq", "quantize"),

@@ -1090,3 +1090,48 @@ def test_pack_greedy_nosplit_property_random(spark):
             assert [got[i] for i in shard] == expect
 
     run()
+
+
+def test_pq_recall_flag_false_on_zero_hits(spark):
+    """A query with ZERO shortlist hits must surface as pq_recall_ok=false,
+    not vanish (the inner-join row-drop bug the review caught)."""
+    from duckdb_ml_spark.operators.pq import _recall_flag
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id bigint, neighbor_id bigint, rank int",
+    )
+    # query 1's shortlist covers both; query 2's covers nothing
+    shortlist = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 99)], "query_id bigint, neighbor_id bigint"
+    )
+    got = {(r.query_id, r.neighbor_id): r.pq_recall_ok
+           for r in _recall_flag(exact, shortlist, top_k=2).collect()}
+    assert len(got) == 4  # no rows dropped
+    assert got[(1, 10)] and got[(1, 11)]
+    assert not got[(2, 20)] and not got[(2, 21)]
+
+
+def test_one_hot_null_and_collision_handling(spark):
+    """NULL inputs encode as all-zeros (oracle CASE semantics); NULL is not a
+    derived category; sanitized-name collisions get positional suffixes."""
+    from duckdb_ml_spark.operators.mlprep import one_hot, one_hot_encode
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a_b"), (3, None), (4, "!!!")],
+        "id bigint, cat string",
+    )
+    out = one_hot_encode(df, "cat")
+    cols = [c for c in out.columns if c.startswith("is_")]
+    assert len(cols) == len(set(cols)) == 3  # 3 non-null categories, unique names
+    rows = {r.id: r for r in out.collect()}
+    assert sum(getattr(rows[3], c) for c in cols) == 0  # NULL row: all zeros
+    assert sum(getattr(rows[1], c) for c in cols) == 1
+    assert sum(getattr(rows[4], c) for c in cols) == 1  # '!!!' got a usable name
+
+    from pyspark.sql import functions as F_
+
+    enum_cols = one_hot(F_.col("cat"), ("a b",), other=True)
+    enc = df.select("id", *enum_cols).collect()
+    null_row = [r for r in enc if r.id == 3][0]
+    assert null_row.is_0 == 0 and null_row.is_other == 0  # not NULL
