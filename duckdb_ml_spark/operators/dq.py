@@ -14,7 +14,7 @@ detection, and join planning decisions when humans are in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_ml_spark.plans.relational import QuerySpec
@@ -230,7 +230,117 @@ SELECT source, status, count(*) AS n_docs FROM j GROUP BY source, status
 """
 
 
+# --- distribution drift (PSI) -------------------------------------------------
+
+PSI_LO = 0.0
+PSI_W = 50_000.0  # fixed bin width; TPC-H o_totalprice spans ~1k..500k
+PSI_BINS = 10
+PSI_EPS = 1e-6  # empty-bin smoothing
+
+
+def psi_drift(
+    ref: DataFrame, cur: DataFrame, value_col: str,
+    lo: float = PSI_LO, width: float = PSI_W, n_bins: int = PSI_BINS,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current snapshot
+    of a numeric column — the standard production drift monitor (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 retrain/alert).
+
+    Bins are FIXED literal edges (floor((x-lo)/width) clamped to [0, n-1]) so
+    both engines — and both snapshots — bucket identically; data-derived
+    edges would make the metric depend on the snapshot being monitored.
+    Output: one row per bin (counts, rounded shares, rounded contribution)
+    plus the rounded total repeated per row (psi_total), ε-smoothed so empty
+    bins contribute finitely. Plan: one agg per snapshot (map-side partial
+    over the scan), a tiny n_bins-row outer merge, no wide shuffles — at
+    100 TB this is two scans and a broadcast-sized merge."""
+    def binned(df):
+        b = F.least(
+            F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    r = binned(ref).withColumnRenamed("n", "n_ref")
+    c = binned(cur).withColumnRenamed("n", "n_cur")
+    bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    m = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    p = F.col("n_ref") / F.sum("n_ref").over(tot) + PSI_EPS
+    q = F.col("n_cur") / F.sum("n_cur").over(tot) + PSI_EPS
+    contrib = (p - q) * F.log(p / q)
+    scored = m.select(
+        "bin", "n_ref", "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(F.sum(contrib).over(tot), 6).alias("psi_total"),
+    )
+    return scored
+
+
+def _psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-snapshots: even vs odd o_orderkey halves of orders (same
+    distribution ⇒ PSI ≈ 0 — the monitor's null case, which is exactly what
+    a drift check must report correctly)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return psi_drift(
+        orders.where(F.col("o_orderkey") % 2 == 0),
+        orders.where(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+    )
+
+
+_PSI_ORACLE = f"""
+WITH r AS (
+    SELECT least(greatest(floor((o_totalprice - {PSI_LO}) / {PSI_W}), 0), {PSI_BINS - 1})::INT AS bin,
+           count(*)::BIGINT AS n_ref
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+c AS (
+    SELECT least(greatest(floor((o_totalprice - {PSI_LO}) / {PSI_W}), 0), {PSI_BINS - 1})::INT AS bin,
+           count(*)::BIGINT AS n_cur
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+),
+bins AS (SELECT unnest(generate_series(0, {PSI_BINS - 1}))::INT AS bin),
+m AS (
+    SELECT b.bin, coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+    FROM bins b LEFT JOIN r ON b.bin = r.bin LEFT JOIN c ON b.bin = c.bin
+),
+s AS (
+    SELECT bin, n_ref, n_cur,
+           n_ref::DOUBLE / sum(n_ref) OVER () + {PSI_EPS} AS p,
+           n_cur::DOUBLE / sum(n_cur) OVER () + {PSI_EPS} AS q
+    FROM m
+)
+SELECT bin, n_ref, n_cur,
+       round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+       round((p - q) * ln(p / q), 6) AS psi_contrib,
+       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_drift_psi": QuerySpec(
+        name="dq_drift_psi",
+        builder=_psi_drift_q,
+        oracle=_PSI_ORACLE,
+        doc="Population Stability Index drift monitor over fixed bins "
+        "(per-bin contributions + total; even/odd pseudo-snapshots as the "
+        "null case).",
+        tags=("dq", "drift", "pipeline"),
+    ),
     "dq_snapshot_diff": QuerySpec(
         name="dq_snapshot_diff",
         builder=_snapshot_diff_q,

@@ -1135,3 +1135,23 @@ def test_one_hot_null_and_collision_handling(spark):
     enc = df.select("id", *enum_cols).collect()
     null_row = [r for r in enc if r.id == 3][0]
     assert null_row.is_0 == 0 and null_row.is_other == 0  # not NULL
+
+
+def test_psi_drift_null_case_and_shift(spark):
+    """PSI ~ 0 for identical distributions; large for a shifted snapshot;
+    bins are exhaustive and clamped."""
+    from duckdb_ml_spark.operators.dq import PSI_BINS, psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 400000).cast("double").alias("v"))
+    same = psi_drift(base, base, "v").collect()
+    assert len(same) == PSI_BINS
+    assert all(abs(r.psi_total) < 1e-6 for r in same)
+    # shift everything up by 150k: mass moves bins, PSI must flag it
+    shifted = base.select((F.col("v") + 150000.0).alias("v"))
+    drift = psi_drift(base, shifted, "v").collect()
+    assert drift[0].psi_total > 0.25
+    # out-of-range values clamp into the edge bins rather than vanishing
+    wild = spark.range(100).select(F.lit(-50.0).alias("v")).union(
+        spark.range(100).select(F.lit(9e9).alias("v")))
+    w = psi_drift(wild, wild, "v").collect()
+    assert sum(r.n_ref for r in w) == 200
