@@ -408,7 +408,80 @@ def _resize_oracle() -> str:
     """
 
 
+# --- audio-shaped framing + energy --------------------------------------------
+
+AUDIO_FRAME = 64  # samples per analysis frame
+
+
+def audio_frame_energy(
+    media: DataFrame, frame: int = AUDIO_FRAME,
+    payload_col: str = "media", id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame the payload as 8-bit PCM and emit per-frame RMS energy — the
+    audio analysis plumbing (framing, per-frame aggregate, tail frame
+    shorter) with the payload bytes AS the samples, exactly like the image
+    family's fake-codec discipline: a real audio build swaps the
+    np.frombuffer(uint8) line for a real PCM/codec decode; the Spark shape
+    (Arrow kernel, one row per frame, no shuffle) is what's under test.
+
+    RMS = sqrt(sum(b²)/n): integer sums are exact in int64, one double
+    division + one sqrt — bit-identical to the oracle's expression, no
+    rounding needed."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fids, ns, rms = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                # REAL-codec seam: bytes as unsigned 8-bit samples
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                for f in range(0, max(len(samples), 1), frame):
+                    w = samples[f:f + frame]
+                    n = len(w)
+                    ids.append(did)
+                    fids.append(f // frame)
+                    ns.append(n)
+                    rms.append(float(np.sqrt((w * w).sum() / n)) if n else 0.0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_id": fids, "n_samples": ns, "rms": rms}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        gen, "doc_id bigint, frame_id int, n_samples int, rms double"
+    )
+
+
+def _audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_frame_energy(media_table(spark, sf_dir))
+
+
+_AUDIO_ENERGY_ORACLE = f"""
+WITH pos AS (
+    SELECT doc_id, ((i - 1) // {AUDIO_FRAME})::INT AS frame_id,
+           ord(substr(text, i, 1))::BIGINT AS b
+    FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+)
+SELECT doc_id, frame_id,
+       count(*)::INT AS n_samples,
+       sqrt(sum(b * b)::DOUBLE / count(*)) AS rms
+FROM pos GROUP BY doc_id, frame_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mm_audio_energy": QuerySpec(
+        "mm_audio_energy", _audio_energy_q, _AUDIO_ENERGY_ORACLE,
+        doc="Audio-shaped framing: payload bytes as 8-bit PCM, per-frame RMS "
+        "energy (64-sample frames, shorter tail) — Arrow kernel, no shuffle.",
+        tags=("multimodal", "audio", "udf"),
+    ),
     "mm_image_resize": QuerySpec(
         "mm_image_resize", _resize_q, _resize_oracle(),
         doc="Image-shaped fake decode + 2x2 mean-pool resize (one row per output pixel).",

@@ -118,3 +118,30 @@ def test_real_codec_non_png_without_pil(spark):
     with pytest.raises(Exception) as ei:
         decode_media(media, fake=None).collect()
     assert "NotImplementedError" in str(ei.value) or "not PNG" in str(ei.value)
+
+
+def test_audio_frame_energy_matches_numpy(spark, sf_dir):
+    """Frame layout and RMS values against a straight numpy reference,
+    including the shorter tail frame."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.multimodal import (
+        AUDIO_FRAME, audio_frame_energy, media_table,
+    )
+
+    media = media_table(spark, sf_dir)
+    texts = {r.doc_id: bytes(r.media) for r in media.limit(20).collect()}
+    rows = audio_frame_energy(media).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for did, payload in texts.items():
+        frames = sorted(by_doc[did], key=lambda r: r.frame_id)
+        samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+        n_frames = max(1, -(-len(samples) // AUDIO_FRAME))
+        assert len(frames) == n_frames
+        assert sum(f.n_samples for f in frames) == len(samples)
+        for f in frames:
+            w = samples[f.frame_id * AUDIO_FRAME:(f.frame_id + 1) * AUDIO_FRAME]
+            assert f.n_samples == len(w)
+            assert abs(f.rms - float(np.sqrt((w * w).sum() / len(w)))) < 1e-12
