@@ -50,10 +50,18 @@ def one_hot_encode(
     over an unbounded-cardinality column is a modeling error, use
     feature_hash below). Column names carry the sanitized category value."""
     if categories is None:
-        rows = df.select(column).distinct().limit(max_categories + 1).collect()
-        # NULL is not a category: it would break the sort (None vs str) and a
-        # NULL input row correctly encodes as all-zeros
-        vals = [r[0] for r in rows if r[0] is not None]
+        # NULL is not a category (a NULL row correctly encodes as all-zeros) —
+        # and it must be filtered BEFORE the limited distinct, or a NULL
+        # landing inside the max+1 sample would mask a real cardinality
+        # overflow (review finding: the guard then passed nondeterministically)
+        rows = (
+            df.select(column)
+            .where(F.col(column).isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
+        )
+        vals = [r[0] for r in rows]
         if len(vals) > max_categories:
             raise ValueError(
                 f"{column} has >{max_categories} distinct values; use feature_hash"
@@ -70,7 +78,9 @@ def one_hot_encode(
     for i, c in enumerate(categories):
         base = "is_" + re.sub(r"[^A-Za-z0-9]+", "_", str(c)).strip("_").lower()
         name = base if base != "is_" else f"is_cat{i}"
-        if name in seen:
+        # retry until unique: a single suffix pass can itself collide with a
+        # later category's base name (e.g. 'a 1', 'a 1 2', 'a-1')
+        while name in seen:
             name = f"{name}_{i}"
         seen.add(name)
         names.append(name)

@@ -442,13 +442,17 @@ def audio_frame_energy(
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 # REAL-codec seam: bytes as unsigned 8-bit samples
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
-                for f in range(0, max(len(samples), 1), frame):
+                # empty payload -> ZERO frames, matching the oracle's
+                # generate_series(1, length) and the frame-sampling family
+                # convention (review finding: a synthetic 0-sample frame row
+                # would diverge from the oracle on any empty document)
+                for f in range(0, len(samples), frame):
                     w = samples[f:f + frame]
                     n = len(w)
                     ids.append(did)
                     fids.append(f // frame)
                     ns.append(n)
-                    rms.append(float(np.sqrt((w * w).sum() / n)) if n else 0.0)
+                    rms.append(float(np.sqrt((w * w).sum() / n)))
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_id": fids, "n_samples": ns, "rms": rms}
             )

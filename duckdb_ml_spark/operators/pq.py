@@ -111,6 +111,26 @@ def pq_codebooks_for(spark: SparkSession, sf_dir: str):
     return books
 
 
+def _encode_batch(X, books):
+    """((n, m) int64 codes, (n,) exact sequential-fold l2) for a float64
+    batch — THE one encode expression, shared by pq_encode and
+    pq_eval_scores (review finding: the eval kernel's bit-parity with the
+    serving path must be structural, not hand-copied)."""
+    import numpy as np
+
+    m, _, dsub = books.shape
+    l2 = np.zeros(len(X))
+    for i in range(X.shape[1]):  # sequential fold (oracle parity)
+        l2 = l2 + X[:, i] * X[:, i]
+    l2 = np.sqrt(l2)
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes, l2
+
+
 def pq_encode(emb: DataFrame, books, id_col: str = "vec_id",
               arr_col: str = "embedding") -> DataFrame:
     """(vec_id, l2, codes array<int>) — one map pass against the broadcast
@@ -127,20 +147,11 @@ def pq_encode(emb: DataFrame, books, id_col: str = "vec_id",
 
     def gen(batches):
         B = bc.value
-        m, _, dsub = B.shape
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
-            l2 = np.zeros(len(pdf))
-            for i in range(X.shape[1]):  # sequential fold (oracle parity)
-                l2 = l2 + X[:, i] * X[:, i]
-            l2 = np.sqrt(l2)
-            codes = np.empty((len(pdf), m), dtype=np.int64)
-            for s in range(m):
-                sub = X[:, s * dsub:(s + 1) * dsub]
-                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
+            codes, l2 = _encode_batch(X, B)
             yield pd.DataFrame({
                 "vec_id": pdf[id_col].to_numpy(),
                 "l2": l2,
@@ -150,6 +161,29 @@ def pq_encode(emb: DataFrame, books, id_col: str = "vec_id",
     return emb.select(id_col, arr_col).mapInPandas(
         gen, "vec_id bigint, l2 double, codes array<bigint>"
     )
+
+
+def _build_lut(Q, books):
+    """((nq, m, k) per-query lookup tables, query l2 norms) — THE one ADC
+    LUT construction, shared by pq_adc_shortlist and pq_eval_scores so the
+    fused eval kernel stays bit-identical to the serving path structurally,
+    not by hand-copied code (review finding)."""
+    import numpy as np
+
+    m, k, dsub = books.shape
+    nq = Q.shape[0]
+    lut = np.empty((nq, m, k))
+    for s in range(m):
+        lut[:, s, :] = Q[:, s * dsub:(s + 1) * dsub] @ books[s].T
+    return lut, np.sqrt((Q * Q).sum(axis=1))
+
+
+def _adc_gather(flat, offs, codes, l2q, l2c):
+    """(nq, n) ADC cosines from flattened LUTs — the one gather-sum
+    expression (idx = code + s·k; dots = flat[:, idx].sum(axis=2))."""
+    idx = codes + offs[None, :]
+    dots = flat[:, idx].sum(axis=2)
+    return dots / (l2q[:, None] * l2c[None, :])
 
 
 def pq_adc_shortlist(codes_df: DataFrame, q_ids, Q, books,
@@ -166,13 +200,7 @@ def pq_adc_shortlist(codes_df: DataFrame, q_ids, Q, books,
     from duckdb_ml_spark.session import ensure_shipped
 
     ensure_shipped(spark)
-    m, k, dsub = books.shape
-    # (nq, m, k) lookup tables + query norms, built once on the driver
-    nq = Q.shape[0]
-    lut = np.empty((nq, m, k))
-    for s in range(m):
-        lut[:, s, :] = Q[:, s * dsub:(s + 1) * dsub] @ books[s].T
-    l2q = np.sqrt((Q * Q).sum(axis=1))
+    lut, l2q = _build_lut(Q, books)
     bc = spark.sparkContext.broadcast((np.asarray(q_ids), lut, l2q))
 
     def gen(batches):
@@ -185,11 +213,7 @@ def pq_adc_shortlist(codes_df: DataFrame, q_ids, Q, books,
             if len(pdf) == 0:
                 continue
             codes = np.stack(pdf["codes"].to_numpy())  # (n, m)
-            idx = codes + offs[None, :]  # (n, m) flat LUT indices
-            # (nq, n, m) gather -> sum over m: approximate dot per (query, row)
-            dots = flat[:, idx].sum(axis=2)  # (nq, n)
-            l2c = pdf["l2"].to_numpy()
-            cos = dots / (l2q_b[:, None] * l2c[None, :])
+            cos = _adc_gather(flat, offs, codes, l2q_b, pdf["l2"].to_numpy())
             ids_c = pdf["vec_id"].to_numpy()
             n = len(pdf)
             out = pd.DataFrame({
@@ -227,17 +251,12 @@ def pq_eval_scores(emb: DataFrame, q_ids, Q, books,
 
     spark = emb.sparkSession
     ensure_shipped(spark)
-    m, k, dsub = books.shape
-    nq = Q.shape[0]
-    lut = np.empty((nq, m, k))
-    for s in range(m):
-        lut[:, s, :] = Q[:, s * dsub:(s + 1) * dsub] @ books[s].T
-    l2q = np.sqrt((Q * Q).sum(axis=1))
+    lut, l2q = _build_lut(Q, books)
     bc = spark.sparkContext.broadcast((np.asarray(q_ids), Q, books, lut, l2q))
 
     def gen(batches):
         ids_q, Qb, B, lut_b, l2q_b = bc.value
-        mb, kb, dsub_b = B.shape
+        mb, kb, _ = B.shape
         flat = lut_b.reshape(len(ids_q), mb * kb)
         offs = np.arange(mb) * kb
         for pdf in batches:
@@ -246,21 +265,8 @@ def pq_eval_scores(emb: DataFrame, q_ids, Q, books,
             X = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
             ids_c = pdf[id_col].to_numpy()
             cos = _seq_cosine_matrix(X, Qb).T  # (nq, n) — same fold as brute
-            # codes: same argmin as pq_encode
-            codes = np.empty((len(pdf), mb), dtype=np.int64)
-            for s in range(mb):
-                sub = X[:, s * dsub_b:(s + 1) * dsub_b]
-                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
-            # l2: same sequential fold as pq_encode
-            l2 = np.zeros(len(pdf))
-            for i in range(X.shape[1]):
-                l2 = l2 + X[:, i] * X[:, i]
-            l2 = np.sqrt(l2)
-            # ADC: same gather-sum expression as pq_adc_shortlist
-            idx = codes + offs[None, :]
-            dots = flat[:, idx].sum(axis=2)  # (nq, n)
-            adc = dots / (l2q_b[:, None] * l2[None, :])
+            codes, l2 = _encode_batch(X, B)  # same codes/l2 as pq_encode
+            adc = _adc_gather(flat, offs, codes, l2q_b, l2)  # same as serving
             n = len(pdf)
             out = pd.DataFrame({
                 "query_id": np.repeat(ids_q, n),

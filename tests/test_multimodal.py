@@ -138,10 +138,22 @@ def test_audio_frame_energy_matches_numpy(spark, sf_dir):
     for did, payload in texts.items():
         frames = sorted(by_doc[did], key=lambda r: r.frame_id)
         samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-        n_frames = max(1, -(-len(samples) // AUDIO_FRAME))
+        n_frames = -(-len(samples) // AUDIO_FRAME)  # 0 frames for empty
         assert len(frames) == n_frames
         assert sum(f.n_samples for f in frames) == len(samples)
         for f in frames:
             w = samples[f.frame_id * AUDIO_FRAME:(f.frame_id + 1) * AUDIO_FRAME]
             assert f.n_samples == len(w)
             assert abs(f.rms - float(np.sqrt((w * w).sum() / len(w)))) < 1e-12
+
+
+def test_audio_frame_energy_empty_payload_zero_frames(spark):
+    """Empty payload -> zero frames (oracle parity: generate_series(1, 0))."""
+    from duckdb_ml_spark.operators.multimodal import audio_frame_energy
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"abc"))], "doc_id bigint, media binary"
+    )
+    rows = audio_frame_energy(media).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert rows[0].n_samples == 3
