@@ -149,6 +149,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_parquet_roundtrip",
         "source_bucketed_join",  # bucketed-table write
         "source_orc_roundtrip",  # export + re-scan
+        "source_text_roundtrip",  # text export at build
         "source_partitioned_pruned",  # partitioned write
         "sink_merge_upsert",  # target rebuild + merge at build
         "sim_topk_ivf_index",  # index build/write + probe collect at build

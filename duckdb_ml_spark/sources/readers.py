@@ -62,6 +62,22 @@ def _jsonl_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out).select(*nat.columns)
 
 
+def _text_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited TEXT roundtrip — THE pretraining corpus interchange
+    format (one document per line, no schema, no quoting): documents.text →
+    .txt shards → spark.read.text back. The corpus is single-line ASCII so
+    line == document exactly; a general exporter would newline-escape.
+    Column is aliased `text` to match the oracle's projection."""
+    docs = load(spark, sf_dir, "documents")
+    out = _export_once(
+        docs.select("text").orderBy("text"), "text",
+        os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "documents_txt"),
+    )
+    from pyspark.sql import functions as F
+
+    return spark.read.text(out).select(F.col("value").alias("text"))
+
+
 def _parquet_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet WRITE → native re-scan: proves the sink preserves types and
     values bit-for-bit (the format every intermediate table at 100 TB uses).
@@ -325,6 +341,12 @@ QUERIES: dict[str, QuerySpec] = {
         "source_csv_roundtrip", _csv_roundtrip_q, "SELECT * FROM supplier",
         doc="CSV export → header+inference scan reproduces the table exactly (§2.3 #5).",
         tags=("source", "csv"),
+    ),
+    "source_text_roundtrip": QuerySpec(
+        "source_text_roundtrip", _text_roundtrip_q, "SELECT text FROM documents",
+        doc="Line-delimited text export → spark.read.text scan reproduces the "
+        "corpus exactly (the one-doc-per-line pretraining format).",
+        tags=("source", "text"),
     ),
     "source_jsonl_roundtrip": QuerySpec(
         "source_jsonl_roundtrip", _jsonl_roundtrip_q, "SELECT * FROM nation",
