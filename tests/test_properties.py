@@ -193,3 +193,38 @@ class TestPngProperties:
         assert r.min() >= g.min() - 1e-9 and r.max() <= g.max() + 1e-9
         if (oh, ow) == (h, w):
             assert np.array_equal(r, g)
+
+
+def test_chunk_stride_property_random(spark):
+    """Hypothesis: chunk layout matches the closed-form reference for random
+    token counts — full coverage, fixed overlap, shorter tail."""
+    from hypothesis import given, settings, strategies as st
+
+    from duckdb_ml_spark.operators.text import chunk_stride
+
+    W, S = 7, 5  # small window/stride to hit many boundary cases
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12))
+    def run(lens):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lens)],
+            "doc_id bigint, text string",
+        )
+        rows = chunk_stride(docs, window=W, stride=S).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, n in enumerate(lens):
+            rs = sorted(by_doc[i], key=lambda r: r.chunk_id)
+            expected = 1 + max(0, -(-(n - W) // S)) if n > W else 1
+            assert len(rs) == expected, (n, len(rs))
+            covered = set()
+            for r in rs:
+                assert r.tok_start == r.chunk_id * S
+                assert r.n_chunk_tokens == min(W, n - r.tok_start)
+                assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+                covered.update(range(r.tok_start, r.tok_start + r.n_chunk_tokens))
+            assert covered == set(range(n))
+
+    run()
