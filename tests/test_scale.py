@@ -99,3 +99,16 @@ def test_key_skew_profile(spark, sf_dir):
     assert 0 < len(rows) <= 5
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-6  # few distinct keys: full mass
     assert rows[0].n >= rows[-1].n
+
+
+def test_span_fraction_never_broadcasts_corpus_sized_sides(spark, sf_dir):
+    """Regression lock for the 16x-probe scale bug: both joins in
+    dedup_span_fraction carry corpus-sized relations (per-gram counts, per-doc
+    rollup), so neither may be planned as a broadcast join regardless of what
+    the stats estimate — the SHUFFLE_HASH hints must hold."""
+    from duckdb_ml_spark.operators.dedup import span_dup_fraction
+
+    out = span_dup_fraction(load(spark, sf_dir, "documents"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("ShuffledHashJoin") == 2
