@@ -144,6 +144,7 @@ _EXEC_AT_BUILD = frozenset(
         "sim_tfidf_rescore",  # LSH candidate collect feeds the rescore
         "sim_knn_join",  # bounded-corpus count/collect/broadcast at build (ADVICE r3)
         "dedup_embedding_lsh_pairs",  # same — masked-broadcast kernel prep
+        "emb_contrastive_pairs",  # tiled-pair count/collect at build
         "source_csv_roundtrip",  # export + inference scan
         "source_jsonl_roundtrip",
         "source_parquet_roundtrip",

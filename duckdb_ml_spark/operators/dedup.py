@@ -1302,7 +1302,49 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
+def _contrastive_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.operators.vec import contrastive_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return contrastive_pairs(emb, cache_key=sf_dir)
+
+
+_CONTRASTIVE_ORACLE = """
+WITH pos AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS other
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+),
+anchors AS (SELECT DISTINCT anchor FROM pos),
+cand AS (
+    SELECT anchor,
+           (anchor * 2654435761) % (SELECT count(*) FROM embeddings) AS other
+    FROM anchors
+),
+neg AS (
+    SELECT c.anchor, c.other
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.anchor
+    JOIN embeddings b ON b.vec_id = c.other
+    WHERE c.other != c.anchor
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) < 0.2
+)
+SELECT anchor, other, 1 AS label FROM pos
+UNION ALL
+SELECT anchor, other, 0 AS label FROM neg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "emb_contrastive_pairs": QuerySpec(
+        name="emb_contrastive_pairs",
+        builder=_contrastive_pairs_q,
+        oracle=_CONTRASTIVE_ORACLE,
+        doc="Contrastive pair mining: verified near-dup positives + one "
+        "deterministic cosine-verified negative per anchor (embedding-model "
+        "training dataset construction).",
+        tags=("similarity", "embedding", "contrastive", "pipeline"),
+    ),
     "dedup_span_fraction": QuerySpec(
         name="dedup_span_fraction",
         builder=_span_dup_q,

@@ -428,6 +428,51 @@ def cosine_to_assigned_query(
     )
 
 
+def contrastive_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    arr_col: str = "embedding",
+    pos_threshold: float = 0.4,
+    neg_max: float = 0.2,
+    cache_key=None,
+):
+    """(anchor, other, label) contrastive training pairs — the dataset an
+    embedding model trains on: label 1 = verified near-dup pairs (cosine >
+    pos_threshold, the dedup family's pair plan), label 0 = one deterministic
+    hard-ish negative per anchor (Knuth-hash candidate `(anchor·2654435761)
+    mod N`, KEPT only if its cosine really is < neg_max — a sampled id that
+    happens to be similar is rejected, not mislabeled).
+
+    Determinism: the negative candidate is a pure function of the anchor id
+    and corpus size, so both engines generate the identical candidate set and
+    the cosine verdicts use the usual threshold-compare parity. Scale shape:
+    positives ride the existing tiled/LSH pair plans; negatives are
+    one-candidate-per-anchor — a tiny join, never a cross product."""
+    from duckdb_ml_spark.operators.dedup import _cached_count
+
+    n = _cached_count(emb, cache_key)
+    pos = cosine_pairs_tiled(
+        emb, id_col, arr_col, threshold=pos_threshold, cache_key=cache_key
+    ).select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"),
+        F.lit(1).alias("label"),
+    )
+    anchors = pos.select("anchor").distinct()
+    cand = anchors.select(
+        "anchor", ((F.col("anchor") * F.lit(2654435761)) % F.lit(n)).alias("other")
+    ).where(F.col("other") != F.col("anchor"))
+    ea = emb.select(F.col(id_col).alias("anchor"), F.col(arr_col).alias("__va"))
+    eb = emb.select(F.col(id_col).alias("other"), F.col(arr_col).alias("__vb"))
+    from duckdb_ml_spark.operators.similarity import cosine
+
+    neg = (
+        cand.join(ea, "anchor").join(eb, "other")
+        .where(cosine(F.col("__va"), F.col("__vb")) < neg_max)
+        .select("anchor", "other", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)
+
+
 def cosine_scores_vs_broadcast(
     df: DataFrame,
     ids,

@@ -1155,3 +1155,29 @@ def test_psi_drift_null_case_and_shift(spark):
         spark.range(100).select(F.lit(9e9).alias("v")))
     w = psi_drift(wild, wild, "v").collect()
     assert sum(r.n_ref for r in w) == 200
+
+
+def test_contrastive_pairs_labels_verified(spark, sf_dir):
+    """Positives really are > 0.4 cosine, negatives really are < 0.2, one
+    negative candidate max per anchor, and no pair appears with both labels."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.vec import collect_matrix, contrastive_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = contrastive_pairs(emb).collect()
+    ids, X = collect_matrix(emb, "vec_id")
+    order = np.argsort(ids)
+    pos_of = {int(ids[i]): i for i in order}
+    def cos(a, b):
+        va, vb = X[pos_of[a]], X[pos_of[b]]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    pos = [(r.anchor, r.other) for r in rows if r.label == 1]
+    neg = [(r.anchor, r.other) for r in rows if r.label == 0]
+    assert pos and neg
+    assert all(cos(a, b) > 0.4 for a, b in pos)
+    assert all(cos(a, b) < 0.2 for a, b in neg)
+    assert not (set(pos) & set(neg))
+    from collections import Counter
+
+    assert max(Counter(a for a, _ in neg).values()) == 1
