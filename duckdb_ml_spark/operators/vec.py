@@ -450,27 +450,44 @@ def contrastive_pairs(
     one-candidate-per-anchor — a tiny join, never a cross product."""
     from duckdb_ml_spark.operators.dedup import _cached_count
 
+    spark = emb.sparkSession
     n = _cached_count(emb, cache_key)
-    pos = cosine_pairs_tiled(
+    pos_plan = cosine_pairs_tiled(
         emb, id_col, arr_col, threshold=pos_threshold, cache_key=cache_key
-    ).select(
-        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"),
-        F.lit(1).alias("label"),
     )
-    anchors = pos.select("anchor").distinct()
+    # the pos relation feeds TWO branches (output union + anchor derivation);
+    # unpersisted, the O(N²·dim) tiled scoring kernel would execute twice per
+    # run (review finding). The pair list is bounded (it is the duplicate
+    # population) → one short-circuiting collect, anchors derived driver-side;
+    # above the gate, persist and keep the lazy branches.
+    probe = pos_plan.limit(100_001).collect()
+    if len(probe) <= 100_000:
+        pos = spark.createDataFrame(
+            [(r.vec_a, r.vec_b) for r in probe], "anchor bigint, other bigint"
+        )
+        anchors = spark.createDataFrame(
+            [(a,) for a in sorted({r.vec_a for r in probe})], "anchor bigint"
+        )
+    else:
+        pp = pos_plan.persist()
+        pos = pp.select(F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"))
+        anchors = pos.select("anchor").distinct()
     cand = anchors.select(
         "anchor", ((F.col("anchor") * F.lit(2654435761)) % F.lit(n)).alias("other")
     ).where(F.col("other") != F.col("anchor"))
-    ea = emb.select(F.col(id_col).alias("anchor"), F.col(arr_col).alias("__va"))
-    eb = emb.select(F.col(id_col).alias("other"), F.col(arr_col).alias("__vb"))
-    from duckdb_ml_spark.operators.similarity import cosine
-
-    neg = (
-        cand.join(ea, "anchor").join(eb, "other")
-        .where(cosine(F.col("__va"), F.col("__vb")) < neg_max)
-        .select("anchor", "other", F.lit(0).alias("label"))
+    # negative verification through the size-gated float64 kernel (bit-parity
+    # with the oracle's ::DOUBLE[] cast — the HOF cosine() multiplies at
+    # float32 and can flip near-threshold verdicts; review finding), which is
+    # also the existing candidate-pair scorer rather than a re-implementation
+    scored = score_id_pairs_cosine(
+        cand.select(F.col("anchor").alias("vec_a"), F.col("other").alias("vec_b")),
+        emb, id_col=id_col, cache_key=cache_key,
     )
-    return pos.unionByName(neg)
+    neg = scored.where(F.col("cos") < neg_max).select(
+        F.col("vec_a").alias("anchor"), F.col("vec_b").alias("other"),
+        F.lit(0).alias("label"),
+    )
+    return pos.select("anchor", "other", F.lit(1).alias("label")).unionByName(neg)
 
 
 def cosine_scores_vs_broadcast(

@@ -1167,8 +1167,7 @@ def test_contrastive_pairs_labels_verified(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     rows = contrastive_pairs(emb).collect()
     ids, X = collect_matrix(emb, "vec_id")
-    order = np.argsort(ids)
-    pos_of = {int(ids[i]): i for i in order}
+    pos_of = {int(v): i for i, v in enumerate(ids)}
     def cos(a, b):
         va, vb = X[pos_of[a]], X[pos_of[b]]
         return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
