@@ -164,9 +164,9 @@ _EXEC_AT_BUILD = frozenset(
         "ml_train_distributed",
         "ml_quality_filter",
         "text_bpe_real",  # trains the merge table at build (bounded collect)
-        "text_bpe_counts_budget",  # same — 30-merge training at build
         "bpe_merge_table",  # same — merge training at build
-        "pack_sequences_bpe",  # same — BPE-budget packing trains at build
+        # text_bpe_counts_budget / pack_sequences_bpe left r5: they now apply
+        # the FIXED packing tokenizer (bpe.packing_merges) — pure plan builders
         "decontaminate_train",  # corpus_shingles localCheckpoint at build
         "pipeline_containment",
         "pipeline_curate",

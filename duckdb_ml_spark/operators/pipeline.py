@@ -190,28 +190,11 @@ FROM t
 
 
 # --- tokenizer-aware (BPE) packing -------------------------------------------
-
-# 30-merge budget: the sf0.01 vocabulary fully merges at ~106 merges (every
-# word → 1 token, degenerate for packing), so the packing tokenizer stops at
-# 30 — words split into 1-6 subwords and pack budgets are genuinely token-true.
-PACK_BPE_MERGES = 30
-
-# Golden (word → BPE token count) lexicon of the sf0.01 corpus under the
-# 30-merge table — vocabulary-sized (31 words), deterministic. The oracle can't
-# run the greedy encoder, but it CAN join tokenized words against this lexicon
-# and run the identical window arithmetic — so the packing query stays fully
-# value-hash checked while only the per-word encode lengths are golden
-# (independently pytest-golden in tests/test_operators.py::test_bpe_*).
-# Regenerate: train_bpe_merges(docs, n_merges=30) + encode_word per distinct word.
-_SF001_BPE_LEXICON: tuple = (
-    ("a", 1), ("agg", 3), ("batch", 1), ("big", 3), ("column", 5),
-    ("customer", 6), ("data", 3), ("dup", 4), ("fast", 4), ("filter", 5),
-    ("group", 6), ("hash", 1), ("join", 1), ("key", 3), ("line", 3),
-    ("merge", 4), ("order", 3), ("part", 2), ("query", 4), ("row", 1),
-    ("scan", 2), ("slow", 3), ("small", 6), ("sort", 3), ("spark", 4),
-    ("stream", 6), ("table", 5), ("the", 3), ("value", 4), ("vector", 6),
-    ("window", 4),
-)
+# The packing tokenizer (fixed 30-merge table) and its oracle-side lexicon
+# live in operators.bpe (packing_merges / packing_lexicon) — moved there in
+# round 5 so pipeline→bpe is the only import direction (ADVICE r4 flagged the
+# old mutual module-init cycle), and the lexicon is DERIVED from the merge
+# table by the real encoder instead of being a second golden literal.
 
 
 def pack_sequences_bpe(
@@ -247,21 +230,19 @@ def pack_sequences_bpe(
 
 
 def _pack_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_ml_spark.operators.bpe import budget_merges
+    from duckdb_ml_spark.operators.bpe import packing_merges
 
     docs = load(spark, sf_dir, "documents")
-    return pack_sequences_bpe(docs, budget_merges(spark, sf_dir, PACK_BPE_MERGES))
+    return pack_sequences_bpe(docs, packing_merges())
 
 
 def _pack_bpe_oracle() -> str:
-    # shared lexicon-join fragment lives in bpe.py (one copy for both budget-
-    # BPE oracles). Import-cycle note: bpe's own oracle imports THIS module's
-    # lexicon constant; that works because the constants are defined above the
-    # QUERIES registrations in both modules — keep it that way.
-    from duckdb_ml_spark.operators.bpe import lexicon_count_ctes
+    # shared lexicon-join fragment + derived lexicon live in bpe.py (one copy
+    # for both budget-BPE oracles; one-directional import, no init cycle)
+    from duckdb_ml_spark.operators.bpe import lexicon_count_ctes, packing_lexicon
 
     return f"""
-WITH {lexicon_count_ctes(_SF001_BPE_LEXICON)},
+WITH {lexicon_count_ctes(packing_lexicon())},
 cnt AS (SELECT t.doc_id, t.source, coalesce(c.s, 0)::BIGINT AS n_tokens
         FROM toks t LEFT JOIN c ON t.doc_id = c.doc_id)
 SELECT doc_id, source, n_tokens,
@@ -361,9 +342,18 @@ def pack_manifest_spans(
     o, n = F.col("o"), F.col("n_tokens")
     first = F.floor(o / capacity).cast("bigint")
     last = F.floor((o + n - 1) / capacity).cast("bigint")
+    # sequence(a, b) DESCENDS when a > b (n_tokens = 0 at a capacity
+    # boundary → last < first) while DuckDB's generate_series is empty —
+    # guard with an empty array exactly like textnorm.exploded_shingles
+    # (ADVICE r4; unreachable today since tokens('') yields [''], but a
+    # tokenizer change must not emit phantom negative-span rows).
     seg = packed.select(
         id_col, part_col, "__w", "n_tokens", "o",
-        F.explode(F.sequence(first, last)).alias("pack_id"),
+        F.explode(
+            F.when(n > 0, F.sequence(first, last)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("pack_id"),
     )
     p = F.col("pack_id")
     ts = F.greatest(p * capacity - o, F.lit(0)).cast("bigint")

@@ -105,7 +105,14 @@ def pq_codebooks_for(spark: SparkSession, sf_dir: str):
         n = _cached_count(emb, sf_dir)
         stride = max(1, -(-n // PQ_TRAIN_CAP))
         sample = emb.where(F.col("vec_id") % stride == 0) if stride > 1 else emb
-        _, X = collect_matrix(sample, "vec_id", cache_key=(sf_dir, "pq_train", stride))
+        ids, X = collect_matrix(sample, "vec_id", cache_key=(sf_dir, "pq_train", stride))
+        # collect_matrix rows arrive in scan/partition order; k-means init
+        # seeds from row permutation, so unsorted input makes codebooks (and
+        # the exact-top-k oracle's empirical recall) layout-dependent. Sort by
+        # vec_id so codebooks are a pure function of the dataset (ADVICE r4).
+        import numpy as np
+
+        X = X[np.argsort(ids, kind="stable")]
         books = train_pq_codebooks(X)
         _CODEBOOK_CACHE[key] = books
     return books

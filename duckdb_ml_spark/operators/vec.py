@@ -475,6 +475,14 @@ def contrastive_pairs(
     cand = anchors.select(
         "anchor", ((F.col("anchor") * F.lit(2654435761)) % F.lit(n)).alias("other")
     ).where(F.col("other") != F.col("anchor"))
+    # Corpora with non-dense ids: the hashed candidate may not exist. The
+    # oracle's inner join silently drops such pairs, and so does the
+    # large-corpus shuffle-join path — but the small-corpus matrix kernel
+    # raises KeyError via gather_indices. Pre-filter with a semi-join so both
+    # size regimes share the oracle's inner-join semantics (ADVICE r4).
+    cand = cand.join(
+        emb.select(F.col(id_col).alias("other")), on="other", how="left_semi"
+    )
     # negative verification through the size-gated float64 kernel (bit-parity
     # with the oracle's ::DOUBLE[] cast — the HOF cosine() multiplies at
     # float32 and can flip near-threshold verdicts; review finding), which is
