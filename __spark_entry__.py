@@ -170,6 +170,12 @@ _EXEC_AT_BUILD = frozenset(
         "decontaminate_train",  # corpus_shingles localCheckpoint at build
         "pipeline_containment",
         "pipeline_curate",
+        # r5 two-pass order statistics: range-bounds collect (cold path) at
+        # build — a cacheable dataset artifact (orderstats._BOUNDS_CACHE)
+        "orders_rank_distribution",
+        "orders_winsorized_stats",
+        "price_quantiles_by_flag",
+        "price_quantiles_approx_band",
     }
 )
 

@@ -1,0 +1,210 @@
+"""Distributed exact order statistics — two-pass range-bucket rank/quantile.
+
+The scale problem (VERDICT r4 items 2/4/7): a window `PARTITION BY key` with
+~5 distinct keys sorts each partition on ONE task, and an exact per-group
+percentile materializes each group in ONE pandas kernel — both are straggler
+walls at 100 TB. The classic distributed fix is two passes over the data:
+
+  pass 0 (tiny, once per (dataset, column)): global approx-quantile RANGE
+    BOUNDS → B value buckets. Any monotone bucketing yields identical final
+    answers (bounds only steer parallelism), so sketch nondeterminism is
+    harmless and the bounds are a cacheable dataset artifact, like the IVF
+    centroid table.
+  pass 1: bucket counts per (key, bucket) — a shuffle whose OUTPUT is K×B
+    rows; per-key bucket offsets and totals fall out of a window over that
+    tiny relation (never over the facts).
+  pass 2: rank WITHIN (key, bucket) — K×B-way parallel window over ~n/B-row
+    partitions — plus the broadcast offsets gives the exact global rank; for
+    quantiles, only the buckets containing the target order statistics are
+    even scanned (semi-join prune: reads ~|probs|/B of the data after the
+    filter).
+
+Exactness: bucketing is `count(bounds <= x)`, so equal values share a bucket
+and `bucket(x1) <= bucket(x2)` whenever `x1 < x2`; a partition-local
+row_number plus the bucket's cumulative offset IS the global rank, and the
+value at any global position is unique even when row_number breaks value
+ties arbitrarily. Interpolation matches quantile_cont / np.percentile
+'linear': v = v_floor + (h - floor(h))·(v_ceil - v_floor), h = p·(n-1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (cache_key) -> list[float] range bounds. Dataset artifact: at 100 TB these
+# are computed once per table/column and persisted next to the data (same
+# contract as _SIG_CACHE / the IVF centroid table). Builders that may trigger
+# the cold collect are listed in __spark_entry__._EXEC_AT_BUILD.
+_BOUNDS_CACHE: dict = {}
+
+DEFAULT_BUCKETS = 32
+
+
+def value_range_bounds(
+    df: DataFrame, value_col: str, n_buckets: int = DEFAULT_BUCKETS, cache_key=None
+) -> list:
+    """Global approx-quantile bucket bounds for `value_col` (one tiny job:
+    fixed-size GK sketch, map-side partials, (B-1)-element collect)."""
+    if cache_key is not None and cache_key in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[cache_key]
+    probs = ", ".join(f"{i / n_buckets}D" for i in range(1, n_buckets))
+    row = df.select(
+        F.expr(f"approx_percentile({value_col}, array({probs}), 10000)").alias("b")
+    ).head()
+    # dedupe: heavy value skew can repeat a bound; duplicates would create
+    # empty buckets (harmless) but cost extra codegen comparisons
+    bounds = sorted(set(row["b"] or []))
+    if cache_key is not None:
+        _BOUNDS_CACHE[cache_key] = bounds
+    return bounds
+
+
+def bucket_expr(x, bounds):
+    """count(bounds <= x) as a chain of codegen comparisons — no HOF lambda
+    (repo invariant: interpreted per-element lambdas are banned on hot paths;
+    B-1 fused comparisons stay inside whole-stage codegen)."""
+    b = F.lit(0)
+    for t in bounds:
+        b = b + (x >= F.lit(float(t))).cast("int")
+    return b.cast("int")
+
+
+def _bucket_offsets(t: DataFrame, key: str):
+    """(key, __b, __c, __off, __n) from the bucketed relation `t` — the tiny
+    pass-1 aggregate plus per-key exclusive offsets and totals."""
+    counts = t.groupBy(key, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wo = Window.partitionBy(key).orderBy("__b")
+    return counts.select(
+        key,
+        "__b",
+        "__c",
+        (F.sum("__c").over(wo) - F.col("__c")).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(key)).alias("__n"),
+    )
+
+
+def keyed_global_rank(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """df + (__rn 1-based global rank per key under ORDER BY (value, tiebreak),
+    __n per-key total) without ever sorting a whole key on one task.
+
+    Requires a unique `tiebreak_col` (total order → rank == row_number and
+    cume_dist's peer count == row number, which is what the distribution
+    functions need)."""
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    t = df.withColumn("__b", bucket_expr(F.col(value_col), bounds))
+    offs = _bucket_offsets(t.select(key, "__b"), key)
+    wl = Window.partitionBy(key, "__b").orderBy(value_col, tiebreak_col)
+    ranked = t.withColumn("__lr", F.row_number().over(wl))
+    return (
+        ranked.join(F.broadcast(offs.drop("__c")), [key, "__b"])
+        .withColumn("__rn", F.col("__off") + F.col("__lr"))
+        .drop("__b", "__lr", "__off")
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """(key, __p, __q): EXACT quantile_cont values per key, distributed.
+
+    Only the buckets holding the floor/ceil order statistics of some target
+    rank are scanned in pass 2 (left-semi prune against a K×|probs|×2-row
+    broadcast), so the expensive window touches ~|probs|/B of the data; no
+    single task ever holds a whole key group."""
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    t = df.select(key, value_col).withColumn(
+        "__b", bucket_expr(F.col(value_col), bounds)
+    )
+    offs = _bucket_offsets(t.select(key, "__b"), key)
+
+    # target 0-based global positions per (key, prob): h = p·(n-1); the
+    # literal-array explode runs over the K-row totals relation, not facts
+    totals = offs.select(key, "__n").distinct()
+    pr = totals.select(
+        key, "__n", F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("__p")
+    ).withColumn("__h", F.col("__p") * (F.col("__n") - 1))
+    pos = pr.select(
+        key,
+        "__p",
+        "__h",
+        F.explode(
+            F.array(
+                F.struct(F.lit("f").alias("k"), F.floor("__h").cast("bigint").alias("pos")),
+                F.struct(F.lit("c").alias("k"), F.ceil("__h").cast("bigint").alias("pos")),
+            )
+        ).alias("s"),
+    ).select(key, "__p", "__h", F.col("s.k").alias("__k"), F.col("s.pos").alias("__pos"))
+
+    # locate each position's bucket: tiny×tiny range join (K·|probs|·2 × K·B)
+    need = (
+        pos.join(offs, on=key)
+        .where(
+            (F.col("__pos") >= F.col("__off"))
+            & (F.col("__pos") < F.col("__off") + F.col("__c"))
+        )
+        .select(
+            key, "__p", "__h", "__k", "__b",
+            (F.col("__pos") - F.col("__off") + 1).alias("__lpos"),
+        )
+    )
+
+    # pass 2 over PRUNED buckets only
+    pruned = t.join(
+        F.broadcast(need.select(key, "__b").distinct()), [key, "__b"], "left_semi"
+    )
+    wl = Window.partitionBy(key, "__b").orderBy(value_col)
+    ranked = pruned.withColumn("__lr", F.row_number().over(wl))
+    vals = ranked.join(
+        F.broadcast(need),
+        on=[
+            ranked[key] == need[key],
+            ranked["__b"] == need["__b"],
+            F.col("__lr") == F.col("__lpos"),
+        ],
+    ).select(ranked[key].alias(key), "__p", "__h", "__k", F.col(value_col).alias("__v"))
+
+    iv = vals.groupBy(key, "__p", "__h").agg(
+        F.max(F.when(F.col("__k") == "f", F.col("__v"))).alias("__vf"),
+        F.max(F.when(F.col("__k") == "c", F.col("__v"))).alias("__vc"),
+    )
+    frac = F.col("__h") - F.floor("__h")
+    return iv.select(
+        key,
+        "__p",
+        (F.col("__vf") + frac * (F.col("__vc") - F.col("__vf"))).alias("__q"),
+    )
+
+
+def quantiles_wide(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list,
+    out_names: list,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """exact_group_quantiles pivoted to one row per key with named columns
+    (conditional agg — keeps oracle column names exact)."""
+    q = exact_group_quantiles(
+        df, key, value_col, probs, n_buckets=n_buckets, cache_key=cache_key
+    )
+    aggs = [
+        F.max(F.when(F.col("__p") == float(p), F.col("__q"))).alias(name)
+        for p, name in zip(probs, out_names)
+    ]
+    return q.groupBy(key).agg(*aggs)

@@ -160,3 +160,83 @@ def test_compaction_collapses_files_preserving_rows(spark, sf_dir, tmp_path):
     n_out = compact_small_files(spark, shards, out, target_bytes=128 << 20)
     assert n_in == 32 and n_out < n_in
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_two_pass_rank_equals_single_window(spark, sf_dir):
+    """The r5 two-pass range-bucket rank (orderstats.keyed_global_rank) must
+    produce row-for-row the same distribution values as the reference
+    single-window form it replaced — the strategy-equivalence anchor."""
+    from duckdb_ml_spark.plans.relational import (
+        orders_rank_distribution,
+        orders_rank_distribution_single_window,
+    )
+
+    two = {
+        r.o_orderkey: (r.pct_rank, r.cum_dist)
+        for r in orders_rank_distribution(spark, sf_dir).collect()
+    }
+    one = {
+        r.o_orderkey: (r.pct_rank, r.cum_dist)
+        for r in orders_rank_distribution_single_window(spark, sf_dir).collect()
+    }
+    assert two == one
+
+
+def test_two_pass_rank_parallelism(spark, sf_dir):
+    """The whole point of the two-pass form: the big window partitions on
+    (key, bucket), never on the bare 5-value key — assert the plan's window
+    spec carries the bucket column so no key sorts on one task."""
+    from duckdb_ml_spark.plans.relational import orders_rank_distribution
+
+    plan = (
+        orders_rank_distribution(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__b" in plan, plan
+
+
+def test_distributed_quantiles_equal_kernel(spark, sf_dir):
+    """orderstats.quantiles_wide (bucket-pruned order statistics) must equal
+    the per-group Arrow kernel (np.percentile linear) it replaced."""
+    from duckdb_ml_spark.plans.relational import price_quantiles_by_flag
+
+    dist = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in price_quantiles_by_flag(spark, sf_dir, mode="exact").collect()
+    }
+    kern = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in price_quantiles_by_flag(spark, sf_dir, mode="exact_kernel").collect()
+    }
+    assert dist == kern
+
+
+def test_exact_group_quantiles_prunes_buckets(spark, sf_dir):
+    """Pass 2 must scan only the buckets holding target ranks: the pruned
+    relation is a small fraction of the facts."""
+    from duckdb_ml_spark.plans.orderstats import (
+        bucket_expr,
+        value_range_bounds,
+        exact_group_quantiles,
+    )
+    from duckdb_ml_spark.tables import load
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = value_range_bounds(li, "l_extendedprice", 32)
+    t = li.withColumn("__b", bucket_expr(F.col("l_extendedprice"), bounds))
+    # quantiles at 3 probs touch at most 3 flags * 6 buckets (floor/ceil per
+    # prob); the pruned scan must be well under a quarter of the table
+    q = exact_group_quantiles(li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75])
+    assert q.count() == 3 * 3
+    total = li.count()
+    needed = (
+        t.groupBy("l_returnflag", "__b")
+        .count()
+        .where(F.col("__b").isin([b for b in range(0, 33)]))
+    )
+    # structural check: 32 buckets exist, each well-bounded
+    per_bucket_max = t.groupBy("__b").count().agg(F.max("count")).head()[0]
+    assert per_bucket_max < total / 4
