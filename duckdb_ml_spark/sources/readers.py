@@ -172,42 +172,57 @@ FROM documents GROUP BY source
 
 
 def _merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch MERGE INTO demo over a keyed parquet target (sinks.
-    merge_upsert_parquet): UPDATE every 3rd supplier's balance (+1000),
-    INSERT a NEW_ row for every 5th, carry the rest — then read the merged
-    target back. The target is rebuilt from the base table each call, so the
-    result is a pure function of `supplier` and the oracle reproduces it as
-    a three-way UNION."""
+    """PARTITION-RESTRICTED MERGE INTO (sinks.merge_upsert_partitioned,
+    VERDICT r4 item 3) over a target hive-partitioned by part = s_suppkey % 8:
+    UPDATE balances (+1000) for partitions {1, 4}, INSERT NEW_ rows for
+    partitions {4, 6} (key+100000 ≡ key mod 8, so new rows stay in their
+    partition) — only partitions {1, 4, 6} are read or rewritten; the other
+    five directories are never opened (byte-identical, pytest-asserted in
+    tests/test_relational.py). The target is rebuilt from the base table
+    each call, so the readback is a pure function of `supplier` and the
+    oracle reproduces it as a three-way UNION."""
     from pyspark.sql import functions as F
 
-    from duckdb_ml_spark.sinks import merge_upsert_parquet
+    from duckdb_ml_spark.sinks import merge_upsert_partitioned
 
-    base = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    target = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "supplier_merge")
+    base = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        (F.col("s_suppkey") % 8).cast("int").alias("part"),
+    )
+    target = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "supplier_merge_part")
     import shutil
 
     shutil.rmtree(target, ignore_errors=True)
-    base.write.mode("overwrite").parquet(target)
-    upd_exist = base.where(F.col("s_suppkey") % 3 == 0).withColumn(
+    base.write.mode("overwrite").partitionBy("part").parquet(target)
+    upd_exist = base.where(F.col("part").isin(1, 4)).withColumn(
         "s_acctbal", F.col("s_acctbal") + 1000
     )
-    upd_new = base.where(F.col("s_suppkey") % 5 == 0).select(
+    upd_new = base.where(F.col("part").isin(4, 6)).select(
         (F.col("s_suppkey") + 100000).alias("s_suppkey"),
         F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
         F.lit(0.0).alias("s_acctbal"),
+        "part",
     )
-    merge_upsert_parquet(spark, target, upd_exist.unionByName(upd_new), ["s_suppkey"])
-    return spark.read.parquet(target)
+    merge_upsert_partitioned(
+        spark, target, upd_exist.unionByName(upd_new), ["s_suppkey"], "part"
+    )
+    back = spark.read.parquet(target)
+    # hive partition-dir values read back as int32 regardless of write type
+    return back.select(
+        "s_suppkey", "s_name", "s_acctbal", F.col("part").cast("int").alias("part")
+    )
 
 
 _MERGE_UPSERT_ORACLE = """
-SELECT s_suppkey, s_name, s_acctbal + 1000 AS s_acctbal
-FROM supplier WHERE s_suppkey % 3 = 0
+SELECT s_suppkey, s_name, s_acctbal + 1000 AS s_acctbal, (s_suppkey % 8)::INT AS part
+FROM supplier WHERE s_suppkey % 8 IN (1, 4)
 UNION ALL
-SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey % 3 != 0
+SELECT s_suppkey, s_name, s_acctbal, (s_suppkey % 8)::INT AS part
+FROM supplier WHERE s_suppkey % 8 NOT IN (1, 4)
 UNION ALL
-SELECT s_suppkey + 100000 AS s_suppkey, 'NEW_' || s_name AS s_name, 0.0 AS s_acctbal
-FROM supplier WHERE s_suppkey % 5 = 0
+SELECT s_suppkey + 100000 AS s_suppkey, 'NEW_' || s_name AS s_name,
+       0.0 AS s_acctbal, (s_suppkey % 8)::INT AS part
+FROM supplier WHERE s_suppkey % 8 IN (4, 6)
 """
 
 
@@ -372,10 +387,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sink_merge_upsert": QuerySpec(
         "sink_merge_upsert", _merge_upsert_q, _MERGE_UPSERT_ORACLE,
-        doc="Batch MERGE INTO over keyed parquet (update + insert + carry, "
-        "copy-on-write staging rename) — the batch twin of the streaming "
-        "foreachBatch upsert sink.",
-        tags=("sink", "merge", "parquet"),
+        doc="Partition-restricted MERGE INTO over hive-partitioned parquet: "
+        "read and rewrite pruned to partitions containing update keys (3 of "
+        "8); untouched partition dirs byte-identical. The 100 TB upsert form.",
+        tags=("sink", "merge", "parquet", "partitioning"),
     ),
     "source_partitioned_pruned": QuerySpec(
         "source_partitioned_pruned", _partitioned_parquet_q, _PARTITIONED_ORACLE,
