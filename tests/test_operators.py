@@ -724,6 +724,9 @@ def test_pii_redact_counts_and_replaces(spark):
     want = "mail me at <EMAIL> then call <PHONE> from <IP>"
     assert got[1].redacted_md5 == hashlib.md5(want.encode()).hexdigest()
     assert got[1].redacted_len == len(want)
+    # the Arrow/RE2 kernel variant is plan-different, answer-identical
+    arrow = {r.doc_id: r for r in redact_pii(df, mode="arrow").collect()}
+    assert arrow == got
 
 
 def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
