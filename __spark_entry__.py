@@ -98,6 +98,7 @@ def _all_query_specs():
         "duckdb_ml_spark.operators.analytics",
         "duckdb_ml_spark.operators.sampling",
         "duckdb_ml_spark.operators.pq",
+        "duckdb_ml_spark.operators.ivfpq",
         "duckdb_ml_spark.operators.mlprep",
         "duckdb_ml_spark.operators.dq",
         "duckdb_ml_spark.operators.pipeline",
@@ -154,6 +155,7 @@ _EXEC_AT_BUILD = frozenset(
         "sim_topk_ivf_index",  # index build/write + probe collect at build
         "sim_pq_recall_band",  # codebook training collect + LUT build at build
         "sim_topk_pq_rerank",  # same codebook/LUT build-time work
+        "sim_topk_ivfpq",  # k-means + codebook training collects at build
         "source_schema_evolution",  # snapshot writes at build
         "sink_compaction",  # shard + compact writes at build
         "autompg_scaled",  # CSV inference scan

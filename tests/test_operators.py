@@ -1183,3 +1183,66 @@ def test_contrastive_pairs_labels_verified(spark, sf_dir):
     from collections import Counter
 
     assert max(Counter(a for a, _ in neg).values()) == 1
+
+
+def test_ivfpq_serving_equals_eval_shortlist(spark, sf_dir):
+    """The bucket-PRUNED serving scan (code table filtered to probed cells,
+    residual-ADC LUT + centroid dot) must produce exactly the shortlist the
+    fused eval pipeline flags against — plan-different, row-identical."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.ivfpq import (
+        _derived_queries,
+        _query_probes,
+        derive_clustered,
+        ivfpq_artifacts,
+        ivfpq_shortlist_serving,
+    )
+    from duckdb_ml_spark.operators.pq import (
+        PQ_SHORTLIST,
+        _adc_gather,
+        _build_lut,
+        _encode_batch,
+    )
+    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix, collect_matrix
+    from duckdb_ml_spark.tables import load
+
+    CM, books = ivfpq_artifacts(spark, sf_dir)
+    q_ids, Q = _derived_queries(spark, sf_dir)
+    P = _query_probes(Q, CM)
+    ids, X = collect_matrix(load(spark, sf_dir, "embeddings"), "vec_id")
+    D = derive_clustered(X.astype(np.float64), ids)
+    buckets = np.argmax(_seq_cosine_matrix(D, CM), axis=1)
+    codes, _ = _encode_batch(D - CM[buckets], books)
+    l2 = np.sqrt((D * D).sum(axis=1))
+    lut, l2q = _build_lut(Q, books)
+    flat = lut.reshape(len(q_ids), -1)
+    offs = np.arange(books.shape[0]) * books.shape[1]
+    raw = _adc_gather(flat, offs, codes, np.ones(len(q_ids)), np.ones(len(ids)))
+    adc = ((Q @ CM.T)[:, buckets] + raw) / (l2q[:, None] * l2[None, :])
+    want = set()
+    for qi, qid in enumerate(q_ids):
+        a = adc[qi].copy()
+        a[~P[qi, buckets]] = -np.inf
+        a[ids == qid] = -np.inf
+        # top-PQ_SHORTLIST by (adc desc, id asc) among probed, excluding self
+        order = sorted(range(len(ids)), key=lambda j: (-a[j], ids[j]))
+        for j in order[:PQ_SHORTLIST]:
+            if np.isfinite(a[j]):
+                want.add((int(qid), int(ids[j])))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_shortlist_serving(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_measured_recall_meets_band(spark, sf_dir):
+    """The contract the driver row hash-checks: every query's IVF-PQ
+    shortlist covers >= RECALL_MIN of its exact top-k on the derived
+    vectors (measured min recall is 1.0 at sf0.001/sf0.01/sf0.1)."""
+    from duckdb_ml_spark.operators.ivfpq import ivfpq_recall_band
+
+    rows = ivfpq_recall_band(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r.ivfpq_recall_ok for r in rows)
