@@ -198,17 +198,22 @@ def test_two_pass_rank_parallelism(spark, sf_dir):
 
 
 def test_distributed_quantiles_equal_kernel(spark, sf_dir):
-    """orderstats.quantiles_wide (bucket-pruned order statistics) must equal
-    the per-group Arrow kernel (np.percentile linear) it replaced."""
-    from duckdb_ml_spark.plans.relational import price_quantiles_by_flag
+    """The two sides of the quantile size gate must agree exactly: the
+    bucket-pruned distributed form (forced) vs the whole-group Arrow kernel
+    (np.percentile linear) — same strategy-equivalence contract as the
+    collect gates elsewhere."""
+    from duckdb_ml_spark.plans.orderstats import quantiles_wide
+    from duckdb_ml_spark.tables import load
 
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    args = ("l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75], ["p25", "p50", "p75"])
     dist = {
         r.l_returnflag: (r.p25, r.p50, r.p75)
-        for r in price_quantiles_by_flag(spark, sf_dir, mode="exact").collect()
+        for r in quantiles_wide(li, *args, mode="distributed").collect()
     }
     kern = {
         r.l_returnflag: (r.p25, r.p50, r.p75)
-        for r in price_quantiles_by_flag(spark, sf_dir, mode="exact_kernel").collect()
+        for r in quantiles_wide(li, *args, mode="kernel").collect()
     }
     assert dist == kern
 

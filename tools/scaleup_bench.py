@@ -86,6 +86,8 @@ DEFAULT_QUERIES = [
     "sample_token_budget",
     "sample_length_buckets",
     "orders_winsorized_stats",
+    # r5: the two-pass distribution-window rewrite (was the single-task sort)
+    "orders_rank_distribution",
 ]
 
 
