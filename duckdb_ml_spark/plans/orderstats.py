@@ -23,8 +23,9 @@ Exactness: bucketing is `count(bounds <= x)`, so equal values share a bucket
 and `bucket(x1) <= bucket(x2)` whenever `x1 < x2`; a partition-local
 row_number plus the bucket's cumulative offset IS the global rank, and the
 value at any global position is unique even when row_number breaks value
-ties arbitrarily. Interpolation matches quantile_cont / np.percentile
-'linear': v = v_floor + (h - floor(h))·(v_ceil - v_floor), h = p·(n-1).
+ties arbitrarily. Interpolation matches DuckDB quantile_cont BITWISE:
+h = p·(n-1), v = v_floor·(1−frac) + v_ceil·frac (the symmetric form —
+see quantile_cont_sorted).
 """
 
 from __future__ import annotations
@@ -33,10 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# (cache_key) -> list[float] range bounds. Dataset artifact: at 100 TB these
-# are computed once per table/column and persisted next to the data (same
-# contract as _SIG_CACHE / the IVF centroid table). Builders that may trigger
-# the cold collect are listed in __spark_entry__._EXEC_AT_BUILD.
+# (cache_key, n_buckets) -> list[float] range bounds. Dataset artifact: at
+# 100 TB these are computed once per table/column and persisted next to the
+# data (same contract as _SIG_CACHE / the IVF centroid table). Builders that
+# may trigger the cold collect are listed in __spark_entry__._EXEC_AT_BUILD.
+# Keyed on n_buckets too (ADVICE r5): two callers sharing a cache_key at
+# different granularities must not silently share bounds.
 _BOUNDS_CACHE: dict = {}
 
 DEFAULT_BUCKETS = 32
@@ -47,8 +50,9 @@ def value_range_bounds(
 ) -> list:
     """Global approx-quantile bucket bounds for `value_col` (one tiny job:
     fixed-size GK sketch, map-side partials, (B-1)-element collect)."""
-    if cache_key is not None and cache_key in _BOUNDS_CACHE:
-        return _BOUNDS_CACHE[cache_key]
+    ck = None if cache_key is None else (cache_key, n_buckets)
+    if ck is not None and ck in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[ck]
     probs = ", ".join(f"{i / n_buckets}D" for i in range(1, n_buckets))
     row = df.select(
         F.expr(f"approx_percentile({value_col}, array({probs}), 10000)").alias("b")
@@ -56,9 +60,32 @@ def value_range_bounds(
     # dedupe: heavy value skew can repeat a bound; duplicates would create
     # empty buckets (harmless) but cost extra codegen comparisons
     bounds = sorted(set(row["b"] or []))
-    if cache_key is not None:
-        _BOUNDS_CACHE[cache_key] = bounds
+    if ck is not None:
+        _BOUNDS_CACHE[ck] = bounds
     return bounds
+
+
+def quantile_cont_sorted(v, probs) -> list:
+    """Exact quantile_cont over an ASCENDING-sorted array: h = p·(n−1),
+    v_f·(1−frac) + v_c·frac — the SYMMETRIC interpolation DuckDB's
+    Interpolator runs (empirically bitwise-verified against quantile_cont in
+    tests/test_relational.py::test_quantile_cont_sorted_matches_duckdb; the
+    one-sided lerp v_f + frac·(v_c−v_f) differs by 1 ulp on ~a third of
+    inputs). np.percentile is deliberately not used here (ADVICE r5 high):
+    its pct·100/100 round-trip (0.95·100 == 94.99999999999999) and its own
+    lerp variant differ by ulps, enough to flip threshold comparisons /
+    rounded outputs downstream."""
+    import math
+
+    n = len(v)
+    out = []
+    for p in probs:
+        h = p * (n - 1)
+        f = math.floor(h)
+        frac = h - f
+        c = math.ceil(h)
+        out.append(float(v[f]) * (1 - frac) + float(v[c]) * frac)
+    return out
 
 
 def bucket_expr(x, bounds):
@@ -85,6 +112,16 @@ def _bucket_offsets(t: DataFrame, key: str):
     )
 
 
+# Below this input row count the plain per-key window wins outright: one
+# shuffle + one sort per key beats the two-pass form's extra bounds job,
+# count pass, and broadcast join (measured 0.30 s vs 0.72 s at sf0.1); above
+# it the single-task-per-key sort becomes the straggler wall (the two-pass
+# form measured 0.96× vs DuckDB at the 16× probe — Spark ahead). Same 4 M
+# rationale as QUANTILE_KERNEL_GATE: ~64 MB of doubles per key is a
+# comfortable single-task working set, 10× that is not.
+RANK_WINDOW_GATE = 4_000_000
+
+
 def keyed_global_rank(
     df: DataFrame,
     key: str,
@@ -92,13 +129,31 @@ def keyed_global_rank(
     tiebreak_col: str,
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
+    mode: str = "auto",
 ) -> DataFrame:
     """df + (__rn 1-based global rank per key under ORDER BY (value, tiebreak),
     __n per-key total) without ever sorting a whole key on one task.
 
     Requires a unique `tiebreak_col` (total order → rank == row_number and
     cume_dist's peer count == row number, which is what the distribution
-    functions need)."""
+    functions need).
+
+    mode='auto' (VERDICT r5 item 3) mirrors quantiles_wide's size gate:
+    below RANK_WINDOW_GATE input rows the plain per-key window runs (cheaper
+    by construction — no bounds job, no count pass, no join); above it the
+    two-pass range-bucket form. 'two_pass' / 'window' force a side
+    (pytest equivalence: tests/test_relational.py::
+    test_two_pass_rank_equals_single_window)."""
+    if mode == "auto":
+        from duckdb_ml_spark.operators.dedup import _cached_count
+
+        n = _cached_count(df, cache_key) if cache_key is not None else df.count()
+        mode = "window" if n <= RANK_WINDOW_GATE else "two_pass"
+    if mode == "window":
+        w = Window.partitionBy(key).orderBy(value_col, tiebreak_col)
+        return df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(key))
+        )
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     t = df.withColumn("__b", bucket_expr(F.col(value_col), bounds))
     offs = _bucket_offsets(t.select(key, "__b"), key)
@@ -111,6 +166,35 @@ def keyed_global_rank(
     )
 
 
+def bucketed_relation(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """The persisted 2-column bucketed projection (key, value, __b) shared by
+    every pass of a multi-pass order-statistics query (VERDICT r5 item 2: the
+    quantile family paid ~3-4 FULL parquet scans — bounds, bucket counts,
+    pruned rank scan, final re-aggregate; now one file scan materializes this
+    relation and the other passes read the columnar cache).
+
+    Dedup across calls is Spark's own CacheManager: identical builders yield
+    structurally-equal analyzed plans (tables.load memoizes the base scan,
+    _BOUNDS_CACHE pins the bucket literals), so a repeated persist() resolves
+    to the existing cache entry rather than a second copy. MEMORY_AND_DISK:
+    at 100 TB the 2-column projection spills to local disk — the standard
+    price of any two-pass exact algorithm (the alternative, recompute from
+    lineage, is exactly the repeated-scan shape this removes)."""
+    from pyspark import StorageLevel
+
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    t = df.select(key, value_col).withColumn(
+        "__b", bucket_expr(F.col(value_col), bounds)
+    )
+    return t.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def exact_group_quantiles(
     df: DataFrame,
     key: str,
@@ -118,16 +202,20 @@ def exact_group_quantiles(
     probs: list,
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
+    bucketed: DataFrame = None,
 ) -> DataFrame:
     """(key, __p, __q): EXACT quantile_cont values per key, distributed.
 
     Only the buckets holding the floor/ceil order statistics of some target
     rank are scanned in pass 2 (left-semi prune against a K×|probs|×2-row
     broadcast), so the expensive window touches ~|probs|/B of the data; no
-    single task ever holds a whole key group."""
-    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
-    t = df.select(key, value_col).withColumn(
-        "__b", bucket_expr(F.col(value_col), bounds)
+    single task ever holds a whole key group. Passes 1 and 2 read the SAME
+    persisted bucketed relation (one file scan total); callers that also
+    re-aggregate the facts (winsorized) pass their own via `bucketed`."""
+    t = (
+        bucketed
+        if bucketed is not None
+        else bucketed_relation(df, key, value_col, n_buckets, cache_key=cache_key)
     )
     offs = _bucket_offsets(t.select(key, "__b"), key)
 
@@ -181,11 +269,14 @@ def exact_group_quantiles(
         F.max(F.when(F.col("__k") == "f", F.col("__v"))).alias("__vf"),
         F.max(F.when(F.col("__k") == "c", F.col("__v"))).alias("__vc"),
     )
+    # symmetric interpolation — bitwise-identical to DuckDB's Interpolator
+    # and to quantile_cont_sorted (the one-sided lerp is 1 ulp off; see
+    # quantile_cont_sorted's docstring)
     frac = F.col("__h") - F.floor("__h")
     return iv.select(
         key,
         "__p",
-        (F.col("__vf") + frac * (F.col("__vc") - F.col("__vf"))).alias("__q"),
+        (F.col("__vf") * (F.lit(1.0) - frac) + F.col("__vc") * frac).alias("__q"),
     )
 
 
@@ -201,18 +292,17 @@ QUANTILE_KERNEL_GATE = 4_000_000
 def group_quantiles_kernel(
     df: DataFrame, key: str, value_col: str, probs: list, out_names: list
 ) -> DataFrame:
-    """Whole-group exact quantiles: one applyInPandas sort per key group
-    (np.percentile 'linear' == quantile_cont). The small-input fast path —
-    materializes each group on ONE task, so it is gated, never the scale
-    form."""
+    """Whole-group exact quantiles: one applyInPandas sort per key group,
+    interpolated by quantile_cont_sorted — bitwise-identical to DuckDB and
+    to the distributed form (NOT np.percentile; see quantile_cont_sorted).
+    The small-input fast path — materializes each group on ONE task, so it
+    is gated, never the scale form."""
     import numpy as np
     import pandas as pd
 
-    pcts = [p * 100 for p in probs]
-
     def _pct(pdf: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(pdf[value_col].to_numpy())
-        p = np.percentile(v, pcts, method="linear")
+        p = quantile_cont_sorted(v, probs)
         return pd.DataFrame(
             {key: [pdf[key].iloc[0]], **{nm: [p[i]] for i, nm in enumerate(out_names)}}
         )
@@ -256,3 +346,85 @@ def quantiles_wide(
         for p, name in zip(probs, out_names)
     ]
     return q.groupBy(key).agg(*aggs)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    p_lo: float,
+    p_hi: float,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+    mode: str = "auto",
+) -> DataFrame:
+    """(key, __n, __mean_raw, __mean_wins, __n_lo, __n_hi): per-key count,
+    raw mean, mean after clipping to the [p_lo, p_hi] exact quantiles, and
+    clip counts — the winsorization feature-prep aggregate, FUSED
+    (VERDICT r5 item 2: the old shape ran quantiles_wide then re-scanned the
+    facts for the final aggregate — 3-4 full scans).
+
+    kernel mode (≤ QUANTILE_KERNEL_GATE rows): ONE applyInPandas computes
+    bounds AND the clipped aggregate per group in the same numpy kernel —
+    one file scan + one shuffle total. Bounds via quantile_cont_sorted
+    (bitwise DuckDB-identical; ADVICE r5 high — np.percentile's ulp noise
+    could flip clip counts / rounded means on the driver row).
+
+    distributed mode: bounds via bucket-pruned exact_group_quantiles and the
+    final clipped aggregate BOTH read the same persisted bucketed relation —
+    one file scan, no task ever holds a whole key group.
+
+    Means are returned unrounded; callers round Spark-side (F.round ==
+    DuckDB HALF_UP). Summation-order noise (~1e-8 on these magnitudes) is
+    absorbed by the 4-dp rounding the caller applies."""
+    if mode == "auto":
+        from duckdb_ml_spark.operators.dedup import _cached_count
+
+        n = _cached_count(df, cache_key) if cache_key is not None else df.count()
+        mode = "kernel" if n <= QUANTILE_KERNEL_GATE else "distributed"
+    if mode == "kernel":
+        import numpy as np
+        import pandas as pd
+
+        def _w(pdf: pd.DataFrame) -> pd.DataFrame:
+            v = np.sort(pdf[value_col].to_numpy())
+            lo, hi = quantile_cont_sorted(v, [p_lo, p_hi])
+            return pd.DataFrame(
+                {
+                    key: [pdf[key].iloc[0]],
+                    "__n": [len(v)],
+                    "__mean_raw": [float(v.mean())],
+                    "__mean_wins": [float(np.clip(v, lo, hi).mean())],
+                    "__n_lo": [int((v < lo).sum())],
+                    "__n_hi": [int((v > hi).sum())],
+                }
+            )
+
+        schema = (
+            f"{key} string, __n bigint, __mean_raw double, "
+            "__mean_wins double, __n_lo bigint, __n_hi bigint"
+        )
+        return df.select(key, value_col).groupBy(key).applyInPandas(_w, schema)
+
+    t = bucketed_relation(df, key, value_col, n_buckets, cache_key=cache_key)
+    q = exact_group_quantiles(
+        df, key, value_col, [p_lo, p_hi],
+        n_buckets=n_buckets, cache_key=cache_key, bucketed=t,
+    )
+    b = q.groupBy(key).agg(
+        F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
+        F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
+    )
+    x = F.col(value_col)
+    wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
+    return (
+        t.join(F.broadcast(b), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(x).alias("__mean_raw"),
+            F.avg(wins).alias("__mean_wins"),
+            F.sum((x < F.col("__lo")).cast("bigint")).alias("__n_lo"),
+            F.sum((x > F.col("__hi")).cast("bigint")).alias("__n_hi"),
+        )
+    )

@@ -472,26 +472,24 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str, mode: str = "exact
             F.round("e75", 6).alias("p75"),
         )
 
-    import numpy as np
-    import pandas as pd
+    # mode == "exact_kernel": the Arrow whole-group parity reference, now on
+    # the shared kernel (quantile_cont_sorted inside — ADVICE r5: the old
+    # np.percentile form here differed by ulps from quantile_cont)
+    from duckdb_ml_spark.plans.orderstats import quantiles_wide
 
-    def _pct(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(pdf["l_extendedprice"].to_numpy())
-        # np 'linear' interpolation == Spark percentile == DuckDB quantile_cont
-        p = np.percentile(v, [25, 50, 75], method="linear")
-        return pd.DataFrame(
-            {
-                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "p25": [round(p[0], 6)],
-                "p50": [round(p[1], 6)],
-                "p75": [round(p[2], 6)],
-            }
-        )
-
-    return (
-        li.select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .applyInPandas(_pct, "l_returnflag string, p25 double, p50 double, p75 double")
+    q = quantiles_wide(
+        li.select("l_returnflag", "l_extendedprice"),
+        key="l_returnflag",
+        value_col="l_extendedprice",
+        probs=[0.25, 0.50, 0.75],
+        out_names=["e25", "e50", "e75"],
+        mode="kernel",
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("e25", 6).alias("p25"),
+        F.round("e50", 6).alias("p50"),
+        F.round("e75", 6).alias("p75"),
     )
 
 
@@ -605,8 +603,12 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total order (price, key); per-row doubles are exact rationals k/(n−1) "
     "and k/n so rounding is safe on both engines. VERDICT r4 item 2: the "
     "naive window PARTITION BY a 5-value key sorts each partition on ONE "
-    "task — a straggler wall at 100 TB — so this runs the TWO-PASS range-"
-    "bucket rank (plans/orderstats.keyed_global_rank): B value buckets from "
+    "task — a straggler wall at 100 TB — so above RANK_WINDOW_GATE rows this "
+    "runs the TWO-PASS range-bucket rank (0.96× vs DuckDB at the 16× probe); "
+    "below the gate the plain window is cheaper outright and runs instead "
+    "(r6, VERDICT r5 item 3 — same size-gate pattern as quantiles_wide, "
+    "pytest-equivalent both sides) (plans/orderstats.keyed_global_rank): "
+    "B value buckets from "
     "cached approx bounds, per-(key,bucket) counts (tiny), local row_number "
     "over K×B-way-parallel ~n/B-row partitions + broadcast offsets = exact "
     "global rank; ORDER BY is total (orderkey unique) so rank == row_number "
@@ -614,7 +616,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-window form (pytest-equivalent).",
     tags=("window", "rank"),
 )
-def orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_rank_distribution(
+    spark: SparkSession, sf_dir: str, mode: str = "auto"
+) -> DataFrame:
     from duckdb_ml_spark.plans.orderstats import keyed_global_rank
 
     orders = load(spark, sf_dir, "orders")
@@ -624,6 +628,7 @@ def orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="o_totalprice",
         tiebreak_col="o_orderkey",
         cache_key=(sf_dir, "orders", "o_totalprice"),
+        mode=mode,
     )
     rn, n = F.col("__rn"), F.col("__n")
     return ranked.select(
@@ -671,40 +676,39 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
     """,
     doc="Winsorized robust statistics: per-priority p05/p95 clipping of order "
     "totals — the outlier-capping feature-prep step before training on "
-    "heavy-tailed monetary columns. VERDICT r4 item 4: the bounds are EXACT "
-    "per-group percentiles computed DISTRIBUTED (plans/orderstats."
-    "quantiles_wide — bucket-pruned order statistics: only the buckets "
-    "holding the p05/p95 ranks are scanned, no pandas group ever holds a "
-    "whole key), replacing the one-group-per-key Arrow kernel; the 5-row "
-    "bounds table then broadcast-joins back onto the streaming fact scan, so "
-    "the tail of the plan stays scan → broadcast join → one agg and the "
-    "oracle hash is unchanged.",
+    "heavy-tailed monetary columns. r6 FUSED form (VERDICT r5 item 2 — the "
+    "r5 shape paid 3-4 full scans and was 15× vs DuckDB at the 16× probe): "
+    "below the size gate, ONE applyInPandas kernel computes exact bounds "
+    "(quantile_cont_sorted — bitwise DuckDB-identical, ADVICE r5 high) AND "
+    "the clipped aggregate per group (one scan + one shuffle); above it, the "
+    "bucket-pruned distributed bounds and the final clipped aggregate both "
+    "read one persisted 2-column bucketed relation — one file scan, no task "
+    "ever holds a whole key group. Oracle hash unchanged.",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )
-def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_ml_spark.plans.orderstats import quantiles_wide
+def orders_winsorized_stats(
+    spark: SparkSession, sf_dir: str, mode: str = "auto"
+) -> DataFrame:
+    from duckdb_ml_spark.plans.orderstats import winsorized_stats
 
     orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    b = quantiles_wide(
+    w = winsorized_stats(
         orders,
         key="o_orderpriority",
         value_col="o_totalprice",
-        probs=[0.05, 0.95],
-        out_names=["p05", "p95"],
+        p_lo=0.05,
+        p_hi=0.95,
         cache_key=(sf_dir, "orders", "o_totalprice"),
+        mode=mode,
     )
-    x = F.col("o_totalprice")
-    wins = F.greatest(F.col("p05"), F.least(F.col("p95"), x))
-    return (
-        orders.join(F.broadcast(b), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg(x), 4).alias("mean_raw"),
-            F.round(F.avg(wins), 4).alias("mean_winsorized"),
-            F.sum((x < F.col("p05")).cast("bigint")).alias("n_clipped_low"),
-            F.sum((x > F.col("p95")).cast("bigint")).alias("n_clipped_high"),
-        )
+    # rounding stays Spark-side: F.round == DuckDB round (HALF_UP on doubles)
+    return w.select(
+        "o_orderpriority",
+        F.col("__n").alias("n_orders"),
+        F.round("__mean_raw", 4).alias("mean_raw"),
+        F.round("__mean_wins", 4).alias("mean_winsorized"),
+        F.col("__n_lo").alias("n_clipped_low"),
+        F.col("__n_hi").alias("n_clipped_high"),
     )
 
 

@@ -173,7 +173,7 @@ def test_two_pass_rank_equals_single_window(spark, sf_dir):
 
     two = {
         r.o_orderkey: (r.pct_rank, r.cum_dist)
-        for r in orders_rank_distribution(spark, sf_dir).collect()
+        for r in orders_rank_distribution(spark, sf_dir, mode="two_pass").collect()
     }
     one = {
         r.o_orderkey: (r.pct_rank, r.cum_dist)
@@ -185,16 +185,66 @@ def test_two_pass_rank_equals_single_window(spark, sf_dir):
 def test_two_pass_rank_parallelism(spark, sf_dir):
     """The whole point of the two-pass form: the big window partitions on
     (key, bucket), never on the bare 5-value key — assert the plan's window
-    spec carries the bucket column so no key sorts on one task."""
+    spec carries the bucket column so no key sorts on one task. The r6 size
+    gate (RANK_WINDOW_GATE) must also pick the plain window below the gate:
+    the test corpus is far under 4 M rows, so mode='auto' must NOT pay the
+    two-pass machinery there."""
     from duckdb_ml_spark.plans.relational import orders_rank_distribution
 
-    plan = (
-        orders_rank_distribution(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "__b" in plan, plan
+    def plan_of(mode):
+        return (
+            orders_rank_distribution(spark, sf_dir, mode=mode)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "__b" in plan_of("two_pass")
+    assert "__b" not in plan_of("auto")  # small input → plain window
+
+
+def test_winsorized_kernel_equals_distributed(spark, sf_dir):
+    """The two sides of the fused winsorized gate must agree exactly —
+    same strategy-equivalence contract as the quantile gate (and bitwise
+    bounds: both interpolate via quantile_cont_sorted / the h=p(n-1)
+    formula, never np.percentile — ADVICE r5 high)."""
+    from duckdb_ml_spark.plans.relational import orders_winsorized_stats
+
+    def rows(mode):
+        return {
+            r.o_orderpriority: tuple(r)[1:]
+            for r in orders_winsorized_stats(spark, sf_dir, mode=mode).collect()
+        }
+
+    assert rows("kernel") == rows("distributed")
+
+
+def test_quantile_cont_sorted_matches_duckdb():
+    """quantile_cont_sorted must be BITWISE equal to DuckDB quantile_cont
+    (the ADVICE r5 divergence was np.percentile's pct*100/100 round-trip and
+    asymmetric lerp — ulp-level, so the assertion is exact equality, not
+    approx)."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_ml_spark.plans.orderstats import quantile_cont_sorted
+
+    rng = np.random.default_rng(7)
+    con = duckdb.connect()
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95, 0.999]
+    for n in (2, 3, 17, 1000):
+        v = np.sort(rng.uniform(1e3, 5e5, n))
+        # tie-heavy variant too: quantize to force repeated values
+        for arr in (v, np.round(v, -3)):
+            got = quantile_cont_sorted(arr, probs)
+            ref = [
+                con.execute(
+                    "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)",
+                    [p, arr.tolist()],
+                ).fetchone()[0]
+                for p in probs
+            ]
+            assert got == ref, (n, got, ref)
 
 
 def test_distributed_quantiles_equal_kernel(spark, sf_dir):
