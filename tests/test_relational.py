@@ -268,6 +268,42 @@ def test_distributed_quantiles_equal_kernel(spark, sf_dir):
     assert dist == kern
 
 
+def test_exact_quantiles_lazy_fallback_equivalent(spark, sf_dir):
+    """The collect-based two-scan form (default) and the all-lazy semi-join
+    fallback (key cardinality above CELL_COLLECT_GATE) must produce identical
+    quantiles — the two sides of the cell-collect gate."""
+    from duckdb_ml_spark.plans.orderstats import (
+        exact_group_quantiles,
+        exact_group_quantiles_lazy,
+    )
+    from duckdb_ml_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    args = ("l_returnflag", "l_extendedprice", [0.05, 0.5, 0.999])
+    a = {(r[0], r[1]): r[2] for r in exact_group_quantiles(li, *args).collect()}
+    b = {(r[0], r[1]): r[2] for r in exact_group_quantiles_lazy(li, *args).collect()}
+    assert a == b
+
+
+def test_exact_quantiles_pass2_filter_is_pushed(spark, sf_dir):
+    """Pass 2's bucket prune must reach the parquet scan as a pushed value-
+    range predicate (row-group min/max pruning at scale), not a post-scan
+    semi-join."""
+    from duckdb_ml_spark.plans.orderstats import exact_group_quantiles
+    from duckdb_ml_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    plan = (
+        exact_group_quantiles(li, "l_returnflag", "l_extendedprice", [0.25, 0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    # the pass-2 scan carries a GreaterThanOrEqual/LessThan range on the value
+    assert "GreaterThanOrEqual(l_extendedprice" in plan or "LessThan(l_extendedprice" in plan, plan
+
+
 def test_exact_group_quantiles_prunes_buckets(spark, sf_dir):
     """Pass 2 must scan only the buckets holding target ranks: the pruned
     relation is a small fraction of the facts."""
