@@ -109,6 +109,11 @@ def _seq_cosine_matrix(A, B):  # (n,d) x (m,d) -> (n,m) cosine, sequential-fold 
 
 _MATRIX_CACHE: dict = {}
 
+# (cache_key, id_col, pos_threshold) -> collected positive-pair rows of
+# contrastive_pairs — a deterministic dataset artifact (same contract as
+# _SIG_CACHE); only bounded (≤100k-row) lists are ever cached.
+_POS_PAIRS_CACHE: dict = {}
+
 
 def gather_indices(order, sorted_ids, wanted):
     """Matrix-row indices for `wanted` ids, given argsort(order)/sorted ids.
@@ -452,15 +457,24 @@ def contrastive_pairs(
 
     spark = emb.sparkSession
     n = _cached_count(emb, cache_key)
-    pos_plan = cosine_pairs_tiled(
-        emb, id_col, arr_col, threshold=pos_threshold, cache_key=cache_key
-    )
     # the pos relation feeds TWO branches (output union + anchor derivation);
     # unpersisted, the O(N²·dim) tiled scoring kernel would execute twice per
     # run (review finding). The pair list is bounded (it is the duplicate
     # population) → one short-circuiting collect, anchors derived driver-side;
-    # above the gate, persist and keep the lazy branches.
-    probe = pos_plan.limit(100_001).collect()
+    # above the gate, persist and keep the lazy branches. The collected pair
+    # list is a deterministic dataset artifact (pure function of the corpus
+    # + threshold), memoized like _SIG_CACHE / the IVF centroid table — a
+    # repeat build reuses it instead of re-running the tiled kernel
+    # (VERDICT r5 item 6: the re-execution was ~0.85 s of every call).
+    pkey = None if cache_key is None else (cache_key, id_col, float(pos_threshold))
+    probe = _POS_PAIRS_CACHE.get(pkey) if pkey is not None else None
+    if probe is None:
+        pos_plan = cosine_pairs_tiled(
+            emb, id_col, arr_col, threshold=pos_threshold, cache_key=cache_key
+        )
+        probe = pos_plan.limit(100_001).collect()
+        if pkey is not None and len(probe) <= 100_000:
+            _POS_PAIRS_CACHE[pkey] = probe
     if len(probe) <= 100_000:
         pos = spark.createDataFrame(
             [(r.vec_a, r.vec_b) for r in probe], "anchor bigint, other bigint"
@@ -478,11 +492,17 @@ def contrastive_pairs(
     # Corpora with non-dense ids: the hashed candidate may not exist. The
     # oracle's inner join silently drops such pairs, and so does the
     # large-corpus shuffle-join path — but the small-corpus matrix kernel
-    # raises KeyError via gather_indices. Pre-filter with a semi-join so both
-    # size regimes share the oracle's inner-join semantics (ADVICE r4).
-    cand = cand.join(
-        emb.select(F.col(id_col).alias("other")), on="other", how="left_semi"
-    )
+    # raises KeyError via gather_indices. Pre-filter so both size regimes
+    # share the oracle's inner-join semantics (ADVICE r4). r6 (VERDICT r5
+    # item 6): expressed as corpus-ids ⋈ broadcast(candidates) — a left-semi
+    # with cand on the LEFT can only broadcast the corpus-id side (huge at
+    # scale); flipping makes the TINY one-candidate-per-anchor relation the
+    # broadcast build side and streams the id scan past it, no shuffle.
+    # (anchor, other) is unique (one candidate per distinct anchor) and ids
+    # are unique, so the inner join is exactly the semi-join's row set.
+    cand = emb.select(F.col(id_col).alias("other")).join(
+        F.broadcast(cand), on="other", how="inner"
+    ).select("anchor", "other")
     # negative verification through the size-gated float64 kernel (bit-parity
     # with the oracle's ::DOUBLE[] cast — the HOF cosine() multiplies at
     # float32 and can flip near-threshold verdicts; review finding), which is
