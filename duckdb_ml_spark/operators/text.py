@@ -538,8 +538,9 @@ def redact_pii(
     VERDICT r4 item 5 (was 6.2× at sf0.1, 4.5× at 16× — regex engine
     constant): detection is FUSED into redaction — one replace pass per
     category (3 total, was 6 regex passes: 3 counts + 3 replaces); counts
-    come from literal placeholder arithmetic, no extra regex. `<` cannot
-    occur in source text, so placeholder counting is exact. Both engine
+    come from literal placeholder arithmetic (post − pre occurrences, so a
+    source that already contains a placeholder literal cannot inflate the
+    inventory — exact on arbitrary text, no extra regex). Both engine
     modes were measured at the 16× probe, as prescribed: mode='arrow'
     (default) runs the three passes as a mapInPandas pyarrow/RE2 kernel
     (linear-time scan; md5/length stay JVM-side) — 0.80 s vs the fused JVM
@@ -558,9 +559,17 @@ def redact_pii(
                 r = pc.replace_substring_regex(r, pattern=PII_PHONE_RX, replacement="<PHONE>")
                 r = pc.replace_substring_regex(r, pattern=PII_IP_RX, replacement="<IP>")
                 out = pdf[[id_col]].copy()
-                out["n_emails"] = pc.count_substring(r, "<EMAIL>").to_pandas()
-                out["n_phones"] = pc.count_substring(r, "<PHONE>").to_pandas()
-                out["n_ips"] = pc.count_substring(r, "<IP>").to_pandas()
+                # counts = insertions: post-redaction occurrences MINUS any
+                # placeholder literal already present in the source (exact on
+                # arbitrary text — ADVICE r5: a corpus that happens to contain
+                # '<EMAIL>' must not inflate the inventory; the regexes can
+                # neither consume nor split a pre-existing placeholder, so the
+                # difference is exactly the number of redactions applied)
+                for nm, ph in (("n_emails", "<EMAIL>"), ("n_phones", "<PHONE>"), ("n_ips", "<IP>")):
+                    out[nm] = (
+                        pc.subtract(pc.count_substring(r, ph), pc.count_substring(arr, ph))
+                        .to_pandas()
+                    )
                 out["red"] = r.to_pandas()
                 yield out
 
@@ -581,15 +590,27 @@ def redact_pii(
     )
     # materialize the redacted string ONCE per row (projection boundary);
     # inlining `red` into all five outputs would re-run the 3-regex chain per
-    # output unless codegen CSE catches it — don't rely on that
+    # output unless codegen CSE catches it — don't rely on that. Counts are
+    # post − pre placeholder occurrences (see the arrow branch: exact on
+    # arbitrary text, ADVICE r5).
     return df.select(
         id_col,
+        t.alias("__src"),
         red.alias("__red"),
     ).select(
         id_col,
-        _placeholder_count(F.col("__red"), "<EMAIL>").alias("n_emails"),
-        _placeholder_count(F.col("__red"), "<PHONE>").alias("n_phones"),
-        _placeholder_count(F.col("__red"), "<IP>").alias("n_ips"),
+        (
+            _placeholder_count(F.col("__red"), "<EMAIL>")
+            - _placeholder_count(F.col("__src"), "<EMAIL>")
+        ).alias("n_emails"),
+        (
+            _placeholder_count(F.col("__red"), "<PHONE>")
+            - _placeholder_count(F.col("__src"), "<PHONE>")
+        ).alias("n_phones"),
+        (
+            _placeholder_count(F.col("__red"), "<IP>")
+            - _placeholder_count(F.col("__src"), "<IP>")
+        ).alias("n_ips"),
         F.md5("__red").alias("redacted_md5"),
         F.length("__red").alias("redacted_len"),
     )
@@ -636,9 +657,12 @@ red AS (
     FROM aug
 )
 SELECT doc_id,
-       ((length(r) - length(replace(r, '<EMAIL>', ''))) / 7)::INT AS n_emails,
-       ((length(r) - length(replace(r, '<PHONE>', ''))) / 7)::INT AS n_phones,
-       ((length(r) - length(replace(r, '<IP>', ''))) / 4)::INT AS n_ips,
+       ((length(r) - length(replace(r, '<EMAIL>', ''))) / 7)::INT
+         - ((length(text) - length(replace(text, '<EMAIL>', ''))) / 7)::INT AS n_emails,
+       ((length(r) - length(replace(r, '<PHONE>', ''))) / 7)::INT
+         - ((length(text) - length(replace(text, '<PHONE>', ''))) / 7)::INT AS n_phones,
+       ((length(r) - length(replace(r, '<IP>', ''))) / 4)::INT
+         - ((length(text) - length(replace(text, '<IP>', ''))) / 4)::INT AS n_ips,
        md5(r) AS redacted_md5,
        length(r)::INT AS redacted_len
 FROM red

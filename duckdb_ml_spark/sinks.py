@@ -153,9 +153,33 @@ def merge_upsert_partitioned(
     affected = sorted(
         r[0] for r in batch.select(partition_col).distinct().collect()
     )
+    # Hive dir names are built as f'{partition_col}={value}' below, which only
+    # matches Spark's on-disk escaping for integral values — a string needing
+    # URI escaping, a float, or a NULL (__HIVE_DEFAULT_PARTITION__) would
+    # produce a name that silently misses the staging dir and LOSE the
+    # update (ADVICE r5). Restrict and fail loudly.
+    for v in affected:
+        if v is None or isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(
+                f"merge_upsert_partitioned requires integral non-null "
+                f"partition values (got {v!r}); string/float/null partition "
+                f"columns need Hive-escaped dir naming this sink does not do"
+            )
     exists = os.path.isdir(path) and any(
         d.startswith(f"{partition_col}=") for d in os.listdir(path)
     )
+    if not exists and os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        # A flat (non-partitioned) parquet table at the target: treating it
+        # as empty would silently drop the carry-over rows and interleave
+        # partition dirs with the old flat files — old+new rows side by side,
+        # duplicate keys on readback (ADVICE r5). Refuse instead.
+        raise ValueError(
+            f"target {path} holds non-partitioned parquet files (no "
+            f"'{partition_col}=' directories); use merge_upsert_parquet for "
+            f"flat tables or migrate the layout first"
+        )
     if exists:
         cur = spark.read.parquet(path).where(F.col(partition_col).isin(affected))
         kept = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")
@@ -168,11 +192,19 @@ def merge_upsert_partitioned(
     for v in affected:
         part_dir = f"{partition_col}={v}"
         src, dst = os.path.join(staging, part_dir), os.path.join(path, part_dir)
+        if not os.path.isdir(src):
+            # an affected value MUST have a staging dir (its batch rows were
+            # written there); a miss means dir-name/layout drift — failing
+            # here keeps the target intact instead of dropping the update
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"staging dir missing for affected partition {part_dir}; "
+                f"target left untouched"
+            )
         old = dst + ".old"
         if os.path.isdir(dst):
             os.rename(dst, old)
-        if os.path.isdir(src):
-            os.rename(src, dst)
+        os.rename(src, dst)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return affected

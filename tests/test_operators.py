@@ -729,6 +729,25 @@ def test_pii_redact_counts_and_replaces(spark):
     assert arrow == got
 
 
+def test_pii_counts_ignore_preexisting_placeholders(spark):
+    """ADVICE r5: a source that already contains a placeholder literal must
+    not inflate the redaction inventory — counts are post − pre occurrences
+    in both engine modes."""
+    from duckdb_ml_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "already says <EMAIL> but real mail is a@b.co"),
+        (2, "<PHONE> <IP> and nothing real"),
+        (3, "<EMAIL> only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for mode in ("fused", "arrow"):
+        got = {r.doc_id: r for r in redact_pii(df, mode=mode).collect()}
+        assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 0, 0), mode
+        assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 0, 0), mode
+        assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 0), mode
+
+
 def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
     """The incremental new-vs-corpus banded join must produce exactly the
     (one-side-new) subset of the full all-pairs LSH output — the efficiency

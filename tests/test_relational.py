@@ -333,6 +333,31 @@ def test_exact_group_quantiles_prunes_buckets(spark, sf_dir):
     assert per_bucket_max < total / 4
 
 
+def test_partitioned_merge_refuses_flat_target_and_bad_values(spark, tmp_path):
+    """ADVICE r5: a flat (non-partitioned) parquet target must be refused —
+    not silently treated as empty (old+new rows would interleave); and
+    non-integral partition values must be rejected before any write (the
+    Hive dir naming below only matches Spark's escaping for ints)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import merge_upsert_partitioned
+
+    flat = str(tmp_path / "flat")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    base.write.parquet(flat)  # non-partitioned layout
+    with pytest.raises(ValueError, match="non-partitioned"):
+        merge_upsert_partitioned(spark, flat, base, ["k"], "part")
+
+    strpart = base.withColumn("part", F.col("part").cast("string"))
+    with pytest.raises(ValueError, match="integral"):
+        merge_upsert_partitioned(
+            spark, str(tmp_path / "t2"), strpart, ["k"], "part"
+        )
+
+
 def test_partitioned_merge_rewrites_only_affected_partitions(spark, tmp_path):
     """merge_upsert_partitioned (VERDICT r4 item 3): updates touching 2 of 8
     partitions must leave the other 6 partition directories byte-identical
