@@ -528,9 +528,10 @@ def price_quantiles_approx_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     # statistics (plans/orderstats) replace the one-pandas-group-per-flag
     # kernel — at 16× that kernel held a ~3.2 M-row group per task; now only
     # the buckets containing the 9 target ranks are scanned and no task holds
-    # a whole flag group. Interpolation identical (v_f + frac·(v_c − v_f) ==
-    # np.percentile 'linear' == DuckDB quantile_cont). Approx side stays the
-    # JVM GK sketch — the thing under test. The two 3-row aggs join
+    # a whole flag group. Interpolation is the symmetric quantile_cont form —
+    # BITWISE DuckDB-identical (quantile_cont_sorted; the old claim that
+    # np.percentile 'linear' matches was 1-ulp wrong, ADVICE r5). Approx side
+    # stays the JVM GK sketch — the thing under test. The two 3-row aggs join
     # broadcast-cheap at the end.
     from duckdb_ml_spark.plans.orderstats import quantiles_wide
 

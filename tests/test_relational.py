@@ -250,7 +250,7 @@ def test_quantile_cont_sorted_matches_duckdb():
 def test_distributed_quantiles_equal_kernel(spark, sf_dir):
     """The two sides of the quantile size gate must agree exactly: the
     bucket-pruned distributed form (forced) vs the whole-group Arrow kernel
-    (np.percentile linear) — same strategy-equivalence contract as the
+    (quantile_cont_sorted) — same strategy-equivalence contract as the
     collect gates elsewhere."""
     from duckdb_ml_spark.plans.orderstats import quantiles_wide
     from duckdb_ml_spark.tables import load
