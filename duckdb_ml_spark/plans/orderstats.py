@@ -280,7 +280,15 @@ def exact_group_quantiles(
       the literal need table, symmetric interpolation.
 
     No task ever holds a whole key group; the only driver state is K×B
-    counts — the same bounded-collect contract as the LSH/union-find gates."""
+    counts — the same bounded-collect contract as the LSH/union-find gates.
+
+    Known skew limit (applies equally to the lazy fallback): equal values
+    must share a bucket for exactness, so a distribution where ONE value is
+    a large fraction of a key collapses that fraction into a single
+    (key, bucket) window partition. If that ever bites, the tie block needs
+    no sort at all — any local position inside it yields the same value —
+    so the fix is a count-only shortcut for mono-value buckets, not a finer
+    bucketing."""
     spark = df.sparkSession
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     bexpr = bucket_expr(F.col(value_col), bounds)
