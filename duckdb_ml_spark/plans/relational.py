@@ -902,10 +902,16 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # project the extracted value BEFORE the aggregate: referencing the
-    # get_json_object expression inside two aggregate functions would parse the
+    # extraction expression inside two aggregate functions would parse the
     # JSON string twice per row; as a named projection column it is evaluated
-    # once per row and both partial aggregates consume the cached value
-    k = F.get_json_object("props", "$.k").cast("int")
+    # once per row and both partial aggregates consume the cached value.
+    # from_json with a SINGLE-FIELD schema beats get_json_object here
+    # (measured 0.35 vs 0.50 s min-of-4 at sf0.1): the schema-driven parser
+    # skips unrequested fields (Spark's JSON schema pruning) where
+    # get_json_object's path evaluator tokenizes the whole object per call.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    k = F.from_json("props", StructType([StructField("k", IntegerType())]))["k"]
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

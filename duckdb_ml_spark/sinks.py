@@ -199,7 +199,8 @@ def merge_upsert_partitioned(
             shutil.rmtree(staging, ignore_errors=True)
             raise RuntimeError(
                 f"staging dir missing for affected partition {part_dir}; "
-                f"target left untouched"
+                f"this and later affected partitions were not applied "
+                f"(per-partition atomicity: earlier renames stand)"
             )
         old = dst + ".old"
         if os.path.isdir(dst):

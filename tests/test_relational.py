@@ -268,6 +268,44 @@ def test_distributed_quantiles_equal_kernel(spark, sf_dir):
     assert dist == kern
 
 
+def test_exact_quantiles_tie_heavy_matches_duckdb(spark):
+    """End-to-end exact_group_quantiles on a TIE-HEAVY distribution (one
+    value dominates, values collide with bucket bounds) vs DuckDB
+    quantile_cont — the data class where bucket-edge and tie-block bugs
+    would hide. Exact equality (both engines interpolate bitwise-identically
+    after the r6 symmetric-form fix)."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_ml_spark.plans.orderstats import exact_group_quantiles
+
+    rng = np.random.default_rng(11)
+    # 3 keys × 4000 rows; 60% of rows share one of 3 values, rest uniform
+    rows = []
+    for k in ("a", "b", "c"):
+        vals = np.where(
+            rng.uniform(size=4000) < 0.6,
+            rng.choice([100.0, 250.0, 250.0, 999.5], size=4000),
+            np.round(rng.uniform(1, 1000, size=4000), 1),
+        )
+        rows += [(k, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {
+        (r["k"], r["__p"]): r["__q"]
+        for r in exact_group_quantiles(df, "k", "v", probs, n_buckets=16).collect()
+    }
+    con = duckdb.connect()
+    for k in ("a", "b", "c"):
+        vs = [v for kk, v in rows if kk == k]
+        for p in probs:
+            ref = con.execute(
+                "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)",
+                [p, vs],
+            ).fetchone()[0]
+            assert got[(k, p)] == ref, (k, p, got[(k, p)], ref)
+
+
 def test_exact_quantiles_lazy_fallback_equivalent(spark, sf_dir):
     """The collect-based two-scan form (default) and the all-lazy semi-join
     fallback (key cardinality above CELL_COLLECT_GATE) must produce identical

@@ -88,6 +88,8 @@ DEFAULT_QUERIES = [
     "orders_winsorized_stats",
     # r5: the two-pass distribution-window rewrite (was the single-task sort)
     "orders_rank_distribution",
+    # r6: the exact-quantile family's collect-based two-scan rework
+    "price_quantiles_by_flag",
 ]
 
 
