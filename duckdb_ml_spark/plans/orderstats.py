@@ -152,7 +152,10 @@ def keyed_global_rank(
 
     Requires a unique `tiebreak_col` (total order → rank == row_number and
     cume_dist's peer count == row number, which is what the distribution
-    functions need).
+    functions need) and NON-NULL (value, tiebreak) columns: NULL has no
+    position in a total order, and the engines disagree on where it sorts
+    (Spark windows NULLS FIRST, DuckDB NULLS LAST) — a caller with NULLs
+    must decide their rank explicitly before calling.
 
     mode='auto' (VERDICT r5 item 3) mirrors quantiles_wide's size gate:
     below RANK_WINDOW_GATE input rows the plain per-key window runs (cheaper
@@ -290,6 +293,13 @@ def exact_group_quantiles(
     so the fix is a count-only shortcut for mono-value buckets, not a finer
     bucketing."""
     spark = df.sparkSession
+    # quantile_cont IGNORES NULLs (SQL aggregate semantics) — drop them
+    # before anything counts rows. Without this the when/otherwise bucket
+    # tree would route NULL comparisons to bucket 0, inflating pass-1 counts
+    # while the pass-2 range filter excludes them — shifting every target
+    # position (review r6 finding, reproduced: median 40.5 vs DuckDB 50.5 on
+    # a 20%-NULL column).
+    df = df.where(F.col(value_col).isNotNull())
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     bexpr = bucket_expr(F.col(value_col), bounds)
     cells = (
@@ -305,9 +315,10 @@ def exact_group_quantiles(
         )
     import math
 
+    key_t = dict(df.dtypes)[key]  # mirror the input key type, don't assume string
     layout = _cell_layout(cells)
     if not layout:  # empty input: empty result, stable schema
-        return spark.createDataFrame([], f"{key} string, __p double, __q double")
+        return spark.createDataFrame([], f"{key} {key_t}, __p double, __q double")
     need_rows = []
     needed_buckets = set()
     for k, (bs, offs, n) in layout.items():
@@ -320,7 +331,7 @@ def exact_group_quantiles(
                 needed_buckets.add(int(b))
     need_df = spark.createDataFrame(
         need_rows,
-        f"{key} string, __b int, __lpos int, __p double, __k string, __frac double",
+        f"{key} {key_t}, __b int, __lpos int, __p double, __k string, __frac double",
     )
     pruned = (
         df.select(key, value_col)
@@ -368,6 +379,7 @@ def exact_group_quantiles_lazy(
     r5 semi-join plan, kept for key cardinalities above CELL_COLLECT_GATE
     where pass-1 cells don't fit a driver collect. Same output, same
     interpolation; pytest-equivalence in test_relational."""
+    df = df.where(F.col(value_col).isNotNull())  # quantile_cont ignores NULLs
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     t = df.select(key, value_col).withColumn(
         "__b", bucket_expr(F.col(value_col), bounds)
@@ -465,8 +477,14 @@ def group_quantiles_kernel(
             {key: [pdf[key].iloc[0]], **{nm: [p[i]] for i, nm in enumerate(out_names)}}
         )
 
-    schema = f"{key} string, " + ", ".join(f"{nm} double" for nm in out_names)
-    return df.select(key, value_col).groupBy(key).applyInPandas(_pct, schema)
+    key_t = dict(df.dtypes)[key]
+    schema = f"{key} {key_t}, " + ", ".join(f"{nm} double" for nm in out_names)
+    return (
+        df.where(F.col(value_col).isNotNull())  # quantile_cont ignores NULLs
+        .select(key, value_col)
+        .groupBy(key)
+        .applyInPandas(_pct, schema)
+    )
 
 
 def quantiles_wide(
@@ -538,7 +556,13 @@ def winsorized_stats(
 
     Means are returned unrounded; callers round Spark-side (F.round ==
     DuckDB HALF_UP). Summation-order noise (~1e-8 on these magnitudes) is
-    absorbed by the 4-dp rounding the caller applies."""
+    absorbed by the 4-dp rounding the caller applies.
+
+    NULL `value_col` rows are excluded ENTIRELY (counts included): the
+    bounds must ignore them (quantile_cont semantics) and clip comparisons
+    on NULL are engine-divergent, so all-over-non-null is the one
+    well-defined contract."""
+    df = df.where(F.col(value_col).isNotNull())
     if mode == "auto":
         from duckdb_ml_spark.operators.dedup import _cached_count
 
@@ -562,8 +586,9 @@ def winsorized_stats(
                 }
             )
 
+        key_t = dict(df.dtypes)[key]
         schema = (
-            f"{key} string, __n bigint, __mean_raw double, "
+            f"{key} {key_t}, __n bigint, __mean_raw double, "
             "__mean_wins double, __n_lo bigint, __n_hi bigint"
         )
         return df.select(key, value_col).groupBy(key).applyInPandas(_w, schema)

@@ -681,10 +681,12 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
     "r5 shape paid 3-4 full scans and was 15× vs DuckDB at the 16× probe): "
     "below the size gate, ONE applyInPandas kernel computes exact bounds "
     "(quantile_cont_sorted — bitwise DuckDB-identical, ADVICE r5 high) AND "
-    "the clipped aggregate per group (one scan + one shuffle); above it, the "
-    "bucket-pruned distributed bounds and the final clipped aggregate both "
-    "read one persisted 2-column bucketed relation — one file scan, no task "
-    "ever holds a whole key group. Oracle hash unchanged.",
+    "the clipped aggregate per group (one scan + one shuffle, nothing "
+    "else); above it, the collect-based two-scan exact quantiles (pass-1 "
+    "cell counts + pass-2 pushed-range pruned scan) plus ONE more streaming "
+    "scan with the 5-row bounds broadcast-joined for the per-row clip "
+    "aggregate — no task ever holds a whole key group, nothing persisted. "
+    "Oracle hash unchanged.",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )
 def orders_winsorized_stats(

@@ -168,18 +168,26 @@ def merge_upsert_partitioned(
     exists = os.path.isdir(path) and any(
         d.startswith(f"{partition_col}=") for d in os.listdir(path)
     )
-    if not exists and os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        # A flat (non-partitioned) parquet table at the target: treating it
-        # as empty would silently drop the carry-over rows and interleave
-        # partition dirs with the old flat files — old+new rows side by side,
-        # duplicate keys on readback (ADVICE r5). Refuse instead.
-        raise ValueError(
-            f"target {path} holds non-partitioned parquet files (no "
-            f"'{partition_col}=' directories); use merge_upsert_parquet for "
-            f"flat tables or migrate the layout first"
-        )
+    if not exists and os.path.isdir(path):
+        # Treating a non-empty target as empty silently drops the carry-over
+        # rows and interleaves new partition dirs with the old layout —
+        # old+new rows side by side, duplicate keys on readback (ADVICE r5).
+        # Refuse BOTH corrupt-prone layouts: a flat parquet table, and a
+        # table hive-partitioned by a DIFFERENT column (review r6).
+        entries = os.listdir(path)
+        if any(f.endswith(".parquet") for f in entries):
+            raise ValueError(
+                f"target {path} holds non-partitioned parquet files (no "
+                f"'{partition_col}=' directories); use merge_upsert_parquet "
+                f"for flat tables or migrate the layout first"
+            )
+        other = [d for d in entries if "=" in d and not d.startswith(f"{partition_col}=")]
+        if other:
+            raise ValueError(
+                f"target {path} is partitioned by a different column "
+                f"(found {other[0]!r}, expected '{partition_col}='); refusing "
+                f"to interleave layouts"
+            )
     if exists:
         cur = spark.read.parquet(path).where(F.col(partition_col).isin(affected))
         kept = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")

@@ -306,6 +306,54 @@ def test_exact_quantiles_tie_heavy_matches_duckdb(spark):
             assert got[(k, p)] == ref, (k, p, got[(k, p)], ref)
 
 
+def test_exact_quantiles_ignore_nulls_and_mirror_key_type(spark):
+    """review r6: (a) NULL values must be EXCLUDED (quantile_cont
+    semantics) — the bucket tree would otherwise route NULLs to bucket 0 and
+    shift every target position; (b) the result key column mirrors the
+    input key type (was hardcoded string)."""
+    import duckdb
+
+    from duckdb_ml_spark.plans.orderstats import (
+        exact_group_quantiles,
+        group_quantiles_kernel,
+        winsorized_stats,
+    )
+
+    rows = [(1, float(v)) for v in range(1, 101)] + [(1, None)] * 20
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    q = exact_group_quantiles(df, "k", "v", [0.5], n_buckets=8)
+    assert dict(q.dtypes)["k"] == "bigint"
+    got = q.collect()[0]["__q"]
+    ref = duckdb.connect().execute(
+        "SELECT quantile_cont(x, 0.5) FROM (SELECT unnest(?) AS x)",
+        [[float(v) for v in range(1, 101)]],
+    ).fetchone()[0]
+    assert got == ref == 50.5
+    kq = group_quantiles_kernel(df, "k", "v", [0.5], ["p50"]).collect()[0]
+    assert kq["p50"] == ref
+    w = winsorized_stats(df, "k", "v", 0.05, 0.95, mode="kernel").collect()[0]
+    assert w["__n"] == 100  # NULLs excluded from the count too
+
+
+def test_partitioned_merge_refuses_other_partition_column(spark, tmp_path):
+    """review r6: a target partitioned by a DIFFERENT column must be
+    refused, not treated as empty (the interleave corruption class)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import merge_upsert_partitioned
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 16).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("region"),
+        (F.col("id") % 4).cast("int").alias("part"),
+    )
+    base.write.partitionBy("region").parquet(target)
+    with pytest.raises(ValueError, match="different column"):
+        merge_upsert_partitioned(spark, target, base, ["k"], "part")
+
+
 def test_exact_quantiles_lazy_fallback_equivalent(spark, sf_dir):
     """The collect-based two-scan form (default) and the all-lazy semi-join
     fallback (key cardinality above CELL_COLLECT_GATE) must produce identical

@@ -88,7 +88,11 @@ DEFAULT_QUERIES = [
     "orders_winsorized_stats",
     # r5: the two-pass distribution-window rewrite (was the single-task sort)
     "orders_rank_distribution",
-    # r6: the exact-quantile family's collect-based two-scan rework
+    # r6: the exact-quantile family under its auto gate — NOTE at this
+    # probe's 9.6 M rows that is the whole-group Arrow KERNEL (< the 16 M
+    # QUANTILE_KERNEL_GATE); the collect-based two-scan distributed form is
+    # regression-covered by pytest equivalence + the measured strategy
+    # convergence recorded in plans/orderstats.py, not by this number.
     "price_quantiles_by_flag",
 ]
 
