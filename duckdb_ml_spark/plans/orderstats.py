@@ -447,16 +447,18 @@ def exact_group_quantiles_lazy(
     )
 
 
-# Below this input row count the whole-group Arrow kernel wins outright:
-# measured at the 16× probe (r6), the kernel runs 1.7-2.0 s on 9.6 M lineitem
-# rows while the collect-based two-scan distributed form runs 2.15 s (B=64,
-# binary-search bucketing, pushed range filter) — the crossover is ABOVE
-# 9.6 M on this hardware, so the gate sits at 16 M. Scale safety: the kernel
-# materializes ONE GROUP per task; 16 M rows ≈ 128 MB of doubles even in the
-# degenerate one-key case — still a single task's working set. Above the
-# gate, groups can outgrow a task and the two-scan form (whose per-task
-# working set is ~n/(K·B)) is the only shape that survives 100 TB.
-QUANTILE_KERNEL_GATE = 16_000_000
+# Below this input row count the whole-group Arrow kernel wins outright.
+# Measured at the 16× probe (r6, forced-mode runs committed in
+# bench/SCALEUP_x16_r6_quantile_modes.json): at 2.4 M rows the kernel wins
+# 0.72 s vs 1.67 s (the two-scan form's extra passes dominate); at 9.6 M the
+# two-scan distributed form wins 1.81 s vs 2.01 s (repeatably — 2.15 vs 2.24
+# in an earlier window) — the crossover sits between, so the gate is 8 M.
+# Scale safety: the kernel materializes ONE GROUP per task; 8 M rows ≈ 64 MB
+# of doubles even in the degenerate one-key case — a single task's working
+# set. Above the gate, groups can outgrow a task and the two-scan form
+# (whose per-task working set is ~n/(K·B)) is the only shape that survives
+# 100 TB.
+QUANTILE_KERNEL_GATE = 8_000_000
 
 
 def group_quantiles_kernel(

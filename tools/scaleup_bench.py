@@ -88,11 +88,11 @@ DEFAULT_QUERIES = [
     "orders_winsorized_stats",
     # r5: the two-pass distribution-window rewrite (was the single-task sort)
     "orders_rank_distribution",
-    # r6: the exact-quantile family under its auto gate — NOTE at this
-    # probe's 9.6 M rows that is the whole-group Arrow KERNEL (< the 16 M
-    # QUANTILE_KERNEL_GATE); the collect-based two-scan distributed form is
-    # regression-covered by pytest equivalence + the measured strategy
-    # convergence recorded in plans/orderstats.py, not by this number.
+    # r6: the exact-quantile family under its auto gate — at this probe's
+    # 9.6 M rows that is the collect-based TWO-SCAN distributed form (> the
+    # 8 M QUANTILE_KERNEL_GATE, the measured crossover); both gate sides'
+    # forced-mode times are committed in
+    # bench/SCALEUP_x16_r6_quantile_modes.json.
     "price_quantiles_by_flag",
 ]
 
