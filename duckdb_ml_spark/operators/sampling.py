@@ -373,7 +373,147 @@ FROM q
 """
 
 
+# --- epoch shuffle / resharding ----------------------------------------------
+
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = EPOCH_SHARDS,
+    seed: str = "epoch0",
+    cache_key=None,
+) -> DataFrame:
+    """(id, shard, pos): deterministic GLOBAL pseudo-random shuffle into
+    training shards — the epoch-shuffle step every dataloader pipeline runs
+    before writing webdataset/arrayrecord shards. Order key = first 60 bits
+    of md5(seed:id) (uniform, engine-portable); shard = key mod n_shards;
+    pos = 1-based rank within the shard under (key, id).
+
+    Changing `seed` ('epoch1', …) yields an independent permutation — the
+    per-epoch reshuffle without ever materializing a global sort. Scale
+    shape: ranks come from plans/orderstats.keyed_global_rank, so below the
+    gate this is one window per shard and above it the two-pass range-bucket
+    rank — no shard ever sorts on one task. (At write time you'd skip `pos`
+    entirely and `repartitionByRange(__h)` straight into shard files; the
+    rank form is the manifest/audit variant.)"""
+    from duckdb_ml_spark.plans.orderstats import keyed_global_rank
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    t = (
+        df.select(id_col)
+        .withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+    )
+    r = keyed_global_rank(
+        t, key="shard", value_col="__h", tiebreak_col=id_col, cache_key=cache_key
+    )
+    return r.select(
+        id_col, "shard", F.col("__rn").cast("bigint").alias("pos")
+    )
+
+
+def _epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle(
+        load(spark, sf_dir, "documents"),
+        cache_key=(sf_dir, "documents", "epoch0"),
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM documents
+)
+SELECT doc_id, (h % {EPOCH_SHARDS})::INT AS shard,
+       row_number() OVER (PARTITION BY h % {EPOCH_SHARDS} ORDER BY h, doc_id)::BIGINT AS pos
+FROM t
+"""
+
+
+# --- mixture resampling by per-source weights --------------------------------
+
+
+def mixture_resample(
+    df: DataFrame, weight: Column, id_col: str = "doc_id", salt: str = "mix"
+) -> DataFrame:
+    """Repeat each row `weight` times in expectation, DETERMINISTICALLY:
+    count = floor(w) + (hash_uniform(id) < frac(w)) — the corpus-mixing step
+    (Pile/LLaMA-style source reweighting) where w>1 upsamples (integer
+    repeats + a fractional bernoulli) and w<1 downsamples. Pure column
+    expressions → reproducible on any partitioning, any engine.
+
+    Plan: map-only — count projection, filter count>=1, explode
+    sequence(1,count) (the explode guards the empty range: Spark sequence
+    DESCENDS when end < start). Output carries a 1-based `replica` index so
+    downstream dedup-aware consumers can distinguish intentional repeats."""
+    u = hash_bucket(F.col(id_col), salt).cast("double") / N_BUCKETS
+    cnt = (
+        F.floor(weight).cast("int")
+        + (u < (weight - F.floor(weight))).cast("int")
+    )
+    return (
+        df.withColumn("__cnt", cnt)
+        .where(F.col("__cnt") >= 1)
+        .withColumn(
+            "replica", F.explode(F.sequence(F.lit(1), F.col("__cnt")))
+        )
+        .drop("__cnt")
+    )
+
+
+def _mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture over the 20-source corpus: weight derived
+    deterministically from the source id (0.25 + (n mod 8)·0.5 ∈
+    [0.25, 3.75] — exact binary fractions, so floor/frac compare bitwise on
+    both engines), exercising both down- and up-sampling."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.lit(0.25) + (F.substring("source", 4, 8).cast("int") % 8) * F.lit(0.5)
+    out = mixture_resample(docs, w)
+    return out.select(
+        "doc_id", F.col("replica").cast("bigint").alias("replica"), "source"
+    )
+
+
+_MIXTURE_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id, source,
+           (floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)::INT AS cnt
+    FROM (
+        SELECT doc_id, source,
+               0.25 + (substr(source, 4)::INT % 8) * 0.5 AS wt,
+               {_hash_bucket_sql("doc_id", "mix")}::DOUBLE / {N_BUCKETS} AS u
+        FROM documents
+    )
+)
+SELECT doc_id, unnest(generate_series(1, cnt))::BIGINT AS replica, source
+FROM c WHERE cnt >= 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_epoch_shuffle": QuerySpec(
+        "sample_epoch_shuffle", _epoch_shuffle_q, _EPOCH_SHUFFLE_ORACLE,
+        doc="Deterministic global epoch shuffle into training shards "
+        "(hash order key -> shard + within-shard rank via the gated "
+        "two-pass rank; per-epoch reseed = new permutation).",
+        tags=("sampling", "pipeline", "shuffle"),
+    ),
+    "sample_mixture_resample": QuerySpec(
+        "sample_mixture_resample", _mixture_q, _MIXTURE_ORACLE,
+        doc="Deterministic source-weighted mixture resampling (floor + "
+        "fractional-bernoulli repeats, replica index carried) — the corpus "
+        "mixing step of a pretraining data pipeline.",
+        tags=("sampling", "pipeline", "mixing"),
+    ),
     "sample_token_budget": QuerySpec(
         "sample_token_budget", _token_budget_q, _token_budget_oracle(),
         doc="Quality-ranked token-budget selection: per source, keep the best "

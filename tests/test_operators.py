@@ -780,6 +780,54 @@ def test_incremental_lsh_equals_filtered_full(spark, sf_dir):
     assert inc == want and inc
 
 
+def test_epoch_shuffle_is_a_partition_and_reseeds(spark):
+    """Every id lands in exactly one (shard, pos) slot; positions are dense
+    1..n_shard; the permutation is deterministic across repartitionings and
+    CHANGES under a new seed (the per-epoch reshuffle contract)."""
+    from duckdb_ml_spark.operators.sampling import EPOCH_SHARDS, epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id bigint")
+    out = epoch_shuffle(df).collect()
+    assert len(out) == 400 and len({r.doc_id for r in out}) == 400
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.shard < EPOCH_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    again = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(df.repartition(5)).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in out}
+    epoch1 = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(df, seed="epoch1").collect()}
+    assert epoch1 != again  # reseed -> different permutation
+
+
+def test_mixture_resample_counts_and_determinism(spark):
+    """Integer weights repeat exactly; fractional weights repeat
+    floor(w)/ceil(w) with the right empirical rate; output is identical
+    across repartitionings; replica indices are dense."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id bigint")
+    exact2 = mixture_resample(df, F.lit(2.0))
+    assert exact2.count() == 2000
+    assert exact2.groupBy("doc_id").count().where("count != 2").count() == 0
+    zero = mixture_resample(df, F.lit(0.0))
+    assert zero.count() == 0
+    half = mixture_resample(df, F.lit(1.5)).groupBy("doc_id").count().collect()
+    per = {r["doc_id"]: r["count"] for r in half}
+    assert set(per.values()) <= {1, 2} and len(per) == 1000
+    n2 = sum(1 for c in per.values() if c == 2)
+    assert 350 < n2 < 650  # hash-uniform bernoulli at p=0.5
+    a = sorted((r.doc_id, r.replica) for r in mixture_resample(df, F.lit(1.5)).collect())
+    b = sorted(
+        (r.doc_id, r.replica)
+        for r in mixture_resample(df.repartition(7), F.lit(1.5)).collect()
+    )
+    assert a == b
+
+
 def test_importance_sample_respects_probabilities(spark):
     """keep_prob=0 keeps nothing, 1.0 keeps everything, and the kept set is
     identical across repartitionings (determinism contract)."""
