@@ -187,6 +187,10 @@ _EXEC_AT_BUILD = frozenset(
         "orders_winsorized_stats",
         "price_quantiles_by_flag",
         "price_quantiles_approx_band",
+        # r6: above-16MB path counts the filtered build side (cached) at build
+        "revenue_by_nation",
+        # r6: epoch shuffle rides keyed_global_rank's cached-count gate
+        "sample_epoch_shuffle",
     }
 )
 

@@ -1052,33 +1052,49 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
-    # orders⋈customer first: dimension-sized build (customer), compact output
-    oc = orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")).select(
-        "o_orderkey", "c_nationkey"
-    )
-    # The oc broadcast is SIZE-GATED, not hard-coded (the 16× scale probe
-    # caught the driver collect growing with orders — 2.3 s at 2.4M orders).
-    # Above the gate oc becomes the BUILD side of a shuffled hash join — the
-    # lineitem-streams invariant holds in both regimes.
+    # r6: push EVERY selective predicate into the fact-fact build side before
+    # lineitem ever joins. region=ASIA reaches customers through the nation
+    # dim (broadcast⋈broadcast — tiny), so the build side is not "orders" but
+    # "orders from ASIA customers since 1996" — ~10× smaller at every scale
+    # (the r4 16× probe's oc was unfiltered; at the 64× probe the unfiltered
+    # shuffle-hash build cost 8.4 s vs DuckDB 0.25, which exploits exactly
+    # these filters). n_name rides the build side, removing the post-join
+    # nation lookup.
+    asia_nat = nat.join(
+        F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust_asia = cust.join(
+        F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    oc = orders.join(
+        F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", "c_nationkey", "n_name")
+    # Broadcast decision on the FILTERED build side's actual cardinality,
+    # not the raw file size (which can't see predicate selectivity; this
+    # session runs AQE off — compact-mode choice — so no runtime
+    # promotion). Below 16 MB of orders the static plan broadcasts without
+    # any job; above it, one cached count of oc (the repo's collect-gate
+    # pattern) decides: ≲2 M filtered rows (~60 MB) broadcast — lineitem
+    # never shuffles — else oc becomes the build side of a shuffled hash
+    # join. The lineitem-streams invariant holds in every regime.
     import os as _os
 
     try:
         _osz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
     except OSError:
         _osz = 0
-    oc_side = F.broadcast(oc) if _osz < (16 << 20) else oc.hint("shuffle_hash")
-    joined = (
-        li.join(oc_side, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(reg.where(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
+    if _osz < (16 << 20):
+        oc_side = F.broadcast(oc)
+    else:
+        from duckdb_ml_spark.operators.dedup import _cached_count
+
+        n_oc = _cached_count(oc, (sf_dir, "revenue_by_nation", "oc_filtered"))
+        oc_side = F.broadcast(oc) if n_oc < 2_000_000 else oc.hint("shuffle_hash")
+    joined = li.join(oc_side, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(supp),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
