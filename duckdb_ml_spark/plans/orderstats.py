@@ -265,6 +265,7 @@ def exact_group_quantiles(
     probs: list,
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
+    cells=None,
 ) -> DataFrame:
     """(key, __p, __q): EXACT quantile_cont values per key, distributed —
     r6 collect-based two-scan form (VERDICT r5 item 2: the all-lazy r5 plan
@@ -302,13 +303,14 @@ def exact_group_quantiles(
     df = df.where(F.col(value_col).isNotNull())
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     bexpr = bucket_expr(F.col(value_col), bounds)
-    cells = (
-        df.select(key, value_col)
-        .groupBy(key, bexpr.alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .limit(CELL_COLLECT_GATE + 1)
-        .collect()
-    )
+    if cells is None:
+        cells = (
+            df.select(key, value_col)
+            .groupBy(key, bexpr.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .limit(CELL_COLLECT_GATE + 1)
+            .collect()
+        )
     if len(cells) > CELL_COLLECT_GATE:
         return exact_group_quantiles_lazy(
             df, key, value_col, probs, n_buckets=n_buckets, cache_key=cache_key
@@ -460,6 +462,13 @@ def exact_group_quantiles_lazy(
 # 100 TB.
 QUANTILE_KERNEL_GATE = 8_000_000
 
+# winsorized_stats pays one more distributed pass than plain quantiles
+# (boundary-bucket partials), so its kernel/distributed crossover sits a
+# factor higher — measured (r6, 64×/256× probes): at 9.6 M rows kernel
+# 2.5 s vs decomposed 3.2 s warm; at 38 M kernel 13.9 s vs decomposed
+# 3.4 s. Same worst-case single-group bound argument (16 M rows ≈ 128 MB).
+WINSORIZE_KERNEL_GATE = 16_000_000
+
 
 def group_quantiles_kernel(
     df: DataFrame, key: str, value_col: str, probs: list, out_names: list
@@ -569,7 +578,7 @@ def winsorized_stats(
         from duckdb_ml_spark.operators.dedup import _cached_count
 
         n = _cached_count(df, cache_key) if cache_key is not None else df.count()
-        mode = "kernel" if n <= QUANTILE_KERNEL_GATE else "distributed"
+        mode = "kernel" if n <= WINSORIZE_KERNEL_GATE else "distributed"
     if mode == "kernel":
         import numpy as np
         import pandas as pd
@@ -595,24 +604,114 @@ def winsorized_stats(
         )
         return df.select(key, value_col).groupBy(key).applyInPandas(_w, schema)
 
-    q = exact_group_quantiles(
-        df, key, value_col, [p_lo, p_hi], n_buckets=n_buckets, cache_key=cache_key
-    )
-    b = q.groupBy(key).agg(
-        F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
-        F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
-    )
+    # distributed r6b: DECOMPOSED clip aggregate — one full scan total.
+    # pass 1 collects per-(key,bucket) counts AND sums; pass 2 (pruned)
+    # yields the exact interpolated bounds; then ONLY the single bucket
+    # containing each bound needs per-row comparison (pass 3, pruned to
+    # ~2/B of the data) — every other bucket is wholly below or above the
+    # bound. The classification is ulp-airtight because the bound itself is
+    # bucketed with the SAME `>=` comparator as the data: values in buckets
+    # < bucket(p) are < p and values in buckets > bucket(p) are > p by the
+    # bucketing invariant, no matter where interpolation rounding landed p.
+    # Replaces the r6a shape (bounds + a FULL re-scan with broadcast-join
+    # per-row clip agg — 6.9× vs DuckDB at the 256× probe; this form drops
+    # the full re-scan). Integer outputs are exactly the per-row compare's;
+    # means assemble from Spark partial sums driver-side (noise ~1e-8 on
+    # these magnitudes, absorbed by the caller's 4-dp rounding like every
+    # aggregate mean in the repo).
+    spark = df.sparkSession
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    bexpr = bucket_expr(F.col(value_col), bounds)
     x = F.col(value_col)
-    wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
-    return (
+    cells = (
         df.select(key, value_col)
-        .join(F.broadcast(b), key)
-        .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.avg(x).alias("__mean_raw"),
-            F.avg(wins).alias("__mean_wins"),
-            F.sum((x < F.col("__lo")).cast("bigint")).alias("__n_lo"),
-            F.sum((x > F.col("__hi")).cast("bigint")).alias("__n_hi"),
+        .groupBy(key, bexpr.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(x).alias("__s"))
+        .limit(CELL_COLLECT_GATE + 1)
+        .collect()
+    )
+    if len(cells) > CELL_COLLECT_GATE:
+        # key cardinality beyond the driver-collect gate: all-lazy form
+        q = exact_group_quantiles_lazy(
+            df, key, value_col, [p_lo, p_hi], n_buckets=n_buckets, cache_key=cache_key
         )
+        b = q.groupBy(key).agg(
+            F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
+            F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
+        )
+        wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
+        return (
+            df.select(key, value_col)
+            .join(F.broadcast(b), key)
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.avg(x).alias("__mean_raw"),
+                F.avg(wins).alias("__mean_wins"),
+                F.sum((x < F.col("__lo")).cast("bigint")).alias("__n_lo"),
+                F.sum((x > F.col("__hi")).cast("bigint")).alias("__n_hi"),
+            )
+        )
+    q = exact_group_quantiles(
+        df, key, value_col, [p_lo, p_hi],
+        n_buckets=n_buckets, cache_key=cache_key, cells=cells,
+    )
+    pv = {(r[0], r[1]): r[2] for r in q.collect()}  # (key, prob) -> bound
+    by_key: dict = {}
+    for r in cells:
+        by_key.setdefault(r[0], {})[r[1]] = (r[2], float(r[3]))
+    key_t = dict(df.dtypes)[key]
+    lit_rows, p_buckets = [], set()
+    stats = {}
+    for k, bmap in by_key.items():
+        n = sum(c for c, _ in bmap.values())
+        s_total = sum(s for _, s in (bmap[b] for b in sorted(bmap)))
+        p05, p95 = pv[(k, float(p_lo))], pv[(k, float(p_hi))]
+        # bucket of the bound, with the data's own comparator
+        b05 = sum(1 for t in bounds if p05 >= t)
+        b95 = sum(1 for t in bounds if p95 >= t)
+        below = lambda bb: (
+            sum(c for b, (c, _) in bmap.items() if b < bb),
+            sum(s for b, (_, s) in bmap.items() if b < bb),
+        )
+        stats[k] = (n, s_total, p05, p95, b05, b95, below(b05), below(b95))
+        lit_rows.append((k, float(p05), float(p95), int(b05), int(b95)))
+        p_buckets.update((b05, b95))
+    lit_df = spark.createDataFrame(
+        lit_rows, f"{key} {key_t}, __p05 double, __p95 double, __b05 int, __b95 int"
+    )
+    pruned = (
+        df.select(key, value_col)
+        .where(bucket_range_filter(value_col, bounds, p_buckets))
+        .withColumn("__b", bexpr)
+        .join(F.broadcast(lit_df), key)
+    )
+    in05 = (F.col("__b") == F.col("__b05")) & (x < F.col("__p05"))
+    le95 = (F.col("__b") == F.col("__b95")) & (x <= F.col("__p95"))
+    part = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in pruned.groupBy(key)
+        .agg(
+            F.sum(in05.cast("bigint")).alias("c_lo"),
+            F.sum(F.when(in05, x)).alias("s_lo"),
+            F.sum(le95.cast("bigint")).alias("c_le"),
+            F.sum(F.when(le95, x)).alias("s_le"),
+        )
+        .collect()
+    }
+    out = []
+    for k, (n, s_total, p05, p95, b05, b95, (bc05, bs05), (bc95, bs95)) in stats.items():
+        c_lo, s_lo, c_le, s_le = part.get(k, (0, 0.0, 0, 0.0))
+        n_lo = bc05 + (c_lo or 0)
+        s_below_p05 = bs05 + float(s_lo or 0.0)
+        n_le95 = bc95 + (c_le or 0)
+        s_le95 = bs95 + float(s_le or 0.0)
+        n_hi = n - n_le95
+        mid = s_le95 - s_below_p05  # Σ{p05 ≤ v ≤ p95}
+        mean_wins = (n_lo * p05 + n_hi * p95 + mid) / n
+        out.append((k, n, s_total / n, mean_wins, int(n_lo), int(n_hi)))
+    return spark.createDataFrame(
+        out,
+        f"{key} {key_t}, __n bigint, __mean_raw double, "
+        "__mean_wins double, __n_lo bigint, __n_hi bigint",
     )
