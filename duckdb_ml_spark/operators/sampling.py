@@ -22,14 +22,30 @@ from duckdb_ml_spark.tables import load
 N_BUCKETS = 100
 
 
+def hash_uint(id_col: Column, salt: str, hex_width: int = 8) -> Column:
+    """First `hex_width` hex chars of md5(salt ':' id) as a bigint — THE
+    cross-engine hash recipe (SQL twin: _hash_uint_sql; any change must land
+    in both). 8 chars → 32-bit bucket source; 15 chars → 60-bit order key."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))), 1, hex_width
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _hash_uint_sql(id_expr: str, salt: str, hex_width: int = 8) -> str:
+    return f"('0x' || substr(md5('{salt}:' || {id_expr}::VARCHAR), 1, {hex_width}))::BIGINT"
+
+
 def hash_bucket(id_col: Column, salt: str = "split", n: int = N_BUCKETS) -> Column:
     """Deterministic bucket 0..n-1 from md5 of (salt ':' id)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))), 1, 8), 16, 10)
-    return (h.cast("bigint") % n).cast("int")
+    return (hash_uint(id_col, salt) % n).cast("int")
 
 
 def _hash_bucket_sql(id_expr: str, salt: str = "split", n: int = N_BUCKETS) -> str:
-    return f"(('0x' || substr(md5('{salt}:' || {id_expr}::VARCHAR), 1, 8))::BIGINT % {n})::INT"
+    return f"({_hash_uint_sql(id_expr, salt)} % {n})::INT"
 
 
 def split_train_test(
@@ -400,16 +416,9 @@ def epoch_shuffle(
     rank form is the manifest/audit variant.)"""
     from duckdb_ml_spark.plans.orderstats import keyed_global_rank
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
     t = (
         df.select(id_col)
-        .withColumn("__h", h)
+        .withColumn("__h", hash_uint(F.col(id_col), seed, hex_width=15))
         .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
     )
     r = keyed_global_rank(
@@ -430,7 +439,7 @@ def _epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_SHUFFLE_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
-           ('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           {_hash_uint_sql("doc_id", "epoch0", 15)} AS h
     FROM documents
 )
 SELECT doc_id, (h % {EPOCH_SHARDS})::INT AS shard,

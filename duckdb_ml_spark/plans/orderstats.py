@@ -114,6 +114,18 @@ def bucket_expr(x, bounds):
     return rec(0, len(bounds)).cast("int")
 
 
+def bucket_of(v: float, bounds: list) -> int:
+    """Driver-side twin of bucket_expr: bucket id = count(bounds <= v) =
+    bisect_right. ANY value classified driver-side (e.g. an interpolated
+    quantile) MUST go through this, never an ad-hoc comparison loop — the
+    decomposed winsorized correctness argument depends on the driver and
+    the executors agreeing on the comparator (pytest-pinned equal to
+    bucket_expr in test_relational)."""
+    import bisect
+
+    return bisect.bisect_right(bounds, v)
+
+
 def _bucket_offsets(t: DataFrame, key: str):
     """(key, __b, __c, __off, __n) from the bucketed relation `t` — the tiny
     pass-1 aggregate plus per-key exclusive offsets and totals."""
@@ -266,6 +278,7 @@ def exact_group_quantiles(
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
     cells=None,
+    bounds=None,
 ) -> DataFrame:
     """(key, __p, __q): EXACT quantile_cont values per key, distributed —
     r6 collect-based two-scan form (VERDICT r5 item 2: the all-lazy r5 plan
@@ -301,7 +314,14 @@ def exact_group_quantiles(
     # position (review r6 finding, reproduced: median 40.5 vs DuckDB 50.5 on
     # a 20%-NULL column).
     df = df.where(F.col(value_col).isNotNull())
-    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    if (cells is None) != (bounds is None):
+        # cells are only meaningful under the bounds that produced them —
+        # recomputing bounds here (a fresh approx_percentile sketch, which
+        # need not reproduce under cache_key=None) would silently misplace
+        # every target position (review r6b). All or nothing.
+        raise ValueError("pass `cells` and `bounds` together or neither")
+    if bounds is None:
+        bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     bexpr = bucket_expr(F.col(value_col), bounds)
     if cells is None:
         cells = (
@@ -450,16 +470,17 @@ def exact_group_quantiles_lazy(
 
 
 # Below this input row count the whole-group Arrow kernel wins outright.
-# Measured at the 16× probe (r6, forced-mode runs committed in
-# bench/SCALEUP_x16_r6_quantile_modes.json): at 2.4 M rows the kernel wins
-# 0.72 s vs 1.67 s (the two-scan form's extra passes dominate); at 9.6 M the
-# two-scan distributed form wins 1.81 s vs 2.01 s (repeatably — 2.15 vs 2.24
-# in an earlier window) — the crossover sits between, so the gate is 8 M.
-# Scale safety: the kernel materializes ONE GROUP per task; 8 M rows ≈ 64 MB
-# of doubles even in the degenerate one-key case — a single task's working
-# set. Above the gate, groups can outgrow a task and the two-scan form
-# (whose per-task working set is ~n/(K·B)) is the only shape that survives
-# 100 TB.
+# Measured for price_quantiles_by_flag at 9.6 M rows (forced-mode artifact
+# bench/SCALEUP_x16_r6_quantile_modes.json): two-scan distributed 1.81 s vs
+# kernel 2.01 s (repeatably — 2.15 vs 2.24 in an earlier window), and at
+# sf0.1's 600 k rows the kernel wins ~0.3 s vs ~0.9 s — the crossover sits
+# between, so the gate is 8 M. (The same artifact's 2.4 M-row pair is the
+# WINSORIZED operator — see WINSORIZE_KERNEL_GATE — not plain-quantile
+# evidence.) Scale safety: the kernel materializes ONE GROUP per task; 8 M
+# rows ≈ 64 MB of doubles even in the degenerate one-key case — a single
+# task's working set. Above the gate, groups can outgrow a task and the
+# two-scan form (whose per-task working set is ~n/(K·B)) is the only shape
+# that survives 100 TB.
 QUANTILE_KERNEL_GATE = 8_000_000
 
 # winsorized_stats pays one more distributed pass than plain quantiles
@@ -557,13 +578,16 @@ def winsorized_stats(
     (bitwise DuckDB-identical; ADVICE r5 high — np.percentile's ulp noise
     could flip clip counts / rounded means on the driver row).
 
-    distributed mode: bounds via the collect-based exact_group_quantiles
-    (one full agg pass + one pruned range-filtered pass), then ONE more
-    streaming scan with the 5-row bounds broadcast-joined on — per-row
-    comparisons against the interpolated bounds, exactly the oracle's
-    semantics (no count decomposition: an interpolated bound can sit ulps
-    from a data value, so clip classification must be the same per-row
-    compare DuckDB runs). No task ever holds a whole key group.
+    distributed mode (r6b): DECOMPOSED — pass 1 aggregates per-(key,bucket)
+    counts AND sums (one full scan, bounded collect); pass 2 computes the
+    exact interpolated bounds over pruned buckets; pass 3 runs per-row
+    comparisons ONLY inside the single bucket containing each bound (pruned
+    range scan, ~2/B of the data); counts and means assemble driver-side.
+    The per-row-compare semantics survive the decomposition because the
+    bound itself is classified with bucket_of — the data's own comparator —
+    so every other bucket is provably wholly below or above it regardless
+    of where interpolation rounding landed the bound. No task ever holds a
+    whole key group; no full re-scan.
 
     Means are returned unrounded; callers round Spark-side (F.round ==
     DuckDB HALF_UP). Summation-order noise (~1e-8 on these magnitudes) is
@@ -654,7 +678,7 @@ def winsorized_stats(
         )
     q = exact_group_quantiles(
         df, key, value_col, [p_lo, p_hi],
-        n_buckets=n_buckets, cache_key=cache_key, cells=cells,
+        n_buckets=n_buckets, cache_key=cache_key, cells=cells, bounds=bounds,
     )
     pv = {(r[0], r[1]): r[2] for r in q.collect()}  # (key, prob) -> bound
     by_key: dict = {}
@@ -667,9 +691,10 @@ def winsorized_stats(
         n = sum(c for c, _ in bmap.values())
         s_total = sum(s for _, s in (bmap[b] for b in sorted(bmap)))
         p05, p95 = pv[(k, float(p_lo))], pv[(k, float(p_hi))]
-        # bucket of the bound, with the data's own comparator
-        b05 = sum(1 for t in bounds if p05 >= t)
-        b95 = sum(1 for t in bounds if p95 >= t)
+        # bucket of the bound, with the data's own comparator (bucket_of ==
+        # bucket_expr by the pinned invariant)
+        b05 = bucket_of(p05, bounds)
+        b95 = bucket_of(p95, bounds)
         below = lambda bb: (
             sum(c for b, (c, _) in bmap.items() if b < bb),
             sum(s for b, (_, s) in bmap.items() if b < bb),

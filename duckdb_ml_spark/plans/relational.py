@@ -682,10 +682,11 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
     "below the size gate, ONE applyInPandas kernel computes exact bounds "
     "(quantile_cont_sorted — bitwise DuckDB-identical, ADVICE r5 high) AND "
     "the clipped aggregate per group (one scan + one shuffle, nothing "
-    "else); above it, the collect-based two-scan exact quantiles (pass-1 "
-    "cell counts + pass-2 pushed-range pruned scan) plus ONE more streaming "
-    "scan with the 5-row bounds broadcast-joined for the per-row clip "
-    "aggregate — no task ever holds a whole key group, nothing persisted. "
+    "else); above it, the r6b DECOMPOSED form — pass-1 (key,bucket) "
+    "count+sum cells, pass-2 pruned exact bounds, pass-3 per-row compares "
+    "only inside the single bucket holding each bound (2.84× vs DuckDB at "
+    "the 256× probe; the full-re-scan clip agg it replaced measured 6.9×) "
+    "— no task ever holds a whole key group, nothing persisted. "
     "Oracle hash unchanged.",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )

@@ -268,6 +268,25 @@ def test_distributed_quantiles_equal_kernel(spark, sf_dir):
     assert dist == kern
 
 
+def test_bucket_of_matches_bucket_expr(spark):
+    """The driver-side bucket_of MUST agree with the executor-side
+    bucket_expr on every input, including values exactly equal to a bound —
+    the decomposed winsorized correctness argument rests on this."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.plans.orderstats import bucket_expr, bucket_of
+
+    bounds = [10.0, 20.0, 20.5, 100.0]
+    vals = [0.0, 9.9, 10.0, 10.1, 19.9, 20.0, 20.4, 20.5, 99.9, 100.0, 101.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", bucket_expr(F.col("v"), bounds).alias("b")).collect()
+    }
+    for v in vals:
+        assert got[v] == bucket_of(v, bounds), v
+
+
 def test_exact_quantiles_tie_heavy_matches_duckdb(spark):
     """End-to-end exact_group_quantiles on a TIE-HEAVY distribution (one
     value dominates, values collide with bucket bounds) vs DuckDB
