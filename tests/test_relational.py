@@ -268,6 +268,68 @@ def test_distributed_quantiles_equal_kernel(spark, sf_dir):
     assert dist == kern
 
 
+def test_exact_quantiles_randomized_distributions_match_duckdb(spark):
+    """Randomized sweep: 24 groups with adversarial shapes — constant,
+    two-point, heavy ties, exponential tails, negatives, tiny n — ALL
+    checked in ONE Spark job (both winsorized decomposition and quantiles)
+    against DuckDB, exact equality."""
+    import duckdb
+    import numpy as np
+
+    from duckdb_ml_spark.plans.orderstats import (
+        exact_group_quantiles,
+        winsorized_stats,
+    )
+
+    rng = np.random.default_rng(23)
+    groups = {}
+    for i in range(24):
+        kind = i % 6
+        n = int(rng.integers(2, 400))
+        if kind == 0:
+            v = np.full(n, float(rng.uniform(-50, 50)))  # constant
+        elif kind == 1:
+            v = rng.choice([1.5, 99.5], size=n)  # two-point
+        elif kind == 2:
+            v = np.round(rng.normal(0, 100, n), 0)  # heavy ties, negatives
+        elif kind == 3:
+            v = rng.exponential(1e4, n)  # heavy tail
+        elif kind == 4:
+            v = rng.uniform(-1e6, 1e6, n)
+        else:
+            v = np.round(rng.uniform(0, 1, n), 2)  # dense small ties
+        groups[f"g{i}"] = [float(x) for x in v]
+    rows = [(k, v) for k, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double")
+    probs = [0.01, 0.05, 0.5, 0.95, 0.99]
+    got = {
+        (r["k"], r["__p"]): r["__q"]
+        for r in exact_group_quantiles(df, "k", "v", probs, n_buckets=16).collect()
+    }
+    con = duckdb.connect()
+    for k, vs in groups.items():
+        for p in probs:
+            ref = con.execute(
+                "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)", [p, vs]
+            ).fetchone()[0]
+            assert got[(k, p)] == ref, (k, p, got[(k, p)], ref)
+    # winsorized decomposition: integer outputs exact vs per-row compare
+    w = {
+        r["k"]: r
+        for r in winsorized_stats(df, "k", "v", 0.05, 0.95, mode="distributed").collect()
+    }
+    for k, vs in groups.items():
+        lo = con.execute(
+            "SELECT quantile_cont(x, 0.05), quantile_cont(x, 0.95) FROM (SELECT unnest(?) AS x)",
+            [vs],
+        ).fetchone()
+        n_lo = sum(1 for v in vs if v < lo[0])
+        n_hi = sum(1 for v in vs if v > lo[1])
+        assert (w[k]["__n"], w[k]["__n_lo"], w[k]["__n_hi"]) == (len(vs), n_lo, n_hi), k
+        mean_wins = sum(max(lo[0], min(lo[1], v)) for v in vs) / len(vs)
+        assert abs(w[k]["__mean_wins"] - mean_wins) < 1e-6 * max(1.0, abs(mean_wins)), k
+
+
 def test_bucket_of_matches_bucket_expr(spark):
     """The driver-side bucket_of MUST agree with the executor-side
     bucket_expr on every input, including values exactly equal to a bound —
