@@ -167,6 +167,7 @@ _EXEC_AT_BUILD = frozenset(
         "sim_topk_ivfpq",  # k-means + codebook training collects at build
         "source_schema_evolution",  # snapshot writes at build
         "sink_compaction",  # shard + compact writes at build
+        "sink_token_shards",  # binary shard write + manifest collect at build
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

@@ -245,3 +245,118 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     df.write.options(**options).mode(mode).json(path)
+
+
+# --- binary tokenized training shards ----------------------------------------
+
+PAD_ID_OFFSET = 0  # pad id = len(vocab) (first id past the vocabulary)
+
+
+def write_token_shards(
+    spark: "SparkSession", sf_dir: str, out_dir: str, seq_len: int = 64
+) -> list:
+    """Emit the corpus as BINARY tokenized training shards — the final
+    emission step of a pretraining pipeline (the .bin/.idx layout a
+    dataloader memory-maps): one shard per source, tokens mapped to ids via
+    the fixed corpus lexicon (sorted PACK_VOCAB; id = rank, pad = |vocab|),
+    documents concatenated in doc_id order, the tail padded to a seq_len
+    multiple; `shard_<source>.bin` holds uint16 little-endian ids,
+    `shard_<source>.idx` holds int64 sequence start offsets (in tokens).
+
+    Plan: one applyInPandas task per source shard — each sorts its own
+    ~n/S documents, writes its two files, and returns a manifest row
+    (source, n_docs, n_tokens, n_seqs). Parallelism = number of shards, no
+    global order, nothing collected. Single-node note: tasks write through
+    the local filesystem API; on a cluster `out_dir` must be shared storage
+    (the layout is unchanged — each shard file is written by exactly one
+    task, so there is no concurrent-writer hazard).
+
+    Returns the collected manifest rows (the write is forced — callers need
+    the files on disk before any readback plan runs)."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.textnorm import tokens
+    from duckdb_ml_spark.tables import load
+    from pyspark.sql import functions as F
+
+    vocab = {w: i for i, w in enumerate(sorted(PACK_VOCAB))}
+    pad_id = len(vocab)
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("__w")
+    )
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["source"].iloc[0]
+        pdf = pdf.sort_values("doc_id")
+        ids: list = []
+        for words in pdf["__w"]:
+            ids.extend(vocab[w] for w in words if w)
+        n_tokens = len(ids)
+        n_seqs = -(-n_tokens // seq_len) if n_tokens else 0
+        padded = ids + [pad_id] * (n_seqs * seq_len - n_tokens)
+        arr = np.asarray(padded, dtype="<u2")
+        arr.tofile(os.path.join(out_dir, f"shard_{src}.bin"))
+        np.arange(0, n_seqs * seq_len, seq_len, dtype="<i8").tofile(
+            os.path.join(out_dir, f"shard_{src}.idx")
+        )
+        return pd.DataFrame(
+            {
+                "source": [src],
+                "n_docs": [len(pdf)],
+                "n_tokens": [n_tokens],
+                "n_seqs": [n_seqs],
+            }
+        )
+
+    manifest = docs.groupBy("source").applyInPandas(
+        _emit, "source string, n_docs bigint, n_tokens bigint, n_seqs bigint"
+    )
+    return manifest.collect()
+
+
+def read_token_shards_manifest(
+    spark: "SparkSession", out_dir: str, seq_len: int = 64, pad_id: int = None
+) -> DataFrame:
+    """Decode the written .bin shards BACK into a verifiable manifest:
+    (source, n_tokens, n_seqs, stream_md5) where stream_md5 hashes the
+    canonical comma-joined id stream with trailing padding stripped — the
+    readback proves the BYTES ON DISK encode exactly the token stream (the
+    driver gate pairs it with a DuckDB oracle that rebuilds the same stream
+    from the raw documents and the 31-word lexicon). binaryFile source +
+    one Arrow kernel; no shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+
+    if pad_id is None:
+        pad_id = len(PACK_VOCAB)
+
+    bins = spark.read.format("binaryFile").load(os.path.join(out_dir, "*.bin"))
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"source": [], "n_tokens": [], "n_seqs": [], "stream_md5": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ids = np.frombuffer(content, dtype="<u2")
+                n_seqs = len(ids) // seq_len
+                n = len(ids)
+                while n > 0 and ids[n - 1] == pad_id:
+                    n -= 1
+                stream = ",".join(str(int(i)) for i in ids[:n])
+                src = os.path.basename(path)[len("shard_"):-len(".bin")]
+                out["source"].append(src)
+                out["n_tokens"].append(n)
+                out["n_seqs"].append(n_seqs)
+                out["stream_md5"].append(hashlib.md5(stream.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return bins.select("path", "content").mapInPandas(
+        gen, "source string, n_tokens bigint, n_seqs bigint, stream_md5 string"
+    )

@@ -171,6 +171,62 @@ FROM documents GROUP BY source
 """
 
 
+TOKEN_SHARD_SEQ_LEN = 64
+
+
+def _token_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary tokenized-shard emission + readback verification: write the
+    corpus as uint16 .bin/.idx training shards (sinks.write_token_shards —
+    one task per source, fixed 31-word lexicon, doc_id order, tail padded
+    to the 64-token sequence length), then DECODE THE FILES back
+    (sinks.read_token_shards_manifest) into (source, n_docs, n_tokens,
+    n_seqs, stream_md5). The oracle rebuilds the identical canonical id
+    stream from the raw documents and the same lexicon — the hash pairing
+    proves the bytes on disk encode exactly the token stream a dataloader
+    would memory-map. Byte layout (endianness, pad id, .idx offsets) is
+    pytest-asserted."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import read_token_shards_manifest, write_token_shards
+
+    out_dir = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "token_shards")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_token_shards(
+        spark, sf_dir, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN
+    )  # collect forces the write before the readback plan below runs
+    ndocs = spark.createDataFrame(
+        [(r["source"], r["n_docs"]) for r in manifest], "source string, n_docs bigint"
+    )
+    back = read_token_shards_manifest(spark, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN)
+    return back.join(F.broadcast(ndocs), "source").select(
+        "source", "n_docs", "n_tokens", "n_seqs", "stream_md5"
+    )
+
+
+def _token_shards_oracle() -> str:
+    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    lex = ", ".join(f"('{w}', {i})" for i, w in enumerate(sorted(PACK_VOCAB)))
+    return f"""
+WITH lex(word, id) AS (VALUES {lex}),
+toks AS (SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents),
+u AS (SELECT doc_id, source, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM toks),
+ids AS (SELECT u.doc_id, u.source, u.pos, lex.id
+        FROM u JOIN lex ON u.word = lex.word)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       ceil(count(*) / {TOKEN_SHARD_SEQ_LEN}.0)::BIGINT AS n_seqs,
+       md5(string_agg(id::VARCHAR, ',' ORDER BY doc_id, pos)) AS stream_md5
+FROM ids GROUP BY source
+"""
+
+
 def _merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-RESTRICTED MERGE INTO (sinks.merge_upsert_partitioned,
     VERDICT r4 item 3) over a target hive-partitioned by part = s_suppkey % 8:
@@ -394,6 +450,14 @@ QUERIES: dict[str, QuerySpec] = {
         doc="mergeSchema read across snapshots with different schemas (added "
         "column surfaces as NULL for old shards) + rollup by the evolved column.",
         tags=("source", "parquet", "schema"),
+    ),
+    "sink_token_shards": QuerySpec(
+        "sink_token_shards", _token_shards_q, _token_shards_oracle(),
+        doc="Binary tokenized training shards (.bin uint16 + .idx offsets, "
+        "one task per source) written then DECODED BACK and hash-paired "
+        "against a first-principles oracle stream — the dataloader-ready "
+        "emission endpoint of the pipeline.",
+        tags=("sink", "tokenizer", "pipeline"),
     ),
     "sink_compaction": QuerySpec(
         "sink_compaction", _compaction_q, _COMPACTION_ORACLE,

@@ -500,6 +500,44 @@ def test_exact_group_quantiles_prunes_buckets(spark, sf_dir):
     assert per_bucket_max < total / 4
 
 
+def test_token_shards_byte_layout(spark, tmp_path):
+    """The .bin/.idx byte contract a dataloader depends on: uint16
+    little-endian ids, file length a seq_len multiple, tail padded with
+    pad_id = |vocab|, idx holds int64 sequence offsets, and the decoded
+    unpadded stream equals the corpus token stream in (doc_id, pos) order."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.textnorm import tokens
+    from duckdb_ml_spark.sinks import write_token_shards
+    from duckdb_ml_spark.tables import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    seq_len = 16
+    manifest = {r["source"]: r for r in write_token_shards(spark, sf, out, seq_len=seq_len)}
+    vocab = {w: i for i, w in enumerate(sorted(PACK_VOCAB))}
+    pad_id = len(vocab)
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "source", tokens(F.col("text")).alias("w"))
+        .collect()
+    )
+    streams: dict = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        streams.setdefault(r.source, []).extend(vocab[w] for w in r.w if w)
+    for src, expect in streams.items():
+        ids = np.fromfile(f"{out}/shard_{src}.bin", dtype="<u2")
+        assert len(ids) % seq_len == 0
+        n = manifest[src]["n_tokens"]
+        assert list(ids[:n]) == expect  # exact stream, (doc_id, pos) order
+        assert all(i == pad_id for i in ids[n:])  # tail padding only
+        idx = np.fromfile(f"{out}/shard_{src}.idx", dtype="<i8")
+        assert list(idx) == list(range(0, len(ids), seq_len))
+        assert manifest[src]["n_seqs"] == len(ids) // seq_len
+
+
 def test_partitioned_merge_refuses_flat_target_and_bad_values(spark, tmp_path):
     """ADVICE r5: a flat (non-partitioned) parquet target must be refused —
     not silently treated as empty (old+new rows would interleave); and
