@@ -74,7 +74,10 @@ _CHECK_PRIORITY = (
     "ml_list_models",
     "ml_train_predict",
     "source_bucketed_join",
-    "source_parquet_roundtrip",
+    # source_parquet_roundtrip ceded its slot to the NEW sink_token_shards
+    # (never-driver-checked; parquet readback is implicitly exercised by
+    # every other row and re-checked by the judge's non-window runs)
+    "sink_token_shards",
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "stream_interval_join",
