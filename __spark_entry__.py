@@ -27,9 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 #    entry r4+r5 never re-checked: streaming batch twins, asof family,
 #    events funnel/retention/gap-fill, multimodal, ML operator family,
 #    source roundtrips, sampling, pack manifest/stats, skew_salted_agg).
-#  - slots 49-50: the two operators NEW this round (sample_epoch_shuffle,
-#    sample_mixture_resample) — never-driver-checked beats the r4-checked
-#    fillers (orders_by_month / stream_topk_types, both green under the
+#  - the three operators NEW this round (sample_epoch_shuffle,
+#    sample_mixture_resample, sink_token_shards) hold the remaining slots —
+#    never-driver-checked beats the r4-checked fillers (orders_by_month /
+#    stream_topk_types / source_parquet_roundtrip, all green under the
 #    local gate replica and re-verified by the judge's own non-window runs).
 # Everything outside the window stays green under tools/oracle_check.py (the
 # identical gate replica) run locally each round.
