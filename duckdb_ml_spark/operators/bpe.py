@@ -262,6 +262,19 @@ PACK_VOCAB = (
 )
 
 
+def token_id_lexicon() -> dict:
+    """word → integer id for the fixed corpus vocabulary (id = rank in
+    sorted(PACK_VOCAB)) — THE single source of the binary-shard id
+    assignment; sinks.write_token_shards, the sink_token_shards oracle, and
+    the byte-layout pytest all derive from here."""
+    return {w: i for i, w in enumerate(sorted(PACK_VOCAB))}
+
+
+def token_pad_id() -> int:
+    """Pad id for binary token shards: first id past the vocabulary."""
+    return len(PACK_VOCAB)
+
+
 def packing_merges() -> list:
     """The fixed packing tokenizer: greedy training is iterative, so the
     30-merge table is exactly the first 30 rows of the golden merge list

@@ -249,11 +249,9 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) ->
 
 # --- binary tokenized training shards ----------------------------------------
 
-PAD_ID_OFFSET = 0  # pad id = len(vocab) (first id past the vocabulary)
-
-
 def write_token_shards(
-    spark: "SparkSession", sf_dir: str, out_dir: str, seq_len: int = 64
+    spark: "SparkSession", sf_dir: str, out_dir: str, seq_len: int = 64,
+    docs: DataFrame = None,
 ) -> list:
     """Emit the corpus as BINARY tokenized training shards — the final
     emission step of a pretraining pipeline (the .bin/.idx layout a
@@ -265,48 +263,75 @@ def write_token_shards(
 
     Plan: one applyInPandas task per source shard — each sorts its own
     ~n/S documents, writes its two files, and returns a manifest row
-    (source, n_docs, n_tokens, n_seqs). Parallelism = number of shards, no
-    global order, nothing collected. Single-node note: tasks write through
-    the local filesystem API; on a cluster `out_dir` must be shared storage
-    (the layout is unchanged — each shard file is written by exactly one
-    task, so there is no concurrent-writer hazard).
+    (source, n_docs, n_tokens, n_seqs); n_docs counts documents that
+    CONTRIBUTED at least one token (the oracle's inner-join semantics).
+    Out-of-lexicon words are DROPPED, matching the oracle's lexicon join —
+    this sink is the fixed-vocabulary emitter; an open-vocabulary corpus
+    goes through the BPE family first. Each file is written to a temp name
+    and os.replace()d into place (atomic on POSIX), so task retries or
+    speculative duplicates can never leave a torn shard — the last
+    completed attempt wins whole-file. Parallelism = number of shards, no
+    global order, nothing collected beyond the manifest. Single-node note:
+    tasks write through the local filesystem API; on a cluster `out_dir`
+    must be shared storage with atomic rename (HDFS/NFS — not S3).
 
     Returns the collected manifest rows (the write is forced — callers need
     the files on disk before any readback plan runs)."""
     import numpy as np
     import pandas as pd
 
-    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.bpe import token_id_lexicon, token_pad_id
     from duckdb_ml_spark.operators.textnorm import tokens
     from duckdb_ml_spark.tables import load
     from pyspark.sql import functions as F
 
-    vocab = {w: i for i, w in enumerate(sorted(PACK_VOCAB))}
-    pad_id = len(vocab)
+    vocab = token_id_lexicon()
+    pad_id = token_pad_id()
     os.makedirs(out_dir, exist_ok=True)
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", tokens(F.col("text")).alias("__w")
-    )
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "source", tokens(F.col("text")).alias("__w"))
+
+    def _atomic_tofile(arr, path):
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                arr.tofile(f)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf["source"].iloc[0]
         pdf = pdf.sort_values("doc_id")
         ids: list = []
+        n_docs = 0
         for words in pdf["__w"]:
-            ids.extend(vocab[w] for w in words if w)
+            doc_ids = [vocab[w] for w in (words if words is not None else []) if w in vocab]
+            if doc_ids:
+                n_docs += 1
+                ids.extend(doc_ids)
         n_tokens = len(ids)
         n_seqs = -(-n_tokens // seq_len) if n_tokens else 0
         padded = ids + [pad_id] * (n_seqs * seq_len - n_tokens)
-        arr = np.asarray(padded, dtype="<u2")
-        arr.tofile(os.path.join(out_dir, f"shard_{src}.bin"))
-        np.arange(0, n_seqs * seq_len, seq_len, dtype="<i8").tofile(
-            os.path.join(out_dir, f"shard_{src}.idx")
+        _atomic_tofile(
+            np.asarray(padded, dtype="<u2"), os.path.join(out_dir, f"shard_{src}.bin")
+        )
+        _atomic_tofile(
+            np.arange(0, n_seqs * seq_len, seq_len, dtype="<i8"),
+            os.path.join(out_dir, f"shard_{src}.idx"),
         )
         return pd.DataFrame(
             {
                 "source": [src],
-                "n_docs": [len(pdf)],
+                "n_docs": [n_docs],
                 "n_tokens": [n_tokens],
                 "n_seqs": [n_seqs],
             }
@@ -333,10 +358,10 @@ def read_token_shards_manifest(
     import numpy as np
     import pandas as pd
 
-    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.bpe import token_pad_id
 
     if pad_id is None:
-        pad_id = len(PACK_VOCAB)
+        pad_id = token_pad_id()
 
     bins = spark.read.format("binaryFile").load(os.path.join(out_dir, "*.bin"))
 
@@ -345,6 +370,13 @@ def read_token_shards_manifest(
             out = {"source": [], "n_tokens": [], "n_seqs": [], "stream_md5": []}
             for path, content in zip(pdf["path"], pdf["content"]):
                 ids = np.frombuffer(content, dtype="<u2")
+                if len(ids) % seq_len != 0:
+                    # a shard must be a whole number of sequences — anything
+                    # else is a torn/foreign file; fail loudly, never decode
+                    raise ValueError(
+                        f"{path}: {len(ids)} ids is not a multiple of "
+                        f"seq_len={seq_len} (torn or foreign shard)"
+                    )
                 n_seqs = len(ids) // seq_len
                 n = len(ids)
                 while n > 0 and ids[n - 1] == pad_id:

@@ -206,10 +206,10 @@ def _token_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_shards_oracle() -> str:
-    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.bpe import token_id_lexicon
     from duckdb_ml_spark.operators.textnorm import tokens_sql
 
-    lex = ", ".join(f"('{w}', {i})" for i, w in enumerate(sorted(PACK_VOCAB)))
+    lex = ", ".join(f"('{w}', {i})" for w, i in sorted(token_id_lexicon().items()))
     return f"""
 WITH lex(word, id) AS (VALUES {lex}),
 toks AS (SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents),

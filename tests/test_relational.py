@@ -500,25 +500,25 @@ def test_exact_group_quantiles_prunes_buckets(spark, sf_dir):
     assert per_bucket_max < total / 4
 
 
-def test_token_shards_byte_layout(spark, tmp_path):
+def test_token_shards_byte_layout(spark, sf_dir, tmp_path):
     """The .bin/.idx byte contract a dataloader depends on: uint16
     little-endian ids, file length a seq_len multiple, tail padded with
     pad_id = |vocab|, idx holds int64 sequence offsets, and the decoded
     unpadded stream equals the corpus token stream in (doc_id, pos) order."""
     import numpy as np
 
-    from duckdb_ml_spark.operators.bpe import PACK_VOCAB
+    from duckdb_ml_spark.operators.bpe import token_id_lexicon, token_pad_id
     from duckdb_ml_spark.operators.textnorm import tokens
     from duckdb_ml_spark.sinks import write_token_shards
     from duckdb_ml_spark.tables import load
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     out = str(tmp_path / "shards")
     seq_len = 16
     manifest = {r["source"]: r for r in write_token_shards(spark, sf, out, seq_len=seq_len)}
-    vocab = {w: i for i, w in enumerate(sorted(PACK_VOCAB))}
-    pad_id = len(vocab)
+    vocab = token_id_lexicon()
+    pad_id = token_pad_id()
     docs = (
         load(spark, sf, "documents")
         .select("doc_id", "source", tokens(F.col("text")).alias("w"))
@@ -526,7 +526,9 @@ def test_token_shards_byte_layout(spark, tmp_path):
     )
     streams: dict = {}
     for r in sorted(docs, key=lambda r: r.doc_id):
-        streams.setdefault(r.source, []).extend(vocab[w] for w in r.w if w)
+        streams.setdefault(r.source, []).extend(
+            vocab[w] for w in r.w if w in vocab  # OOV dropped, like the sink
+        )
     for src, expect in streams.items():
         ids = np.fromfile(f"{out}/shard_{src}.bin", dtype="<u2")
         assert len(ids) % seq_len == 0
@@ -536,6 +538,31 @@ def test_token_shards_byte_layout(spark, tmp_path):
         idx = np.fromfile(f"{out}/shard_{src}.idx", dtype="<i8")
         assert list(idx) == list(range(0, len(ids), seq_len))
         assert manifest[src]["n_seqs"] == len(ids) // seq_len
+
+
+def test_token_shards_oov_and_empty_docs(spark, tmp_path):
+    """review r6c: out-of-lexicon words are DROPPED (the oracle's inner-join
+    semantics, not a KeyError), NULL/empty texts contribute nothing, and
+    n_docs counts only documents that contributed at least one token."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.bpe import token_id_lexicon
+    from duckdb_ml_spark.sinks import write_token_shards
+
+    rows = [
+        (1, "hash join UNKNOWNWORD batch", "s0"),
+        (2, "zzz qqq", "s0"),  # all OOV -> contributes nothing
+        (3, None, "s0"),  # NULL text
+        (4, "scan", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = str(tmp_path / "oov")
+    m = {r["source"]: r for r in write_token_shards(spark, "", out, seq_len=4, docs=docs)}
+    vocab = token_id_lexicon()
+    assert m["s0"]["n_docs"] == 1 and m["s0"]["n_tokens"] == 3
+    assert m["s1"]["n_docs"] == 1 and m["s1"]["n_tokens"] == 1
+    ids = np.fromfile(f"{out}/shard_s0.bin", dtype="<u2")
+    assert list(ids[:3]) == [vocab["hash"], vocab["join"], vocab["batch"]]
 
 
 def test_partitioned_merge_refuses_flat_target_and_bad_values(spark, tmp_path):
