@@ -94,6 +94,11 @@ DEFAULT_QUERIES = [
     # forced-mode times are committed in
     # bench/SCALEUP_x16_r6_quantile_modes.json.
     "price_quantiles_by_flag",
+    # r6: binary tokenized-shard emission (OOV words in the derived corpora
+    # are dropped by design — the oracle's inner-join semantics); measured
+    # 0.98x at 16x, with Spark actually WRITING the .bin/.idx files while
+    # the oracle only computes the manifest SELECT.
+    "sink_token_shards",
 ]
 
 
