@@ -162,6 +162,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_parquet_roundtrip",
         "source_bucketed_join",  # bucketed-table write
         "source_orc_roundtrip",  # export + re-scan
+        "source_xml_roundtrip",  # XML export at build
         "source_text_roundtrip",  # text export at build
         "source_partitioned_pruned",  # partitioned write
         "sink_merge_upsert",  # target rebuild + merge at build

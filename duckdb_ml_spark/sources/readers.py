@@ -107,6 +107,24 @@ def _orc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out)
 
 
+def _xml_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML export → schema-inferred re-scan (Spark 4's built-in xml source,
+    the spark-xml package merged upstream): nation exercises
+    strings/ints through element-per-row markup. The oracle reads the
+    original table, so the hash proves the XML sink+scan is type- and
+    value-preserving; columns are re-selected in table order because XML
+    schema inference returns fields alphabetically."""
+    nat = load(spark, sf_dir, "nation")
+    out_dir = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "nation_xml")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        nat.orderBy("n_nationkey").coalesce(1).write.format("xml").option(
+            "rootTag", "nations"
+        ).option("rowTag", "nation").mode("overwrite").save(out_dir)
+    back = spark.read.format("xml").option("rowTag", "nation").load(out_dir)
+    return back.select(*nat.columns)
+
+
 def _partitioned_parquet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned write (partitionBy(source)) → pruned re-scan.
 
@@ -444,6 +462,12 @@ QUERIES: dict[str, QuerySpec] = {
         "source_orc_roundtrip", _orc_roundtrip_q, "SELECT * FROM customer",
         doc="ORC export → native re-scan reproduces the table exactly (second columnar format).",
         tags=("source", "orc"),
+    ),
+    "source_xml_roundtrip": QuerySpec(
+        "source_xml_roundtrip", _xml_roundtrip_q, "SELECT * FROM nation",
+        doc="XML export → schema-inferred re-scan reproduces the table exactly "
+        "(Spark 4 built-in xml source).",
+        tags=("source", "xml"),
     ),
     "source_schema_evolution": QuerySpec(
         "source_schema_evolution", _schema_evolution_q, _SCHEMA_EVOLUTION_ORACLE,
