@@ -195,6 +195,8 @@ _EXEC_AT_BUILD = frozenset(
         "price_quantiles_approx_band",
         # r6: above-16MB path counts the filtered build side (cached) at build
         "revenue_by_nation",
+        # r6: z-order rewrite + min/max collects at build
+        "layout_zorder_scan",
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
     }

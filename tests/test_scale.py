@@ -112,3 +112,51 @@ def test_span_fraction_never_broadcasts_corpus_sized_sides(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("ShuffledHashJoin") == 2
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-order contract is BALANCED pruning: a single-column sort is
+    perfect on its own column but prunes NOTHING on the other (fraction
+    1.0), while the z layout bounds the worst case across BOTH dimensions
+    (measured at 32 files: z a-only 0.625 / b-only 0.375 / 2-D box 0.25 vs
+    linear 0.125 / 1.0 / 0.125 — for a single conjunctive box the
+    more-selective-column sort can win; robustness across predicate shapes
+    is what the curve buys). Also: layout never changes results."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.plans.scale import (
+        _zorder_box,
+        rowgroup_overlap_fraction,
+        zorder_write,
+    )
+
+    li, (a_lo, a_hi), (b_lo, b_hi) = _zorder_box(spark, sf_dir)
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "linear")
+    zorder_write(li, "l_orderkey", "l_partkey", zdir, n_files=32)
+    (
+        li.repartitionByRange(32, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    FULL = (0, 1 << 60)
+
+    def fr(path, box_a, box_b):
+        return rowgroup_overlap_fraction(path, "l_orderkey", box_a, "l_partkey", box_b)
+
+    # the single-column sort cannot prune the OTHER dimension at all
+    assert fr(ldir, FULL, (b_lo, b_hi)) == 1.0
+    # the z layout prunes meaningfully in EVERY predicate shape
+    z_worst = max(
+        fr(zdir, (a_lo, a_hi), FULL),
+        fr(zdir, FULL, (b_lo, b_hi)),
+        fr(zdir, (a_lo, a_hi), (b_lo, b_hi)),
+    )
+    assert z_worst < 0.8, z_worst
+    assert fr(zdir, (a_lo, a_hi), (b_lo, b_hi)) < 0.5
+    # correctness is layout-invariant
+    pred = F.col("l_orderkey").between(a_lo, a_hi) & F.col("l_partkey").between(b_lo, b_hi)
+    a = sorted(map(tuple, spark.read.parquet(zdir).where(pred).select("l_orderkey", "l_linenumber").collect()))
+    b = sorted(map(tuple, li.where(pred).select("l_orderkey", "l_linenumber").collect()))
+    assert a == b
