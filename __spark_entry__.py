@@ -199,6 +199,8 @@ _EXEC_AT_BUILD = frozenset(
         "layout_zorder_scan",
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
+        # r6 late: centroid-matrix collect (cached dataset artifact) at build
+        "dedup_semantic",
     }
 )
 

@@ -1335,7 +1335,149 @@ SELECT anchor, other, 0 AS label FROM neg
 """
 
 
+# --- semantic dedup (SemDeDup: cluster-bounded cosine pruning) ----------------
+
+SEM_STRIDE = 25  # vec_id % 25 == 0 → corpus/25 coarse centroids (oracle-parity mode)
+SEM_TAU = 0.4  # within-cluster cosine at/above which the higher id is dropped
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    tau: float = SEM_TAU,
+    stride: int = SEM_STRIDE,
+    centroids: str = "stride",
+    cache_key=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embeddings, then prune WITHIN each cluster only — a row is dropped iff
+    some LOWER-id member of its cluster has cosine ≥ tau to it. Unlike the
+    pairwise near-dup operators above (threshold pairs / LSH candidates),
+    this is the semantic-redundancy reducer: clusters bound the comparison
+    set, so the pair space is Σ|cluster|² instead of N² — the property that
+    let the paper run on billions of LAION embeddings.
+
+    Returns (id, bucket, kept) for EVERY input row.
+
+    Plan shape (the one that scales):
+      1. ONE corpus scan assigns each vector to its nearest centroid
+         (broadcast centroid matrix, fused Arrow kernel — same
+         argmax/tie-break recipe as ivf_topk; at huge k, tile the centroid
+         matrix block-by-block inside the same kernel).
+      2. ONE shuffle co-locates each cluster (hash repartition on bucket —
+         the only exchange; clusters ≈ N/stride or √N so AQE absorbs skew,
+         and a pathological mega-cluster would be sub-divided by a second
+         stride level before the pairwise step).
+      3. Per-partition Arrow kernel computes each cluster's member×member
+         cosine block (sequential-fold matrix kernel, bit-identical to
+         DuckDB's list_cosine_similarity) and keeps rows with no ≥tau
+         predecessor. No pair list is ever materialized or shuffled.
+
+    centroids="stride" is the oracle-parity quantizer (id % stride — a
+    modulo sample DuckDB replicates exactly, same as sim_topk_ivf);
+    centroids="kmeans" swaps in the real MLlib coarse quantizer (k ≈ √N) for
+    production use — identical plan, no cross-engine oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix, collect_matrix
+    from duckdb_ml_spark.session import ensure_shipped
+
+    if centroids == "kmeans":
+        from duckdb_ml_spark.operators.similarity import kmeans_centroids
+
+        cent_ids, CM = kmeans_centroids(emb, id_col=id_col)
+    else:
+        cent_ids, CM = collect_matrix(
+            emb.where(F.col(id_col) % stride == 0),
+            id_col,
+            cache_key=None if cache_key is None else (cache_key, "sem_cent", stride),
+        )
+        order = np.argsort(cent_ids)  # c_id ASC → argmax first-max == lowest c_id on ties
+        cent_ids, CM = cent_ids[order], CM[order]
+
+    spark = emb.sparkSession
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast((cent_ids, CM))
+
+    def assign(batches):
+        cids_b, CMb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy())
+            buckets = cids_b[np.argmax(_seq_cosine_matrix(A, CMb), axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "bucket": buckets,
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select(
+        id_col, F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(assign, f"{id_col} bigint, bucket bigint, embedding array<double>")
+
+    def prune(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        part = pd.concat(frames, ignore_index=True)
+        for bucket, g in part.groupby("bucket", sort=False):
+            g = g.sort_values(id_col)
+            M = np.stack(g["embedding"].to_numpy())
+            C = _seq_cosine_matrix(M, M)
+            lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)  # j < i ⇒ id_j < id_i
+            dropped = ((C >= tau) & lower).any(axis=1)
+            yield pd.DataFrame(
+                {id_col: g[id_col].to_numpy(), "bucket": bucket, "kept": ~dropped}
+            )
+
+    return assigned.repartition("bucket").mapInPandas(
+        prune, f"{id_col} bigint, bucket bigint, kept boolean"
+    )
+
+
+def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load(spark, sf_dir, "embeddings"), cache_key=sf_dir)
+
+
+_SEMANTIC_ORACLE = f"""
+WITH cent AS (
+    SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % {SEM_STRIDE} = 0
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.c_id AS bucket,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.c_id ASC
+           ) AS rn
+    FROM embeddings e, cent c
+    QUALIFY rn = 1
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.bucket, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_semantic": QuerySpec(
+        name="dedup_semantic",
+        builder=_semantic_dedup_q,
+        oracle=_SEMANTIC_ORACLE,
+        doc="SemDeDup: coarse-cluster embeddings, drop rows with a ≥tau-cosine "
+        "lower-id member in the same cluster (cluster-bounded pair space — "
+        "the semantic-redundancy reducer that scales past pairwise dedup).",
+        tags=("dedup", "embedding", "semantic", "pipeline"),
+    ),
     "emb_contrastive_pairs": QuerySpec(
         name="emb_contrastive_pairs",
         builder=_contrastive_pairs_q,

@@ -151,6 +151,50 @@ def test_embedding_lsh_scale_config_fewer_candidates_high_recall(spark, sf_dir):
         assert len(lsh_hi) / len(brute_hi) >= 0.9, (len(lsh_hi), len(brute_hi))
 
 
+def test_semantic_dedup_planted_dups_and_invariants(spark):
+    """SemDeDup contract on a planted corpus: (a) every input id comes back
+    exactly once; (b) a near-copy (cos ≈ 1) of a lower-id vector in the same
+    cluster is dropped, the lower id kept; (c) the result is invariant to
+    input partitioning (the hash-repartition on bucket, not input order,
+    decides co-location)."""
+    from duckdb_ml_spark.operators.dedup import semantic_dedup
+
+    # two well-separated directions; ids 0 and 25 are the stride centroids
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, base), (25, other)]
+    rows.append((3, [0.999, 0.01, 0.0, 0.0]))  # near-copy of 0 → dropped
+    rows.append((7, [0.0, 0.0, 1.0, 0.0]))  # orthogonal to its centroid peers → kept
+    rows.append((31, [0.01, 0.999, 0.0, 0.0]))  # near-copy of 25 → dropped
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = {r.vec_id: r for r in semantic_dedup(df).collect()}
+    assert sorted(out) == [0, 3, 7, 25, 31]
+    assert out[0].kept and out[25].kept and out[7].kept
+    assert not out[3].kept and not out[31].kept
+    # same-cluster co-assignment for the planted near-copies
+    assert out[3].bucket == out[0].bucket
+    assert out[31].bucket == out[25].bucket
+
+    re = {r.vec_id: (r.bucket, r.kept) for r in semantic_dedup(df.repartition(7)).collect()}
+    assert re == {k: (v.bucket, v.kept) for k, v in out.items()}
+
+
+def test_semantic_dedup_kmeans_mode_same_contract(spark, sf_dir):
+    """The kmeans quantizer mode (the production path — no oracle) must keep
+    the row-per-input contract and drop a comparable near-dup population to
+    the stride mode (both bound the same pairwise threshold per cluster)."""
+    from duckdb_ml_spark.operators.dedup import semantic_dedup
+    from duckdb_ml_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = semantic_dedup(emb, centroids="kmeans")
+    assert out.count() == n
+    n_dropped = out.where(~F.col("kept")).count()
+    assert 0 < n_dropped < n // 2
+
+
 def test_ivf_kmeans_centroids_recall_at_least_stride(spark, sf_dir):
     """IVF with real KMeans centroids must match or beat the modulo-sample
     centroid mode on top-k recall vs the exact brute force (learned buckets
