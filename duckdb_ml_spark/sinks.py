@@ -251,29 +251,47 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", **options) ->
 
 def write_token_shards(
     spark: "SparkSession", sf_dir: str, out_dir: str, seq_len: int = 64,
-    docs: DataFrame = None,
+    docs: DataFrame = None, max_tokens_per_shard: int | None = None,
 ) -> list:
     """Emit the corpus as BINARY tokenized training shards — the final
     emission step of a pretraining pipeline (the .bin/.idx layout a
-    dataloader memory-maps): one shard per source, tokens mapped to ids via
-    the fixed corpus lexicon (sorted PACK_VOCAB; id = rank, pad = |vocab|),
-    documents concatenated in doc_id order, the tail padded to a seq_len
-    multiple; `shard_<source>.bin` holds uint16 little-endian ids,
-    `shard_<source>.idx` holds int64 sequence start offsets (in tokens).
+    dataloader memory-maps): tokens mapped to ids via the fixed corpus
+    lexicon (sorted PACK_VOCAB; id = rank, pad = |vocab|), documents
+    concatenated in doc_id order, each shard's tail padded to a seq_len
+    multiple; `.bin` holds uint16 little-endian ids, `.idx` holds int64
+    sequence start offsets (in tokens).
 
-    Plan: one applyInPandas task per source shard — each sorts its own
-    ~n/S documents, writes its two files, and returns a manifest row
-    (source, n_docs, n_tokens, n_seqs); n_docs counts documents that
-    CONTRIBUTED at least one token (the oracle's inner-join semantics).
-    Out-of-lexicon words are DROPPED, matching the oracle's lexicon join —
-    this sink is the fixed-vocabulary emitter; an open-vocabulary corpus
-    goes through the BPE family first. Each file is written to a temp name
-    and os.replace()d into place (atomic on POSIX), so task retries or
-    speculative duplicates can never leave a torn shard — the last
-    completed attempt wins whole-file. Parallelism = number of shards, no
-    global order, nothing collected beyond the manifest. Single-node note:
-    tasks write through the local filesystem API; on a cluster `out_dir`
-    must be shared storage with atomic rename (HDFS/NFS — not S3).
+    Sharding (VERDICT r7 item 4 — the one-shard-per-source skew cap):
+    - max_tokens_per_shard=None: one shard per source
+      (`shard_<source>.bin`) — fine when sources are balanced.
+    - max_tokens_per_shard=M: a source is SPLIT at document boundaries into
+      `shard_<source>__<i>.bin` pieces — shard i takes the docs whose
+      global token start offset (an exclusive per-source prefix sum over
+      in-lexicon token counts, orderstats.keyed_prefix_sum — plain window
+      below the gate, two-pass range-bucket form above, no driver collect)
+      falls in [i·M, (i+1)·M). Deterministic, order-preserving
+      (concatenating shards in i order reproduces the uncapped stream
+      bit-for-bit — pytest-asserted), and bounded: each shard holds at most
+      M + max_doc_tokens tokens, so a skewed giant source materializes on
+      ~tokens/M parallel tasks instead of one. Costs one extra narrow
+      tokenize pass + a doc_id join; the default path pays nothing.
+
+    A source (or shard) whose documents are ALL out-of-lexicon emits NO
+    files and NO manifest row — the oracle's inner-join semantics (ADVICE
+    r7 low: the old empty-shard row diverged from the oracle's row count).
+
+    Plan: one applyInPandas task per shard — each sorts its own docs,
+    writes its two files, and returns a manifest row (source, shard_i,
+    n_docs, n_tokens, n_seqs); n_docs counts documents that CONTRIBUTED at
+    least one token. Out-of-lexicon words are DROPPED, matching the
+    oracle's lexicon join — this sink is the fixed-vocabulary emitter; an
+    open-vocabulary corpus goes through the BPE family first. Each file is
+    written to a temp name and os.replace()d into place (atomic on POSIX),
+    so task retries or speculative duplicates can never leave a torn shard.
+    Parallelism = number of shards, no global order, nothing collected
+    beyond the manifest. Single-node note: tasks write through the local
+    filesystem API; on a cluster `out_dir` must be shared storage with
+    atomic rename (HDFS/NFS — not S3).
 
     Returns the collected manifest rows (the write is forced — callers need
     the files on disk before any readback plan runs)."""
@@ -293,6 +311,37 @@ def write_token_shards(
         docs = load(spark, sf_dir, "documents")
     docs = docs.select("doc_id", "source", tokens(F.col("text")).alias("__w"))
 
+    if max_tokens_per_shard is not None:
+        from duckdb_ml_spark.plans.orderstats import keyed_prefix_sum
+
+        def _count(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "source": pdf["source"],
+                        "__nt": [
+                            sum(1 for w in (ws if ws is not None else []) if w in vocab)
+                            for ws in pdf["__w"]
+                        ],
+                    }
+                )
+
+        counts = docs.select("doc_id", "source", "__w").mapInPandas(
+            _count, "doc_id bigint, source string, __nt bigint"
+        )
+        assign = keyed_prefix_sum(
+            counts, "source", "doc_id", "__nt", out_col="__start"
+        ).select(
+            "doc_id",
+            F.floor(F.col("__start") / F.lit(int(max_tokens_per_shard)))
+            .cast("int")
+            .alias("__shard"),
+        )
+        docs = docs.join(assign, "doc_id")
+    else:
+        docs = docs.withColumn("__shard", F.lit(None).cast("int"))
+
     def _atomic_tofile(arr, path):
         import tempfile
 
@@ -308,8 +357,16 @@ def write_token_shards(
                 pass
             raise
 
+    empty = pd.DataFrame(
+        {"source": [], "shard_i": [], "n_docs": [], "n_tokens": [], "n_seqs": []}
+    )
+
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         src = pdf["source"].iloc[0]
+        shard = pdf["__shard"].iloc[0]
+        stem = (
+            f"shard_{src}" if pd.isna(shard) else f"shard_{src}__{int(shard):05d}"
+        )
         pdf = pdf.sort_values("doc_id")
         ids: list = []
         n_docs = 0
@@ -319,26 +376,32 @@ def write_token_shards(
                 n_docs += 1
                 ids.extend(doc_ids)
         n_tokens = len(ids)
-        n_seqs = -(-n_tokens // seq_len) if n_tokens else 0
+        if n_tokens == 0:
+            # all-OOV shard: no files, no manifest row (oracle inner-join
+            # semantics — ADVICE r7 low)
+            return empty
+        n_seqs = -(-n_tokens // seq_len)
         padded = ids + [pad_id] * (n_seqs * seq_len - n_tokens)
         _atomic_tofile(
-            np.asarray(padded, dtype="<u2"), os.path.join(out_dir, f"shard_{src}.bin")
+            np.asarray(padded, dtype="<u2"), os.path.join(out_dir, f"{stem}.bin")
         )
         _atomic_tofile(
             np.arange(0, n_seqs * seq_len, seq_len, dtype="<i8"),
-            os.path.join(out_dir, f"shard_{src}.idx"),
+            os.path.join(out_dir, f"{stem}.idx"),
         )
         return pd.DataFrame(
             {
                 "source": [src],
+                "shard_i": [-1 if pd.isna(shard) else int(shard)],
                 "n_docs": [n_docs],
                 "n_tokens": [n_tokens],
                 "n_seqs": [n_seqs],
             }
         )
 
-    manifest = docs.groupBy("source").applyInPandas(
-        _emit, "source string, n_docs bigint, n_tokens bigint, n_seqs bigint"
+    manifest = docs.groupBy("source", "__shard").applyInPandas(
+        _emit,
+        "source string, shard_i int, n_docs bigint, n_tokens bigint, n_seqs bigint",
     )
     return manifest.collect()
 
@@ -348,11 +411,16 @@ def read_token_shards_manifest(
 ) -> DataFrame:
     """Decode the written .bin shards BACK into a verifiable manifest:
     (source, n_tokens, n_seqs, stream_md5) where stream_md5 hashes the
-    canonical comma-joined id stream with trailing padding stripped — the
-    readback proves the BYTES ON DISK encode exactly the token stream (the
-    driver gate pairs it with a DuckDB oracle that rebuilds the same stream
-    from the raw documents and the 31-word lexicon). binaryFile source +
-    one Arrow kernel; no shuffle."""
+    canonical comma-joined id stream with per-shard trailing padding
+    stripped — the readback proves the BYTES ON DISK encode exactly the
+    token stream (the driver gate pairs it with a DuckDB oracle that
+    rebuilds the same stream from the raw documents and the 31-word
+    lexicon). Capped multi-shard sources (`shard_<src>__<i>.bin`) are
+    reassembled in shard-index order, so the md5 equals the uncapped one
+    bit-for-bit (pytest-asserted). binaryFile source + one per-file Arrow
+    kernel; the per-source reassembly groups only (shard_i, decoded stream)
+    rows — the verification endpoint inherently serializes one source's
+    stream through one hash."""
     import hashlib
 
     import numpy as np
@@ -367,7 +435,10 @@ def read_token_shards_manifest(
 
     def gen(batches):
         for pdf in batches:
-            out = {"source": [], "n_tokens": [], "n_seqs": [], "stream_md5": []}
+            out = {
+                "source": [], "shard_i": [], "n_tokens": [], "n_seqs": [],
+                "stream": [],
+            }
             for path, content in zip(pdf["path"], pdf["content"]):
                 ids = np.frombuffer(content, dtype="<u2")
                 if len(ids) % seq_len != 0:
@@ -381,14 +452,35 @@ def read_token_shards_manifest(
                 n = len(ids)
                 while n > 0 and ids[n - 1] == pad_id:
                     n -= 1
-                stream = ",".join(str(int(i)) for i in ids[:n])
-                src = os.path.basename(path)[len("shard_"):-len(".bin")]
+                stem = os.path.basename(path)[len("shard_"):-len(".bin")]
+                src, _, idx = stem.rpartition("__")
+                if src and idx.isdigit():
+                    shard_i = int(idx)
+                else:
+                    src, shard_i = stem, -1
                 out["source"].append(src)
+                out["shard_i"].append(shard_i)
                 out["n_tokens"].append(n)
                 out["n_seqs"].append(n_seqs)
-                out["stream_md5"].append(hashlib.md5(stream.encode()).hexdigest())
+                out["stream"].append(",".join(str(int(i)) for i in ids[:n]))
             yield pd.DataFrame(out)
 
-    return bins.select("path", "content").mapInPandas(
-        gen, "source string, n_tokens bigint, n_seqs bigint, stream_md5 string"
+    decoded = bins.select("path", "content").mapInPandas(
+        gen, "source string, shard_i int, n_tokens bigint, n_seqs bigint, stream string"
+    )
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard_i")
+        stream = ",".join(s for s in pdf["stream"] if s)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_tokens": [int(pdf["n_tokens"].sum())],
+                "n_seqs": [int(pdf["n_seqs"].sum())],
+                "stream_md5": [hashlib.md5(stream.encode()).hexdigest()],
+            }
+        )
+
+    return decoded.groupBy("source").applyInPandas(
+        _assemble, "source string, n_tokens bigint, n_seqs bigint, stream_md5 string"
     )

@@ -54,8 +54,20 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def compare_to_oracle(spark_df, oracle: str, con: duckdb.DuckDBPyConnection) -> dict:
-    """Run both sides, return a comparison report dict (key 'match': bool)."""
+def compare_to_oracle(
+    spark_df,
+    oracle: str,
+    con: duckdb.DuckDBPyConnection,
+    dump_to: str | None = None,
+    name: str = "query",
+) -> dict:
+    """Run both sides, return a comparison report dict (key 'match': bool).
+
+    `dump_to` (VERDICT r7 item 1b — the thrice-red driver row left NOTHING to
+    diagnose because every gate discarded the mismatching values): on any
+    mismatch, write both engines' sorted normalized rows, the differing lines,
+    and per-column max deltas to `<dump_to>/<name>.json` and record the path
+    in the report under 'dump'. Match runs write nothing."""
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(oracle)
@@ -63,8 +75,95 @@ def compare_to_oracle(spark_df, oracle: str, con: duckdb.DuckDBPyConnection) -> 
     orows = res.fetchall()
     sn, sc, sh = value_hash(scols, srows)
     on, oc, oh = value_hash(ocols, orows)
-    return {
+    report = {
         "match": (sn, sc, sh) == (on, oc, oh),
         "spark": {"rows": sn, "schema": sc, "hash": sh},
         "duckdb": {"rows": on, "schema": oc, "hash": oh},
     }
+    if not report["match"] and dump_to is not None:
+        report["dump"] = dump_mismatch(
+            dump_to, name, scols, srows, ocols, orows
+        )
+    return report
+
+
+def _sorted_lines(cols: list[str], rows: list[tuple]) -> list[str]:
+    """The exact normalized lines value_hash hashes, in hash order."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def dump_mismatch(
+    dump_to: str,
+    name: str,
+    scols: list[str],
+    srows: list[tuple],
+    ocols: list[str],
+    orows: list[tuple],
+    max_lines: int = 500,
+) -> str:
+    """Write a mismatch forensics artifact and return its path.
+
+    Contents: both engines' sorted normalized row-lines (the exact strings
+    the hash covers, truncated at max_lines), the symmetric difference of
+    those line sets, and — when schemas + row counts align — per-column max
+    absolute delta over the position-aligned sorted rows, which localizes a
+    float divergence to the offending column and magnitude."""
+    import json
+    import os
+
+    os.makedirs(dump_to, exist_ok=True)
+    slines = _sorted_lines(scols, srows)
+    olines = _sorted_lines(ocols, orows)
+    only_spark = sorted(set(slines) - set(olines))
+    only_duck = sorted(set(olines) - set(slines))
+    col_deltas = None
+    if sorted(scols) == sorted(ocols) and len(srows) == len(orows):
+        sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+        oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        # align rows by the same sort the hash uses, then diff per column
+        skey = sorted(srows, key=lambda r: [_norm_cell(r[i]) for i in sorder])
+        okey = sorted(orows, key=lambda r: [_norm_cell(r[i]) for i in oorder])
+        col_deltas = {}
+        for si, oi in zip(sorder, oorder):
+            cname = scols[si]
+            worst = None
+            for sr, orow in zip(skey, okey):
+                a, b = sr[si], orow[oi]
+                if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                        and not isinstance(a, bool) and not isinstance(b, bool) \
+                        and not (isinstance(a, float) and math.isnan(a)) \
+                        and not (isinstance(b, float) and math.isnan(b)):
+                    d = abs(float(a) - float(b))
+                    if worst is None or d > worst[0]:
+                        worst = (d, _norm_cell(a), _norm_cell(b))
+                elif _norm_cell(a) != _norm_cell(b):
+                    worst = (float("inf"), _norm_cell(a), _norm_cell(b))
+            if worst is not None and worst[0] > 0:
+                col_deltas[cname] = {
+                    "max_abs_delta": worst[0],
+                    "spark": worst[1],
+                    "duckdb": worst[2],
+                }
+    path = os.path.join(dump_to, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "query": name,
+                "spark_rows": len(srows),
+                "duckdb_rows": len(orows),
+                "spark_schema": ",".join(sorted(scols)),
+                "duckdb_schema": ",".join(sorted(ocols)),
+                "lines_only_in_spark": only_spark[:max_lines],
+                "lines_only_in_duckdb": only_duck[:max_lines],
+                "n_lines_only_in_spark": len(only_spark),
+                "n_lines_only_in_duckdb": len(only_duck),
+                "per_column_max_delta": col_deltas,
+                "spark_lines": slines[:max_lines],
+                "duckdb_lines": olines[:max_lines],
+            },
+            f,
+            indent=1,
+            default=str,
+        )
+    return path

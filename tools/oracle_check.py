@@ -46,7 +46,11 @@ def main() -> int:
                 print(f"ROWS  {name}: rows={n} (no oracle) [{time.time() - t0:.1f}s]")
                 n_rows_only += 1
                 continue
-            report = compare_to_oracle(sdf, oracles[name], con)
+            sf_tag = Path(args.sf_dir).name
+            report = compare_to_oracle(
+                sdf, oracles[name], con,
+                dump_to="diagnostics", name=f"{name}_{sf_tag}",
+            )
         except Exception as e:
             print(f"FAIL  {name}: error: {str(e).splitlines()[0][:300]}")
             n_fail += 1
@@ -56,7 +60,8 @@ def main() -> int:
             print(f"PASS  {name}: rows={report['spark']['rows']} hash={report['spark']['hash']} [{dt:.1f}s]")
             n_pass += 1
         else:
-            print(f"FAIL  {name}: spark={report['spark']} duckdb={report['duckdb']}")
+            print(f"FAIL  {name}: spark={report['spark']} duckdb={report['duckdb']}"
+                  f" dump={report.get('dump')}")
             n_fail += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
