@@ -1396,6 +1396,14 @@ def semantic_dedup(
         order = np.argsort(cent_ids)  # c_id ASC → argmax first-max == lowest c_id on ties
         cent_ids, CM = cent_ids[order], CM[order]
 
+    if len(cent_ids) == 0:
+        # fail at the driver with the cause, not as an opaque np.argmax
+        # error inside an executor kernel (ADVICE r7 low)
+        raise ValueError(
+            f"semantic_dedup: centroid selection is empty "
+            f"({'kmeans on empty input' if centroids == 'kmeans' else f'no {id_col} divisible by stride={stride}'}); "
+            f"shrink `stride` or check the corpus"
+        )
     spark = emb.sparkSession
     ensure_shipped(spark)
     bc = spark.sparkContext.broadcast((cent_ids, CM))

@@ -460,11 +460,18 @@ def mixture_resample(
     repeats + a fractional bernoulli) and w<1 downsamples. Pure column
     expressions → reproducible on any partitioning, any engine.
 
+    The uniform is 60-bit (hash_uint 15 hex chars / 2^60 — ADVICE r7 low:
+    the old bucket/100 form quantized it to 1/100, biasing any weight whose
+    fraction is not a multiple of 0.01; at 2^-60 granularity the bias is
+    below a part per quintillion). The int→double conversion rounds
+    identically under IEEE in every engine, so the comparison stays
+    bit-reproducible cross-engine.
+
     Plan: map-only — count projection, filter count>=1, explode
     sequence(1,count) (the explode guards the empty range: Spark sequence
     DESCENDS when end < start). Output carries a 1-based `replica` index so
     downstream dedup-aware consumers can distinguish intentional repeats."""
-    u = hash_bucket(F.col(id_col), salt).cast("double") / N_BUCKETS
+    u = hash_uint(F.col(id_col), salt, 15).cast("double") / F.lit(float(1 << 60))
     cnt = (
         F.floor(weight).cast("int")
         + (u < (weight - F.floor(weight))).cast("int")
@@ -499,7 +506,7 @@ WITH c AS (
     FROM (
         SELECT doc_id, source,
                0.25 + (substr(source, 4)::INT % 8) * 0.5 AS wt,
-               {_hash_bucket_sql("doc_id", "mix")}::DOUBLE / {N_BUCKETS} AS u
+               {_hash_uint_sql("doc_id", "mix", 15)}::DOUBLE / {float(1 << 60)} AS u
         FROM documents
     )
 )

@@ -150,7 +150,13 @@ def collect_matrix(df: DataFrame, id_col: str, arr_col: str = "embedding", cache
         return _MATRIX_CACHE[cache_key]
     pdf = df.select(id_col, arr_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    M = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+    if len(pdf) == 0:
+        # empty selection: a well-formed (0, 0) pair so callers can raise
+        # their own actionable error (np.stack on empty throws a generic
+        # "need at least one array" — ADVICE r7 low)
+        M = np.zeros((0, 0), dtype=np.float64)
+    else:
+        M = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
     if cache_key is not None:
         _MATRIX_CACHE[cache_key] = (ids, M)
     return ids, M

@@ -1357,3 +1357,30 @@ def test_ivfpq_measured_recall_meets_band(spark, sf_dir):
     rows = ivfpq_recall_band(spark, sf_dir).collect()
     assert len(rows) == 50
     assert all(r.ivfpq_recall_ok for r in rows)
+
+
+def test_mixture_resample_fine_granularity(spark):
+    """ADVICE r7 low: the fractional bernoulli must resolve weights finer
+    than 1/100 — the old bucket/100 uniform doubled a 0.005 fraction to
+    0.01. 60-bit uniform: w=1.005 over 10k ids lands near 10050 repeats,
+    not the quantized 10100."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.sampling import mixture_resample
+
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    n = mixture_resample(df, F.lit(1.005)).count()
+    assert abs(n - 10050) < 35, n  # binomial sd ≈ 7 at p=.005; old bias +50
+
+
+def test_semantic_dedup_empty_centroids_raises(spark):
+    """ADVICE r7 low: a stride with no selected centroid ids must fail at
+    the driver with the cause, not an opaque executor argmax error."""
+    import pytest
+
+    from duckdb_ml_spark.operators.dedup import semantic_dedup
+
+    rows = [(i, [float(i), 1.0]) for i in range(1, 5)]  # ids 1..4
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="stride"):
+        semantic_dedup(df, stride=1000).collect()
