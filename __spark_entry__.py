@@ -32,10 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 # Everything outside the window stays green under tools/oracle_check.py (the
 # identical gate replica) run locally each round.
 _CHECK_PRIORITY = (
-    # this round's modified queries (5)
+    # this round's modified/new queries (6)
     "orders_winsorized_stats",
     "sample_mixture_resample",
     "sink_token_shards",
+    "sink_token_shards_capped",
     "price_quantiles_by_flag",
     "orders_rank_distribution",
     # never driver-checked (3)
@@ -83,8 +84,11 @@ _CHECK_PRIORITY = (
     "text_keywords_topk",
     "text_token_stats",
     "text_quality_score",
+    # ml_pred_sql cedes its slot to the new capped-shard query: its row is
+    # rows-only by design (random()), so the hash-paired newcomer buys the
+    # driver strictly more signal; ml_pred stays covered by pytest value
+    # tests + the local gate replica
     "pack_sequences",
-    "ml_pred_sql",
 )
 
 
@@ -167,6 +171,7 @@ _EXEC_AT_BUILD = frozenset(
         "source_schema_evolution",  # snapshot writes at build
         "sink_compaction",  # shard + compact writes at build
         "sink_token_shards",  # binary shard write + manifest collect at build
+        "sink_token_shards_capped",  # same, plus the prefix-sum shard split
         "autompg_scaled",  # CSV inference scan
         "ml_create_ok",  # registry side effects / training at build
         "ml_list_models",

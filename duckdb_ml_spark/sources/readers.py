@@ -245,6 +245,76 @@ FROM ids GROUP BY source
 """
 
 
+TOKEN_SHARD_CAP = 512
+
+
+def _token_shards_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED shard layout under the driver gate (VERDICT r7 item 4):
+    max_tokens_per_shard=512 splits every source into ~3 `shard_<src>__<i>`
+    pieces at sf0.01 (per-source streams are ~1.1-1.6k tokens), exercising
+    the keyed_prefix_sum assignment, the multi-file atomic writes, and the
+    shard-order readback reassembly end-to-end. The oracle replicates the
+    split in SQL: the same exclusive per-source prefix sum over in-lexicon
+    token counts, shard_i = start // cap, per-shard seq padding — so n_seqs
+    (which grows with per-shard padding) and the reassembled stream_md5
+    (bit-identical to the uncapped stream) are both hash-paired."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.sinks import read_token_shards_manifest, write_token_shards
+
+    out_dir = os.path.join(_TMP_ROOT, os.path.basename(sf_dir), "token_shards_capped")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_token_shards(
+        spark, sf_dir, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN,
+        max_tokens_per_shard=TOKEN_SHARD_CAP,
+    )
+    nd: dict = {}
+    for r in manifest:  # a doc lands in exactly one shard (doc-boundary split)
+        nd[r["source"]] = nd.get(r["source"], 0) + r["n_docs"]
+    ndocs = spark.createDataFrame(
+        sorted(nd.items()), "source string, n_docs bigint"
+    )
+    back = read_token_shards_manifest(spark, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN)
+    return back.join(F.broadcast(ndocs), "source").select(
+        "source", "n_docs", "n_tokens", "n_seqs", "stream_md5"
+    )
+
+
+def _token_shards_capped_oracle() -> str:
+    from duckdb_ml_spark.operators.bpe import token_id_lexicon
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    lex = ", ".join(f"('{w}', {i})" for w, i in sorted(token_id_lexicon().items()))
+    return f"""
+WITH lex(word, id) AS (VALUES {lex}),
+toks AS (SELECT doc_id, source, {tokens_sql("text")} AS ws FROM documents),
+u AS (SELECT doc_id, source, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM toks),
+ids AS (SELECT u.doc_id, u.source, u.pos, lex.id
+        FROM u JOIN lex ON u.word = lex.word),
+dt AS (SELECT doc_id, source, count(*) AS nt FROM ids GROUP BY doc_id, source),
+ps AS (SELECT source, nt,
+              coalesce(sum(nt) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+       FROM dt),
+sh AS (SELECT source, strt // {TOKEN_SHARD_CAP} AS shard_i, sum(nt) AS st
+       FROM ps GROUP BY source, strt // {TOKEN_SHARD_CAP}),
+seqs AS (SELECT source, sum(ceil(st / {TOKEN_SHARD_SEQ_LEN}.0)::BIGINT) AS n_seqs
+         FROM sh GROUP BY source)
+SELECT d.source, d.n_docs, d.n_tokens, seqs.n_seqs, d.stream_md5
+FROM (SELECT source,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_tokens,
+             md5(string_agg(id::VARCHAR, ',' ORDER BY doc_id, pos)) AS stream_md5
+      FROM ids GROUP BY source) d
+JOIN seqs ON d.source = seqs.source
+"""
+
+
 def _merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION-RESTRICTED MERGE INTO (sinks.merge_upsert_partitioned,
     VERDICT r4 item 3) over a target hive-partitioned by part = s_suppkey % 8:
@@ -482,6 +552,17 @@ QUERIES: dict[str, QuerySpec] = {
         "against a first-principles oracle stream — the dataloader-ready "
         "emission endpoint of the pipeline.",
         tags=("sink", "tokenizer", "pipeline"),
+    ),
+    "sink_token_shards_capped": QuerySpec(
+        "sink_token_shards_capped", _token_shards_capped_q,
+        _token_shards_capped_oracle(),
+        doc="Size-capped binary shard emission: skewed sources split into "
+        "(source, shard_i) pieces via a distributed prefix sum "
+        "(max_tokens_per_shard), written atomically and reassembled in "
+        "shard order by the readback — n_seqs (per-shard padding) and the "
+        "reassembled stream md5 both hash-paired against a SQL replica of "
+        "the split.",
+        tags=("sink", "tokenizer", "pipeline", "sharding"),
     ),
     "sink_compaction": QuerySpec(
         "sink_compaction", _compaction_q, _COMPACTION_ORACLE,
