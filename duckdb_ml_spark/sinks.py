@@ -338,6 +338,13 @@ def write_token_shards(
             .cast("int")
             .alias("__shard"),
         )
+        # the assignment is one (int64, int32) row per doc — tiny next to the
+        # docs relation; broadcasting it keeps the docs side map-only (no
+        # join shuffle). Gated on the DOC count (a pushdown-cheap count on
+        # the source relation, not the assignment lineage): above ~8M docs
+        # (~100 MB of pairs) fall back to a shuffled join.
+        if docs.count() <= 8_000_000:
+            assign = F.broadcast(assign)
         docs = docs.join(assign, "doc_id")
     else:
         docs = docs.withColumn("__shard", F.lit(None).cast("int"))
@@ -399,9 +406,30 @@ def write_token_shards(
             }
         )
 
-    manifest = docs.groupBy("source", "__shard").applyInPandas(
-        _emit,
-        "source string, shard_i int, n_docs bigint, n_tokens bigint, n_seqs bigint",
+    def _emit_part(batches):
+        # per-PARTITION kernel with an in-kernel groupby — the repo
+        # invariant (a capped layout makes hundreds of tiny (source, shard)
+        # groups; applyInPandas paid a Python call + Arrow conversion per
+        # GROUP, measured seconds of pure overhead at sf0.1). repartition
+        # on the group key puts every group wholly inside one partition.
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        part = pd.concat(frames, ignore_index=True)
+        outs = [
+            _emit(g)
+            for _, g in part.groupby(["source", "__shard"], sort=False, dropna=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    manifest = (
+        docs.repartition("source", "__shard")
+        .mapInPandas(
+            _emit_part,
+            "source string, shard_i int, n_docs bigint, n_tokens bigint, n_seqs bigint",
+        )
     )
     return manifest.collect()
 
@@ -465,7 +493,12 @@ def read_token_shards_manifest(
                 out["stream"].append(",".join(str(int(i)) for i in ids[:n]))
             yield pd.DataFrame(out)
 
-    decoded = bins.select("path", "content").mapInPandas(
+    # binaryFile's 4 MB openCostInBytes makes every small shard its own scan
+    # partition (535 single-file tasks for a capped sf0.1 layout — measured
+    # 4.3 s of pure task overhead); coalesce merges the splits into at most
+    # one task per core with NO shuffle before the per-file decode kernel
+    n_coalesce = max(1, spark.sparkContext.defaultParallelism)
+    decoded = bins.select("path", "content").coalesce(n_coalesce).mapInPandas(
         gen, "source string, shard_i int, n_tokens bigint, n_seqs bigint, stream string"
     )
 
