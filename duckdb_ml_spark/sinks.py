@@ -307,7 +307,8 @@ def write_token_shards(
     pad_id = token_pad_id()
     os.makedirs(out_dir, exist_ok=True)
 
-    if docs is None:
+    docs_from_table = docs is None
+    if docs_from_table:
         docs = load(spark, sf_dir, "documents")
     docs = docs.select("doc_id", "source", tokens(F.col("text")).alias("__w"))
 
@@ -342,8 +343,13 @@ def write_token_shards(
         # docs relation; broadcasting it keeps the docs side map-only (no
         # join shuffle). Gated on the DOC count (a pushdown-cheap count on
         # the source relation, not the assignment lineage): above ~8M docs
-        # (~100 MB of pairs) fall back to a shuffled join.
-        if docs.count() <= 8_000_000:
+        # (~100 MB of pairs) fall back to a shuffled join. The count is a
+        # dataset property of the immutable documents table, so it rides the
+        # shared per-source memo (no count job after the first call).
+        from duckdb_ml_spark.operators.dedup import _cached_count
+
+        gate_key = (sf_dir, "documents", "rowcount") if docs_from_table else None
+        if _cached_count(docs, gate_key) <= 8_000_000:
             assign = F.broadcast(assign)
         docs = docs.join(assign, "doc_id")
     else:
@@ -449,6 +455,7 @@ def read_token_shards_manifest(
     kernel; the per-source reassembly groups only (shard_i, decoded stream)
     rows — the verification endpoint inherently serializes one source's
     stream through one hash."""
+    import glob
     import hashlib
 
     import numpy as np
@@ -459,15 +466,18 @@ def read_token_shards_manifest(
     if pad_id is None:
         pad_id = token_pad_id()
 
-    bins = spark.read.format("binaryFile").load(os.path.join(out_dir, "*.bin"))
-
     def gen(batches):
         for pdf in batches:
             out = {
                 "source": [], "shard_i": [], "n_tokens": [], "n_seqs": [],
                 "stream": [],
             }
-            for path, content in zip(pdf["path"], pdf["content"]):
+            contents = (
+                pdf["content"]
+                if "content" in pdf.columns
+                else [open(p, "rb").read() for p in pdf["path"]]
+            )
+            for path, content in zip(pdf["path"], contents):
                 ids = np.frombuffer(content, dtype="<u2")
                 if len(ids) % seq_len != 0:
                     # a shard must be a whole number of sequences — anything
@@ -493,14 +503,35 @@ def read_token_shards_manifest(
                 out["stream"].append(",".join(str(int(i)) for i in ids[:n]))
             yield pd.DataFrame(out)
 
-    # binaryFile's 4 MB openCostInBytes makes every small shard its own scan
-    # partition (535 single-file tasks for a capped sf0.1 layout — measured
-    # 4.3 s of pure task overhead); coalesce merges the splits into at most
-    # one task per core with NO shuffle before the per-file decode kernel
-    n_coalesce = max(1, spark.sparkContext.defaultParallelism)
-    decoded = bins.select("path", "content").coalesce(n_coalesce).mapInPandas(
-        gen, "source string, shard_i int, n_tokens bigint, n_seqs bigint, stream string"
+    decode_schema = (
+        "source string, shard_i int, n_tokens bigint, n_seqs bigint, stream string"
     )
+    local_bins = (
+        sorted(glob.glob(os.path.join(out_dir, "*.bin")))
+        if "://" not in out_dir
+        else []
+    )
+    if local_bins:
+        # Local/shared-POSIX layout (the writer's own storage contract — it
+        # writes through the filesystem API with os.replace): one scandir on
+        # the driver replaces binaryFile's InMemoryFileIndex, whose
+        # listing+DataFrame setup alone measured ~1.2 s warm for 535 tiny
+        # shards; the path list (~n_tokens/M rows) parallelizes across the
+        # default slices and each kernel task opens its own files.
+        decoded = spark.createDataFrame(
+            [(p,) for p in local_bins], "path string"
+        ).mapInPandas(gen, decode_schema)
+    else:
+        # Non-POSIX URI (hdfs:// etc.): binaryFile source. Its 4 MB
+        # openCostInBytes makes every small shard its own scan partition;
+        # coalesce merges the splits into at most one task per core with NO
+        # shuffle before the per-file decode kernel.
+        bins = spark.read.format("binaryFile").load(os.path.join(out_dir, "*.bin"))
+        n_coalesce = max(1, spark.sparkContext.defaultParallelism)
+        decoded = (
+            bins.select("path", "content").coalesce(n_coalesce)
+            .mapInPandas(gen, decode_schema)
+        )
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("shard_i")
