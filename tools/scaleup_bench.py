@@ -110,6 +110,9 @@ def build_derived(out_dir: Path, factor: int) -> None:
     if marker.exists():
         return
     con = duckdb.connect()
+    # the FACTOR-branch UNION ALL exceeds the default parser depth of 1000
+    # at factor >= ~250; scale the limit with the factor
+    con.execute(f"SET max_expression_depth TO {max(1000, factor * 8)}")
     for t in DIMS:
         con.execute(
             f"COPY (SELECT * FROM '{SRC_SF}/{t}.parquet') TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
