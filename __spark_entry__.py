@@ -43,7 +43,21 @@ _CHECK_PRIORITY = (
     "dedup_semantic",
     "layout_zorder_scan",
     "source_xml_roundtrip",
-    # last driver row r4 or older (42), oldest first
+    # NEW this round (8, never driver-checked): sequence analytics
+    # (sessionize/SCD2/streaks), skew machinery as checked queries
+    # (salted join == plain join, hot-key diagnosis), blocked+verified
+    # edit-distance dedup, leakage-safe group split, libm-free BM25
+    "events_sessionize",
+    "events_scd2_intervals",
+    "orders_active_streaks",
+    "skew_salted_join",
+    "dq_key_skew",
+    "dedup_editdist_verify",
+    "sample_group_split",
+    "text_bm25_scores",
+    # last driver row r4 or older, oldest first (the 8 newcomers push the
+    # text_* tail out of this round's 50; they stay green under the local
+    # gate replica and rotate back next round)
     "source_parquet_roundtrip",
     "pricing_summary",
     "scaling_params",

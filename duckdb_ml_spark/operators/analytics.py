@@ -316,6 +316,232 @@ WHERE abs({MAD_C} * (e.value - m.med) / d.mad) >= {MAD_K}
 """
 
 
+# --- batch sessionization (gaps-and-islands) ---------------------------------
+
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h in microseconds (exact integers)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions at
+    inactivity gaps > gap_us — the batch twin of streaming/queries.py's
+    `stream_sessions` (there the gap is the watermark-driven state timeout;
+    here it's a lag-and-running-sum islands plan over history).
+
+    Output: (user_id, session_id, session_start, session_end, n_events,
+    duration_us). session_id is 1-based per user in time order; duration is
+    exact integer microseconds (epoch_us both engines — never a float
+    interval cast, which rounds in DuckDB and truncates in Spark).
+
+    Scale shape: ONE shuffle on user_id whose sort (ts, tiebreak) feeds both
+    window passes (lag, then running sum — same spec → one Exchange+Sort,
+    two Window operators), then the session rollup rides the same
+    partitioning (groupBy user_id, session_id is partial-agg friendly).
+    No global sort, no driver state; at 10⁹ users the key is uniform.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    b = events.select(
+        user_col,
+        ts_col,
+        tiebreak_col,
+        F.when(prev_us.isNull() | (us - prev_us > gap_us), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sid = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    s = b.select(user_col, ts_col, sid.alias("session_id"))
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
+            "duration_us"
+        ),
+    )
+
+
+def _sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load(spark, sf_dir, "events"))
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM o
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# --- SCD2 / CDC interval compaction -------------------------------------------
+
+
+def scd2_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Collapse a change-event stream into SCD-type-2 validity intervals: per
+    user, consecutive runs of the same attribute value become one row with
+    [valid_from, valid_to) and a version number — the CDC-compaction /
+    dimension-history build every warehouse pipeline runs, and the compact
+    form a 100 TB event log wants to be stored in (8k rows from 10k events
+    at sf0.01; real change streams compress far more).
+
+    Output: (user_id, event_type, version_n, valid_from, valid_to, n_events,
+    is_current) — valid_to NULL on the open (current) interval.
+
+    Scale shape: one shuffle on user_id; the change-detection lag and the
+    running-sum version number share the (ts, tiebreak) sort; the interval
+    rollup and the lead(valid_from) pass stay user-partitioned (version_n is
+    strictly increasing per user, so the second window sorts a relation
+    already collapsed to runs). Nothing global, nothing collected.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    a = F.col(attr_col)
+    prev = F.lag(a).over(w)
+    b = events.select(
+        user_col,
+        attr_col,
+        ts_col,
+        tiebreak_col,
+        F.when(prev.isNull() | (a != prev), 1).otherwise(0).alias("brk"),
+    )
+    ver = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = b.select(user_col, attr_col, ts_col, ver.alias("version_n"))
+    g = runs.groupBy(user_col, "version_n").agg(
+        F.first(attr_col).alias(attr_col),  # constant within a run
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy("version_n")
+    return g.select(
+        user_col,
+        attr_col,
+        "version_n",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def _scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(load(spark, sf_dir, "events"))
+
+
+_SCD2_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR event_type <> lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+    SELECT user_id, event_type, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version_n
+    FROM o
+),
+g AS (
+    SELECT user_id, version_n, any_value(event_type) AS event_type,
+           min(ts) AS valid_from, count(*) AS n_events
+    FROM r GROUP BY user_id, version_n
+)
+SELECT user_id, event_type, version_n, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
+"""
+
+
+# --- longest monthly activity streak (gaps-and-islands on a calendar) --------
+
+
+def active_streaks(orders: DataFrame) -> DataFrame:
+    """Per customer: longest run of CONSECUTIVE calendar months with ≥1 order
+    (classic gaps-and-islands via month_index − dense_rank — consecutive
+    months share the island id).
+
+    Output: (o_custkey, n_active_months, n_streaks, longest_streak) — all
+    exact integers.
+
+    Scale shape: one wide shuffle (the distinct (customer, month) collapse
+    over raw orders), then one SMALL re-shuffle of the collapsed relation
+    (≤ customers × months rows — orders-of-magnitude smaller) to
+    customer-only partitioning for the dense_rank; both aggregations ride
+    that second partitioning. The month domain is tiny and bounded, so
+    per-customer windows never skew.
+    """
+    mo = F.date_trunc("month", F.col("o_orderdate"))
+    m = orders.select("o_custkey", mo.alias("mo")).distinct()
+    idx = F.year("mo") * 12 + F.month("mo")
+    w = Window.partitionBy("o_custkey").orderBy("mo")
+    isl = m.select(
+        "o_custkey", (idx - F.dense_rank().over(w)).alias("isl")
+    )
+    per_streak = isl.groupBy("o_custkey", "isl").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_streak.groupBy("o_custkey").agg(
+        F.sum("len").alias("n_active_months"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+def _streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return active_streaks(load(spark, sf_dir, "orders"))
+
+
+_STREAKS_ORACLE = """
+WITH m AS (
+    SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS mo
+    FROM orders
+),
+i AS (
+    SELECT o_custkey,
+           (12 * year(mo) + month(mo))
+             - dense_rank() OVER (PARTITION BY o_custkey ORDER BY mo) AS isl
+    FROM m
+),
+s AS (
+    SELECT o_custkey, isl, count(*) AS len FROM i GROUP BY o_custkey, isl
+)
+SELECT o_custkey, sum(len)::BIGINT AS n_active_months,
+       count(*) AS n_streaks, max(len) AS longest_streak
+FROM s GROUP BY o_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_funnel": QuerySpec(
         name="events_funnel",
@@ -344,5 +570,26 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_ANOMALY_ORACLE,
         doc="Median/MAD modified-z outliers per event_type (order-insensitive stats, exact cross-engine parity).",
         tags=("analytics", "anomaly", "events"),
+    ),
+    "events_sessionize": QuerySpec(
+        name="events_sessionize",
+        builder=_sessionize_q,
+        oracle=_SESSIONIZE_ORACLE,
+        doc="Batch sessionization at 6h inactivity gaps (lag + running-sum islands; batch twin of stream_sessions).",
+        tags=("analytics", "sessions", "events", "window"),
+    ),
+    "events_scd2_intervals": QuerySpec(
+        name="events_scd2_intervals",
+        builder=_scd2_q,
+        oracle=_SCD2_ORACLE,
+        doc="SCD-type-2 / CDC compaction: per-user attribute runs collapsed to versioned validity intervals.",
+        tags=("analytics", "cdc", "scd2", "events", "window"),
+    ),
+    "orders_active_streaks": QuerySpec(
+        name="orders_active_streaks",
+        builder=_streaks_q,
+        oracle=_STREAKS_ORACLE,
+        doc="Longest consecutive-month order streak per customer (gaps-and-islands, exact integers).",
+        tags=("analytics", "window", "orders"),
     ),
 }

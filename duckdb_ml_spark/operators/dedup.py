@@ -1476,7 +1476,79 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
+# --- blocked candidate pairs verified by exact edit distance -----------------
+
+
+EDITDIST_PREFIX = 200  # Levenshtein window: O(prefix²) per pair, bounded
+EDITDIST_MAX = 80  # ≤ 40% of the prefix may differ
+
+
+def editdist_verify_pairs(
+    docs: DataFrame,
+    prefix_len: int = EDITDIST_PREFIX,
+    max_dist: int = EDITDIST_MAX,
+) -> DataFrame:
+    """Record-linkage-style near-dup verification: cheap BLOCKING (equal
+    (lang, source) here) proposes candidate pairs, exact Levenshtein over a
+    capped prefix verifies them — integer distances, so cross-engine parity
+    is exact (no float anywhere).
+
+    Output: (doc_a, doc_b, editdist), doc_a < doc_b, editdist ≤ max_dist.
+
+    Scale shape: a self-equi-join on the block key — one shuffle of the
+    (id, block, prefix) projection per side, candidate work quadratic ONLY
+    within a block. Blocking is the scalability control: at 100 TB the key
+    widens (add a length bucket, or swap in the MinHash band buckets that
+    dedup_minhash_lsh_pairs already computes — any block generator feeds the
+    same verifier). The Levenshtein cost itself is capped at prefix_len² per
+    pair and runs JVM-side (built-in `levenshtein`, no UDF)."""
+    b = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, prefix_len).alias("pfx"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.lang") == F.col("c.lang"))
+        & (F.col("a.source") == F.col("c.source"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    )
+    d = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("c.doc_id").alias("doc_b"),
+        d.alias("editdist"),
+    ).where(F.col("editdist") <= max_dist)
+
+
+def _editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return editdist_verify_pairs(load(spark, sf_dir, "documents"))
+
+
+_EDITDIST_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, lang, source, substr(text, 1, {EDITDIST_PREFIX}) AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       levenshtein(a.pfx, c.pfx) AS editdist
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.source = c.source AND a.doc_id < c.doc_id
+WHERE levenshtein(a.pfx, c.pfx) <= {EDITDIST_MAX}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_editdist_verify": QuerySpec(
+        name="dedup_editdist_verify",
+        builder=_editdist_q,
+        oracle=_EDITDIST_ORACLE,
+        doc="Blocked candidate pairs verified by exact capped-prefix "
+        "Levenshtein (integer distances; blocking = the scale control).",
+        tags=("dedup", "editdist", "blocking"),
+    ),
     "dedup_semantic": QuerySpec(
         name="dedup_semantic",
         builder=_semantic_dedup_q,

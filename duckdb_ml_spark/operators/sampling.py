@@ -515,7 +515,55 @@ FROM c WHERE cnt >= 1
 """
 
 
+# --- leakage-safe group-aware split ------------------------------------------
+
+
+def group_split(
+    df: DataFrame, group_col: str, test_pct: int = 20, salt: str = "gsplit"
+) -> DataFrame:
+    """Train/test split that keeps every GROUP intact on one side (hash the
+    group key, not the row id) — the leakage-safe split for near-duplicate-
+    heavy corpora: docs from one source are correlated, so a row-level split
+    leaks test content into train. Same hash-bucket recipe as
+    split_train_test ⇒ reproducible, partition-independent, and exhaustive.
+
+    Scale shape: a stateless per-row expression — no shuffle at all; the
+    split column is computable at scan time on 100 TB and works as a
+    partition column for the write."""
+    b = hash_bucket(F.col(group_col), salt)
+    return df.withColumn(
+        "split", F.when(b < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def _group_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summarized proof row per split: source counts stay disjoint by
+    construction (a source's hash lands in exactly one bucket band)."""
+    g = group_split(load(spark, sf_dir, "documents"), "source")
+    return g.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_GROUP_SPLIT_ORACLE = f"""
+SELECT CASE WHEN {_hash_bucket_sql("source", "gsplit")} < 20
+            THEN 'test' ELSE 'train' END AS split,
+       count(DISTINCT source) AS n_sources,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_group_split": QuerySpec(
+        "sample_group_split", _group_split_q, _GROUP_SPLIT_ORACLE,
+        doc="Leakage-safe group-aware 80/20 split (hash the source, not the "
+        "row — correlated docs never straddle the split).",
+        tags=("sampling", "split", "pipeline"),
+    ),
     "sample_epoch_shuffle": QuerySpec(
         "sample_epoch_shuffle", _epoch_shuffle_q, _EPOCH_SHUFFLE_ORACLE,
         doc="Deterministic global epoch shuffle into training shards "

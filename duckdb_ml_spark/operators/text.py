@@ -739,7 +739,122 @@ FROM b, LATERAL unnest(generate_series(0, n_chunks - 1)) AS u(chunk_id)
 """
 
 
+# --- BM25 relevance scoring ---------------------------------------------------
+
+
+BM25_TERMS = ("dup", "join", "filter")  # rare + two common corpus terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed keyword query — the
+    retrieval scorer used to mine topic-targeted training data from a corpus
+    (keyword-seeded retrieval before an embedding pass).
+
+    Log-free determinism (the keywords_topk 'libm-free' discipline + the
+    winsorized pinned-expression pattern): the standard ln-idf differs by
+    ulps across libms, so this uses the ODDS idf (N−df+0.5)/(df+0.5) — the
+    argument of the Robertson log, monotone in it, so ranking-equivalent —
+    and assembles each per-doc score from EXACT integers (tf, dl, df, N) via
+    ONE pinned IEEE expression mirrored verbatim in the oracle SQL. The
+    per-term scores join as (s0+s1)+s2, never a groupBy sum, so no
+    summation-order noise exists and the score hashes raw (no rounding).
+
+    Output: (doc_id, dl, tf_<term>..., score), docs matching ≥1 term.
+
+    Scale shape: one explode→per-doc conditional-count shuffle (tf's and dl
+    in a single groupBy), a 1-row corpus-stats aggregate broadcast back, and
+    a stateless score projection — two jobs, one wide shuffle keyed by
+    doc_id, no skew (df/N/avgdl are scalars)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    corpus = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    j = per.crossJoin(F.broadcast(corpus))
+    avgdl = F.col("sum_dl") / F.col("n_docs")  # exact ints → one IEEE div
+
+    def term_score(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+        )
+        return (idf * (tf * F.lit(BM25_K1 + 1))) / denom
+
+    s = [term_score(t) for t in terms]
+    score = (s[0] + s[1]) + s[2]
+    matched = sum(F.col(f"tf_{t}") for t in terms) > 0
+    return j.where(matched).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        score.alias("score"),
+    )
+
+
+def _bm25_oracle(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    tf_cols = ",\n           ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n           ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
+        for t in terms
+    )
+    k1p1 = BM25_K1 + 1
+    one_minus_b = 1 - BM25_B
+
+    def ts(t: str) -> str:
+        return (
+            f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * (tf_{t} * {k1p1}))"
+            f" / (tf_{t} + {BM25_K1} * ({one_minus_b} + {BM25_B} * (dl / (sum_dl / n_docs))))"
+        )
+
+    s = [ts(t) for t in terms]
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    any_tf = " + ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS w FROM documents),
+per AS (
+    SELECT doc_id, count(*) AS dl,
+           {tf_cols}
+    FROM tok GROUP BY doc_id
+),
+corpus AS (
+    SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+           {df_cols}
+    FROM per
+)
+SELECT doc_id, dl, {tf_out},
+       (({s[0]} + {s[1]}) + {s[2]}) AS score
+FROM per CROSS JOIN corpus
+WHERE {any_tf} > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bm25_scores": QuerySpec(
+        "text_bm25_scores", bm25_scores, _bm25_oracle(),
+        doc="BM25 keyword relevance per doc (odds-idf variant: one pinned "
+        "IEEE expression over exact integers — libm-free, rounding-free).",
+        tags=("text", "retrieval", "bm25"),
+    ),
     "text_chunk_stride": QuerySpec(
         "text_chunk_stride", _chunk_stride_q, _CHUNK_ORACLE,
         doc="Overlapping fixed-token chunking (window 32, stride 24) — the "

@@ -80,13 +80,14 @@ def salted_join(
 
 def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Per-key row counts + share of total — the diagnostic you run BEFORE
-    choosing a join strategy at scale."""
+    choosing a join strategy at scale. Deterministic under count ties (key
+    ascending tiebreak), so the returned SET is reproducible run-to-run."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(key, "n", (F.col("n") / F.col("t")).alias("share"))
-        .orderBy(F.desc("n"))
+        .orderBy(F.desc("n"), F.col(key))
         .limit(top)
     )
 
@@ -289,6 +290,69 @@ SELECT event_type, count(value) AS n_events,
 FROM events GROUP BY event_type
 """
 
+def _salted_join_q(spark, sf_dir: str):
+    """lineitem ⋈ orders through salted_join (large side salted, small side
+    exploded ×8, equi-join on (key, salt)) then revenue by priority —
+    value-hash checked against the PLAIN join oracle, proving the
+    skew-resistant physical rewrite preserves join semantics exactly.
+
+    When it matters at 100 TB: a sort-merge join on a key with hot values
+    serializes each hot key onto one task; the salt fans every key across 8
+    tasks at the cost of replicating the build side 8×. AQE's skew-join
+    split handles sorted-merge skew automatically, but the salt ALSO fixes
+    skewed hash-join builds and is deterministic-planable; this query keeps
+    the technique driver-verified."""
+    from duckdb_ml_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, on="l_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def _key_skew_q(spark, sf_dir: str):
+    """Top-10 hottest events.user_id keys with row share — the diagnostic a
+    planner (or an engineer) runs BEFORE choosing broadcast / salt / AQE-skew
+    strategies for a join at scale. Deterministic top-k: ties broken by key.
+
+    share = n / total is one IEEE division of exact integers — bit-identical
+    cross-engine, no rounding needed. Scale shape: one count shuffle on the
+    key, a 1-row total broadcast back, and a top-10 — at 100 TB the final
+    orderBy-limit is a TakeOrderedAndProject (per-partition heaps + driver
+    merge of 10-row heads), never a global sort."""
+    from duckdb_ml_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top=10)
+
+
+_KEY_SKEW_ORACLE = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+SELECT user_id, n, n / tot AS share
+FROM c, t
+ORDER BY n DESC, user_id
+LIMIT 10
+"""
+
+
 from duckdb_ml_spark.plans.relational import QuerySpec  # noqa: E402
 
 QUERIES = {
@@ -305,5 +369,17 @@ QUERIES = {
         "balanced-pruning contract (every predicate shape prunes, vs a "
         "single-column sort's 1.0 on the other column) pytest-asserted.",
         tags=("scale", "layout", "zorder"),
+    ),
+    "skew_salted_join": QuerySpec(
+        "skew_salted_join", _salted_join_q, _SALTED_JOIN_ORACLE,
+        doc="Salt-exploded skew-resistant equi-join (large side salted, small "
+        "side replicated ×8) == the plain join, value-hash verified.",
+        tags=("scale", "skew", "join"),
+    ),
+    "dq_key_skew": QuerySpec(
+        "dq_key_skew", _key_skew_q, _KEY_SKEW_ORACLE,
+        doc="Hot-key diagnosis: top-10 join-key frequencies + exact share "
+        "(the pre-join skew audit; deterministic tiebreak).",
+        tags=("scale", "skew", "dq"),
     ),
 }

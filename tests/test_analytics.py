@@ -125,3 +125,108 @@ def test_robust_anomalies_broadcast_stats(spark):
 
     plan = _anomaly_q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sessionize_gap_islands(spark):
+    """Events 0m, 10m, then 7h later two more → exactly two sessions with
+    exact integer durations; session ids are 1-based in time order."""
+    from duckdb_ml_spark.operators.analytics import sessionize
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0),
+        (2, ts(10), 1, "view", 1.0),
+        (3, ts(7 * 60), 1, "click", 1.0),
+        (4, ts(7 * 60 + 5), 1, "view", 1.0),
+        # user 2: single event = single 1-event session, duration 0
+        (5, ts(0), 2, "view", 1.0),
+    ]
+    out = {
+        (r.user_id, r.session_id): r
+        for r in sessionize(_ev(rows, spark)).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 2 and out[(1, 1)].duration_us == 10 * 60 * 1_000_000
+    assert out[(1, 2)].n_events == 2 and out[(1, 2)].duration_us == 5 * 60 * 1_000_000
+    assert out[(2, 1)].n_events == 1 and out[(2, 1)].duration_us == 0
+    assert out[(1, 1)].session_start == ts(0) and out[(1, 2)].session_end == ts(7 * 60 + 5)
+
+
+def test_sessionize_boundary_exactly_gap_is_same_session(spark):
+    """A gap of EXACTLY gap_us must NOT break (strict > contract)."""
+    from duckdb_ml_spark.operators.analytics import SESSION_GAP_US, sessionize
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0),
+        (2, T0 + dt.timedelta(microseconds=SESSION_GAP_US), 1, "view", 1.0),
+    ]
+    out = sessionize(_ev(rows, spark)).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_scd2_intervals_tile_and_version(spark):
+    """A,A,B,A runs → 3 versioned intervals; valid_to chains to the next
+    valid_from (half-open tiling), open interval flagged current."""
+    from duckdb_ml_spark.operators.analytics import scd2_intervals
+
+    rows = [
+        (1, ts(0), 1, "A", 1.0),
+        (2, ts(1), 1, "A", 1.0),
+        (3, ts(2), 1, "B", 1.0),
+        (4, ts(3), 1, "A", 1.0),
+    ]
+    out = sorted(scd2_intervals(_ev(rows, spark)).collect(), key=lambda r: r.version_n)
+    assert [r.event_type for r in out] == ["A", "B", "A"]
+    assert [r.n_events for r in out] == [2, 1, 1]
+    assert [r.version_n for r in out] == [1, 2, 3]
+    # half-open tiling: each interval's valid_to is the successor's valid_from
+    assert out[0].valid_to == out[1].valid_from == ts(2)
+    assert out[1].valid_to == out[2].valid_from == ts(3)
+    assert out[2].valid_to is None and out[2].is_current
+    assert not out[0].is_current and not out[1].is_current
+
+
+def test_scd2_compacts_on_testdata(spark):
+    """Interval count = number of attribute runs < event count; n_events sums
+    back to the full stream (lossless compaction)."""
+    from duckdb_ml_spark.operators.analytics import scd2_intervals
+
+    ev = load(spark, SF_DIR, "events")
+    out = scd2_intervals(ev)
+    n_events = ev.count()
+    agg = out.agg(F.count(F.lit(1)), F.sum("n_events")).head()
+    assert agg[0] < n_events and agg[1] == n_events
+    # exactly one open interval per user
+    cur = out.where("is_current").groupBy("user_id").count()
+    assert cur.where("count != 1").count() == 0
+
+
+def test_active_streaks_crafted(spark):
+    """Jan+Feb+Mar then May → longest 3, 2 streaks, 4 active months; a second
+    order in the same month must not double-count."""
+    from duckdb_ml_spark.operators.analytics import active_streaks
+
+    d = dt.datetime
+    rows = [
+        (1, 7, "O", 1.0, d(2024, 1, 5), "1-URGENT"),
+        (2, 7, "O", 1.0, d(2024, 1, 20), "1-URGENT"),  # same month dup
+        (3, 7, "O", 1.0, d(2024, 2, 1), "1-URGENT"),
+        (4, 7, "O", 1.0, d(2024, 3, 30), "1-URGENT"),
+        (5, 7, "O", 1.0, d(2024, 5, 15), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = active_streaks(orders).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_active_months == 4 and r.n_streaks == 2 and r.longest_streak == 3
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes and the rollup must ride ONE user_id shuffle."""
+    from duckdb_ml_spark.operators.analytics import _sessionize_q
+
+    plan = _sessionize_q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1384,3 +1384,110 @@ def test_semantic_dedup_empty_centroids_raises(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="stride"):
         semantic_dedup(df, stride=1000).collect()
+
+
+# --- edit-distance verified near-dup pairs ------------------------------------
+
+
+def test_editdist_verify_blocks_and_distances(spark):
+    """Near-identical docs in one (lang, source) block verify with the exact
+    Levenshtein distance; identical docs in DIFFERENT blocks are never paired
+    (blocking is the contract, not a bug)."""
+    from duckdb_ml_spark.operators.dedup import editdist_verify_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s1", 22),
+        (2, "alpha beta gamma delty", "en", "s1", 22),  # 1 edit from doc 1
+        (3, "alpha beta gamma delta", "en", "s2", 22),  # identical, other block
+        (4, "totally different text here completely", "en", "s1", 39),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = {(r.doc_a, r.doc_b): r.editdist for r in editdist_verify_pairs(docs, max_dist=5).collect()}
+    assert out == {(1, 2): 1}  # (1,3)/(2,3) blocked out; doc 4 too far
+
+
+def test_editdist_verify_on_corpus_symmetric_and_bounded(spark, sf_dir):
+    from duckdb_ml_spark.operators.dedup import EDITDIST_MAX, editdist_verify_pairs
+
+    out = editdist_verify_pairs(load(spark, sf_dir, "documents")).collect()
+    assert all(r.doc_a < r.doc_b and 0 <= r.editdist <= EDITDIST_MAX for r in out)
+
+
+# --- group-aware split ---------------------------------------------------------
+
+
+def test_group_split_no_source_straddles(spark, sf_dir):
+    """Every source lands on exactly one side, and the assignment is stable
+    under repartitioning (hash of the group key, not of the rows)."""
+    from duckdb_ml_spark.operators.sampling import group_split
+
+    docs = load(spark, sf_dir, "documents")
+    g = group_split(docs, "source")
+    sides = g.groupBy("source").agg(F.countDistinct("split").alias("k"))
+    assert sides.where("k != 1").count() == 0
+    m1 = {r.source: r.split for r in g.select("source", "split").distinct().collect()}
+    g2 = group_split(docs.repartition(13), "source")
+    m2 = {r.source: r.split for r in g2.select("source", "split").distinct().collect()}
+    assert m1 == m2
+    assert g.count() == docs.count()  # exhaustive, no rows dropped
+
+
+# --- BM25 ----------------------------------------------------------------------
+
+
+def test_bm25_score_matches_pinned_formula(spark, sf_dir):
+    """Every emitted score must equal the python recomputation from the exact
+    integer components BIT-FOR-BIT (the pinned-IEEE-expression contract):
+    same association order, exact integer inputs, no rounding anywhere."""
+    from duckdb_ml_spark.operators.text import BM25_B, BM25_K1, BM25_TERMS, bm25_scores
+    from duckdb_ml_spark.operators.textnorm import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    per = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}") for t in BM25_TERMS],
+    ).collect()
+    n_docs = len(per)
+    sum_dl = sum(r.dl for r in per)
+    df = {t: sum(1 for r in per if r[f"tf_{t}"] > 0) for t in BM25_TERMS}
+    avgdl = sum_dl / n_docs
+
+    def score(r):
+        s = []
+        for t in BM25_TERMS:
+            tf = r[f"tf_{t}"]
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            s.append((idf * (tf * (BM25_K1 + 1))) / (tf + BM25_K1 * ((1 - BM25_B) + BM25_B * (r.dl / avgdl))))
+        return (s[0] + s[1]) + s[2]
+
+    out = bm25_scores(spark, sf_dir).collect()
+    assert out, "corpus must match at least one term"
+    expected = {r.doc_id: r for r in per}
+    for r in out:
+        e = expected[r.doc_id]
+        assert r.dl == e.dl
+        assert r.score == score(e)  # exact float equality, not approx
+    # only matching docs are emitted
+    n_match = sum(1 for r in per if any(r[f"tf_{t}"] > 0 for t in BM25_TERMS))
+    assert len(out) == n_match
+
+
+def test_bm25_rarer_term_scores_higher_at_equal_tf(spark):
+    """One doc mentions the rare term once, another the common term once, all
+    else equal → the rare-term doc must outrank (idf monotone in rarity)."""
+    from duckdb_ml_spark.operators.text import bm25_scores
+
+    # build a tiny corpus as a parquet dir so bm25_scores can load it
+    import tempfile
+
+    rows = [(1, "rare pad pad pad", "en", "s1", 16), (2, "common pad pad pad", "en", "s1", 18)]
+    rows += [(10 + i, "common filler words here", "en", "s1", 24) for i in range(8)]
+    tmp = tempfile.mkdtemp(prefix="bm25_")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {r.doc_id: r.score for r in bm25_scores(spark, tmp, terms=("rare", "common", "pad")).collect()}
+    assert out[1] > out[2]
