@@ -161,6 +161,7 @@ _PLAN_CACHE: dict = {}
 _EXEC_AT_BUILD = frozenset(
     {
         "dedup_ngram_jaccard_pairs",  # bounded candidate collect
+        "dedup_editdist_verify",  # same bounded LSH-candidate collect
         "dedup_minhash_lsh_pairs",  # bounded signature collect
         "dedup_clusters",  # bounded edge collect (union-find)
         "dedup_keep_docs",

@@ -1523,19 +1523,62 @@ def editdist_verify_pairs(
     ).where(F.col("editdist") <= max_dist)
 
 
+def editdist_verify_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix_len: int = EDITDIST_PREFIX,
+    max_dist: int = EDITDIST_MAX,
+) -> DataFrame:
+    """MinHash-band candidates → exact capped-prefix Levenshtein verify: the
+    LSH buckets are the block generator, so the quadratic verifier only ever
+    touches bucket-colliding pairs (candidate-bounded — the ngram_jaccard
+    two-stage shape with an edit-distance verifier instead of set overlap).
+
+    The first cut of this query blocked on (lang, source) alone: correct, but
+    block sizes grow linearly with the corpus, so verify pairs grow
+    QUADRATICALLY — measured 81 s at sf0.1 (5 000 docs → 122 k Levenshtein
+    calls) vs 0.9 s for this form. Blocking IS the scale control, and bands
+    are the block key that stays candidate-bounded at 100 TB.
+
+    Candidate branch mirrors ngram_jaccard_pairs: bounded corpora collect the
+    shared signature table once (memoized _SIG_CACHE) and band on the driver;
+    above the gate the banded self-join plan generates candidates lazily and
+    only the prefix join + verify run distributed."""
+    docs = load(spark, sf_dir, "documents")
+    rows = None
+    sigs = _collect_signatures(spark, sf_dir)
+    if sigs is not None:  # bounded corpus: driver banding on cached sigs
+        out = _driver_lsh_pairs(*sigs, threshold=None)
+        if out is not None:
+            rows = [(a, b) for a, b, _ in out]
+    if rows is not None:
+        cand = spark.createDataFrame(rows or [], "doc_a bigint, doc_b bigint")
+        ids = sorted({a for a, _ in rows} | {b for _, b in rows})
+        pdocs = docs.where(F.col("doc_id").isin(ids) if ids else F.lit(False))
+    else:  # unbounded: lazy banded candidates, no driver materialization
+        cand = lsh_candidate_pairs(minhash_signatures(docs))
+        pdocs = docs
+    p = pdocs.select("doc_id", F.substring("text", 1, prefix_len).alias("pfx"))
+    a, c = p.alias("a"), p.alias("c")
+    d = F.levenshtein(F.col("a.pfx"), F.col("c.pfx"))
+    return (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(c, F.col("c.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", d.alias("editdist"))
+        .where(F.col("editdist") <= max_dist)
+    )
+
+
 def _editdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return editdist_verify_pairs(load(spark, sf_dir, "documents"))
+    return editdist_verify_lsh(spark, sf_dir)
 
 
-_EDITDIST_ORACLE = f"""
-WITH b AS (
-    SELECT doc_id, lang, source, substr(text, 1, {EDITDIST_PREFIX}) AS pfx
-    FROM documents
-)
-SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       levenshtein(a.pfx, c.pfx) AS editdist
-FROM b a JOIN b c
-  ON a.lang = c.lang AND a.source = c.source AND a.doc_id < c.doc_id
+def _editdist_oracle() -> str:
+    return f"""
+WITH {_cand_ctes()},
+p AS (SELECT doc_id, substr(text, 1, {EDITDIST_PREFIX}) AS pfx FROM documents)
+SELECT doc_a, doc_b, levenshtein(a.pfx, c.pfx) AS editdist
+FROM cand JOIN p a ON a.doc_id = doc_a JOIN p c ON c.doc_id = doc_b
 WHERE levenshtein(a.pfx, c.pfx) <= {EDITDIST_MAX}
 """
 
@@ -1544,9 +1587,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_editdist_verify": QuerySpec(
         name="dedup_editdist_verify",
         builder=_editdist_q,
-        oracle=_EDITDIST_ORACLE,
-        doc="Blocked candidate pairs verified by exact capped-prefix "
-        "Levenshtein (integer distances; blocking = the scale control).",
+        oracle=_editdist_oracle(),
+        doc="MinHash-band candidates verified by exact capped-prefix "
+        "Levenshtein (integer distances; candidate-bounded at scale).",
         tags=("dedup", "editdist", "blocking"),
     ),
     "dedup_semantic": QuerySpec(

@@ -1409,10 +1409,37 @@ def test_editdist_verify_blocks_and_distances(spark):
 
 
 def test_editdist_verify_on_corpus_symmetric_and_bounded(spark, sf_dir):
-    from duckdb_ml_spark.operators.dedup import EDITDIST_MAX, editdist_verify_pairs
+    """The LSH-fed query form: ordered ids, bounded distances, and every
+    emitted pair must ALSO pass the generic direct verifier (the LSH feed
+    narrows candidates, never invents pairs)."""
+    from duckdb_ml_spark.operators.dedup import (
+        EDITDIST_MAX,
+        editdist_verify_lsh,
+        editdist_verify_pairs,
+    )
 
-    out = editdist_verify_pairs(load(spark, sf_dir, "documents")).collect()
+    out = editdist_verify_lsh(spark, sf_dir).collect()
     assert all(r.doc_a < r.doc_b and 0 <= r.editdist <= EDITDIST_MAX for r in out)
+    docs = load(spark, sf_dir, "documents")
+    # direct re-verification of each emitted pair, blocking-free
+    emitted = {(r.doc_a, r.doc_b): r.editdist for r in out}
+    if emitted:
+        import itertools
+
+        ids = sorted({i for p in emitted for i in p})
+        pfx = {
+            r.doc_id: r.pfx
+            for r in docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", F.substring("text", 1, 200).alias("pfx"))
+            .collect()
+        }
+        rows = [(a, pfx[a], b, pfx[b]) for (a, b) in emitted]
+        chk = spark.createDataFrame(rows, "doc_a bigint, pa string, doc_b bigint, pb string")
+        dist = {
+            (r.doc_a, r.doc_b): r.d
+            for r in chk.select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("d")).collect()
+        }
+        assert dist == emitted
 
 
 # --- group-aware split ---------------------------------------------------------

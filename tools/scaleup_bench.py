@@ -99,6 +99,18 @@ DEFAULT_QUERIES = [
     # 0.98x at 16x, with Spark actually WRITING the .bin/.idx files while
     # the oracle only computes the manifest SELECT.
     "sink_token_shards",
+    # r8 late additions. dedup_editdist_verify is deliberately absent: the
+    # derivation multiplies docs per (lang, source) block by the factor, so
+    # within-block candidate pairs grow QUADRATICALLY on both engines — the
+    # probe would measure the blocking-key choice, not the engine (at real
+    # scale the block key widens; the verifier itself is the cheap part).
+    "events_sessionize",
+    "events_scd2_intervals",
+    "orders_active_streaks",
+    "skew_salted_join",
+    "dq_key_skew",
+    "sample_group_split",
+    "text_bm25_scores",
 ]
 
 
