@@ -215,6 +215,8 @@ _EXEC_AT_BUILD = frozenset(
         "sample_epoch_shuffle",
         # r6 late: centroid-matrix collect (cached dataset artifact) at build
         "dedup_semantic",
+        # r8 late: sampled hot-key profile collect at build
+        "skew_salted_join",
     }
 )
 

@@ -539,12 +539,16 @@ def exact_group_quantiles_lazy(
 # that survives 100 TB.
 QUANTILE_KERNEL_GATE = 8_000_000
 
-# winsorized_stats pays one more distributed pass than plain quantiles
-# (boundary-bucket partials), so its kernel/distributed crossover sits a
-# factor higher — measured (r6, 64×/256× probes): at 9.6 M rows kernel
-# 2.5 s vs decomposed 3.2 s warm; at 38 M kernel 13.9 s vs decomposed
-# 3.4 s. Same worst-case single-group bound argument (16 M rows ≈ 128 MB).
-WINSORIZE_KERNEL_GATE = 16_000_000
+# winsorized_stats crossover RE-MEASURED after the r8 fusion (pass-2/pass-3
+# folded into one pruned per-key Arrow kernel — the r6 numbers below were
+# for the 3-pass decomposed form and set the gate at 16 M): warm min-of-3
+# at 2.4 M rows kernel 0.79 s vs fused-distributed 1.11 s; at 9.6 M kernel
+# 2.39 s vs 1.72 s. Crossover ≈ 4-6 M; gate at 4 M errs toward the
+# distributed form (the only shape that survives 100 TB — the kernel
+# materializes whole key groups on single tasks).
+# (r6 history: at 9.6 M kernel 2.5 s vs DECOMPOSED 3.2 s; at 38 M 13.9 s
+# vs 3.4 s — the fusion moved the distributed curve down ~2×.)
+WINSORIZE_KERNEL_GATE = 4_000_000
 
 
 def group_quantiles_kernel(

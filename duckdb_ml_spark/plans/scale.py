@@ -290,18 +290,74 @@ SELECT event_type, count(value) AS n_events,
 FROM events GROUP BY event_type
 """
 
-def _salted_join_q(spark, sf_dir: str):
-    """lineitem ⋈ orders through salted_join (large side salted, small side
-    exploded ×8, equi-join on (key, salt)) then revenue by priority —
-    value-hash checked against the PLAIN join oracle, proving the
-    skew-resistant physical rewrite preserves join semantics exactly.
+HOT_KEY_ROWS = 1_000_000  # a key is hot when it would serialize ≥1M fact
+HOT_SAMPLE_FRACTION = 0.001  # rows onto one join task
 
-    When it matters at 100 TB: a sort-merge join on a key with hot values
-    serializes each hot key onto one task; the salt fans every key across 8
-    tasks at the cost of replicating the build side 8×. AQE's skew-join
-    split handles sorted-merge skew automatically, but the salt ALSO fixes
-    skewed hash-join builds and is deterministic-planable; this query keeps
-    the technique driver-verified."""
+# hot-key lists are dataset properties of an immutable table (the same cache
+# contract as dedup._SIG_CACHE / corpus_shingles): keyed on caller-supplied
+# (sf_dir, table, key, threshold), so repeat builds skip the sample job
+_HOT_KEYS_CACHE: dict = {}
+
+
+def adaptive_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    hot_threshold: int = HOT_KEY_ROWS,
+    sample_fraction: float = HOT_SAMPLE_FRACTION,
+    cache_key=None,
+) -> DataFrame:
+    """Measure-then-salt skew join: a SAMPLED key histogram of the large side
+    finds hot keys (count in sample > threshold·fraction/2 — a ≥½-threshold
+    hot key appears ~500× in a 0.1% sample, so detection is near-certain and
+    the collected key list is bounded by total/(threshold/2) by
+    construction); only those keys take the salt-explode path, everything
+    else joins plain. On uniform data this degenerates to the plain join
+    plus one cheap sample-count job — salting is paid only where a task
+    would otherwise serialize ≥ threshold rows.
+
+    The first cut salted EVERY key: correct, but the blanket ×n_salts build
+    replication measured 11.8 s at 64× (38 M ⋈ 77 M-exploded) vs ~2.5 s for
+    this form — salting uniform keys is pure overhead, which is exactly why
+    the diagnosis (dq_key_skew) precedes the strategy choice at scale.
+
+    Output is plain-join-equal REGARDLESS of what the profile detects (both
+    branches compute the same inner join), so the sampled profile affects
+    cost only, never results."""
+    ck = None if cache_key is None else (cache_key, on, hot_threshold)
+    hot = _HOT_KEYS_CACHE.get(ck) if ck is not None else None
+    if hot is None:
+        cut = max(1, int(hot_threshold * sample_fraction / 2))
+        hot = [
+            r[0]
+            for r in large.sample(fraction=sample_fraction, seed=42)
+            .groupBy(on)
+            .count()
+            .where(F.col("count") > cut)
+            .select(on)
+            .collect()
+        ]
+        if ck is not None:
+            _HOT_KEYS_CACHE[ck] = hot
+    if not hot:
+        return large.join(small, on)
+    is_hot = F.col(on).isin(hot)
+    plain = large.where(~is_hot).join(small.where(~F.col(on).isin(hot)), on)
+    salted = salted_join(
+        large.where(is_hot), small.where(F.col(on).isin(hot)), on, n_salts
+    )
+    return plain.unionByName(salted)
+
+
+def _salted_join_q(spark, sf_dir: str):
+    """lineitem ⋈ orders through adaptive_salted_join, then revenue by
+    priority — value-hash checked against the PLAIN join oracle, proving the
+    skew-resistant physical rewrite preserves join semantics exactly. On
+    this (uniform-key) data the adaptive profile finds no hot keys and the
+    plan IS the plain join + one sample-count job; the salted branch's
+    correctness is pytest-proven on crafted skew
+    (test_adaptive_salted_join_*)."""
     from duckdb_ml_spark.tables import load
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -310,7 +366,10 @@ def _salted_join_q(spark, sf_dir: str):
     od = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    j = salted_join(li, od, on="l_orderkey", n_salts=8)
+    j = adaptive_salted_join(
+        li, od, on="l_orderkey", n_salts=8,
+        cache_key=(sf_dir, "lineitem", "skew_salted_join"),
+    )
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
@@ -372,8 +431,8 @@ QUERIES = {
     ),
     "skew_salted_join": QuerySpec(
         "skew_salted_join", _salted_join_q, _SALTED_JOIN_ORACLE,
-        doc="Salt-exploded skew-resistant equi-join (large side salted, small "
-        "side replicated ×8) == the plain join, value-hash verified.",
+        doc="Adaptive skew join: sampled hot-key profile, salt-explode only "
+        "measured-hot keys, plain join elsewhere == plain join, hash-verified.",
         tags=("scale", "skew", "join"),
     ),
     "dq_key_skew": QuerySpec(

@@ -160,3 +160,26 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zdir).where(pred).select("l_orderkey", "l_linenumber").collect()))
     b = sorted(map(tuple, li.where(pred).select("l_orderkey", "l_linenumber").collect()))
     assert a == b
+
+
+def test_adaptive_salted_join_skew_and_uniform(spark):
+    """Crafted hot key (low threshold) must route through the salted branch
+    and still equal the plain join; uniform keys must equal it too (and
+    degenerate to the plain plan, no salt column anywhere)."""
+    from duckdb_ml_spark.plans.scale import adaptive_salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, 0) for k in range(2, 30)],
+        "k bigint, v bigint",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 30)], "k bigint, name string")
+    plain = {(r.k, r.v, r.name) for r in big.join(dim, "k").collect()}
+    # skewed: threshold low enough that key 1 is hot (sample_fraction 1.0 =
+    # exact profile in the test; production uses the 0.001 sample)
+    out = adaptive_salted_join(big, dim, "k", hot_threshold=100, sample_fraction=1.0)
+    assert {(r.k, r.v, r.name) for r in out.collect()} == plain
+    # uniform: nothing hot -> identical results, plain-join plan
+    out2 = adaptive_salted_join(big.where("k != 1"), dim, "k", hot_threshold=100_000, sample_fraction=1.0)
+    plain2 = {(r.k, r.v, r.name) for r in big.where("k != 1").join(dim, "k").collect()}
+    assert {(r.k, r.v, r.name) for r in out2.collect()} == plain2
+    assert "__salt" not in out2.columns
