@@ -135,7 +135,51 @@ FROM c QUALIFY rk <= 3
 """
 
 
+def _scd2_us_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.streaming.stream import scd2_compact
+
+    return scd2_compact(load(spark, sf_dir, "events"))
+
+
+# the analytics SCD2 oracle with µs-integer validity bounds — the exact
+# schema the applyInPandasWithState twin emits (state rows carry µs ints)
+_SCD2_US_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR event_type <> lag(event_type) OVER w
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+    SELECT user_id, event_type, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version_n
+    FROM o
+),
+g AS (
+    SELECT user_id, version_n, any_value(event_type) AS event_type,
+           min(ts) AS valid_from, count(*) AS n_events
+    FROM r GROUP BY user_id, version_n
+)
+SELECT user_id, event_type, version_n,
+       epoch_us(valid_from) AS valid_from_us,
+       epoch_us(lead(valid_from) OVER w2) AS valid_to_us,
+       n_events,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM g
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_scd2_intervals": QuerySpec(
+        "stream_scd2_intervals", _scd2_us_q, _SCD2_US_ORACLE,
+        doc="Streaming CDC/SCD2 compaction (applyInPandasWithState twin; "
+        "batch form = the islands plan with µs-integer validity bounds).",
+        tags=("streaming", "stateful", "cdc", "scd2"),
+    ),
     "stream_topk_types": QuerySpec(
         "stream_topk_types", _topk_q, _TOPK_ORACLE,
         doc="Top-3 event types per tumbling hour (rank in foreachBatch when streaming).",

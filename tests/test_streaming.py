@@ -284,3 +284,60 @@ def test_stream_topk_foreachbatch_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in hourly_topk_types(load(spark, sf_dir, "events")).collect()
     }
     assert sink_rows and sink_rows <= batch_rows
+
+
+def test_scd2_fold_split_invariance():
+    """Folding a stream batch-by-batch (any split) must equal folding it
+    whole — the cross-batch stitching property the streaming compactor
+    rests on — and match the hand-computed intervals."""
+    import numpy as np
+
+    from duckdb_ml_spark.streaming.stream import scd2_fold
+
+    et = np.array(["A", "A", "B", "B", "B", "A", "C", "C"])
+    us = np.array([10, 20, 30, 40, 50, 60, 70, 80], dtype="int64")
+
+    def run(splits):
+        state, closed = (None, 0, 0, 0), []
+        for lo, hi in splits:
+            state, c = scd2_fold(*state, et[lo:hi], us[lo:hi])
+            closed.extend(c)
+        return state, closed
+
+    whole_state, whole_closed = run([(0, 8)])
+    assert whole_closed == [("A", 1, 10, 30, 2), ("B", 2, 30, 60, 3), ("A", 3, 60, 70, 1)]
+    assert whole_state == ("C", 70, 4, 2)
+    for splits in ([(0, 1), (1, 8)], [(0, 2), (2, 5), (5, 8)], [(0, i) for i in []] or [(0, 4), (4, 4), (4, 8)],
+                   [(i, i + 1) for i in range(8)]):
+        st, cl = run(splits)
+        assert st == whole_state and cl == whole_closed, splits
+
+
+def test_stateful_scd2_stream_matches_batch(spark, sf_dir):
+    """Last emission per (user, version) from the stateful stream == the
+    batch islands compaction, value-for-value."""
+    from duckdb_ml_spark.streaming.stream import scd2_compact, scd2_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    _run_stream_to_memory(scd2_stream(ev), "t_scd2", output_mode="update")
+    emitted = spark.table("t_scd2")
+    # a version's final emission is the closed one when it exists (valid_to
+    # set), else the open snapshot with the largest n_events
+    from pyspark.sql import Window as W
+
+    last = (
+        emitted.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id", "version_n").orderBy(
+                    F.col("is_current").asc(), F.desc("n_events")
+                )
+            ),
+        )
+        .where("rk = 1")
+        .drop("rk")
+    )
+    cols = ["user_id", "event_type", "version_n", "valid_from_us", "valid_to_us", "n_events", "is_current"]
+    got = _sorted_rows(last, cols)
+    want = _sorted_rows(scd2_compact(load(spark, sf_dir, "events")), cols)
+    assert got == want and len(got) > 0
