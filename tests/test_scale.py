@@ -183,3 +183,16 @@ def test_adaptive_salted_join_skew_and_uniform(spark):
     plain2 = {(r.k, r.v, r.name) for r in big.where("k != 1").join(dim, "k").collect()}
     assert {(r.k, r.v, r.name) for r in out2.collect()} == plain2
     assert "__salt" not in out2.columns
+
+
+def test_key_skew_profile_deterministic_under_ties(spark):
+    """Count ties at the top-k boundary must resolve by key, identically
+    across partitionings — the returned SET is what the oracle hashes."""
+    from duckdb_ml_spark.plans.scale import key_skew_profile
+
+    rows = [(k, i) for k in range(1, 21) for i in range(3)]  # 20 keys, all n=3
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    a = [tuple(r) for r in key_skew_profile(df, "k", top=5).collect()]
+    b = [tuple(r) for r in key_skew_profile(df.repartition(7), "k", top=5).collect()]
+    assert a == b
+    assert [r[0] for r in a] == [1, 2, 3, 4, 5]  # key-ascending tiebreak
