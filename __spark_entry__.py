@@ -15,94 +15,90 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-8 rotation (VERDICT r7 item 7), round 4 of the cycle:
-#  - slots 1-5: the queries THIS round's diffs touch, winsorized first
-#    (VERDICT r7 item 1 — the thrice-red row, now de-flaked: both engines
-#    hash a pinned exact-integer-cents mean recipe, so no environment can
-#    flip the 4-dp rounding; its oracle/hash CHANGED this round, as did
-#    sample_mixture_resample's — the uniform is now 60-bit, ADVICE r7 low).
-#    sink_token_shards carries the all-OOV fix + capped-shard readback;
-#    price_quantiles/rank ride the shared orderstats module (fused
-#    winsorized distributed form, _cached_count key discriminator).
-#  - slots 6-8: the r6 additions never driver-checked (dedup_semantic also
-#    carries this round's empty-centroid guard).
-#  - slots 9-50: the entries whose last driver row is r4 or older, oldest
-#    first (stream_topk_types yields its slot: its plan body is shared with
-#    the six stream_* rows green in r6/r7).
+# Round-9 rotation (VERDICT r8 items 1/2/3/6), round 5 of the cycle:
+#  - slots 1-5: the ENVIRONMENT-CANARY battery (plans/canary.py — VERDICT r8
+#    item 1): five single-row pairs, each isolating one suspected divergence
+#    axis behind the r5-r8 driver hash-reds that no local configuration
+#    reproduces. The green/red pattern of THIS block in CORRECTNESS_r09 is
+#    the diagnostic readout (interpretation table: NOTES.md).
+#  - slots 6-10: the five r8 reds, re-engineered to be environment-proof by
+#    construction (VERDICT r8 items 2-3): sessionize/SCD2 emit epoch-µs
+#    BIGINTs instead of raw timestamps; BM25 emits exact INT64 rational
+#    num/den pairs (no float/DECIMAL literal on either engine); capped
+#    shards hash per-shard integer rows with integer-only `//` division in
+#    the oracle; winsorized bounds moved from interpolated quantile_cont to
+#    order statistics (exact data values). All five hashes CHANGED.
+#  - slots 11-12: queries this round's diffs touch — sink_token_shards
+#    (oracle n_seqs now integer division; same value, same hash) and
+#    orders_active_streaks (single-exchange sorted-month-array plan,
+#    VERDICT r8 item 8; oracle unchanged).
+#  - slots 13-16: the other r8 newcomers, second confirmation round.
+#  - slot 17: stream_scd2_intervals — the ONLY query never driver-checked
+#    (its oracle also got the µs-pinned rewrite).
+#  - slots 18-50: oldest driver row first: the text_*/pack tail last checked
+#    r4, then the r5 block in registration order (the rest of the r5 block —
+#    range_event_pairs … text_chunk_stride — rotates back next round).
 # Everything outside the window stays green under tools/oracle_check.py (the
 # identical gate replica) run locally each round.
 _CHECK_PRIORITY = (
-    # this round's modified/new queries (6)
+    # environment-canary battery (5) — keep FIRST, in this order
+    "canary_ts_raw",
+    "canary_ts_epoch_us",
+    "canary_quantile_interp",
+    "canary_decimal_literal",
+    "canary_float_repr",
+    # the five r8 reds, integerized / de-environmentalized (5)
     "orders_winsorized_stats",
-    "sample_mixture_resample",
-    "sink_token_shards",
-    "sink_token_shards_capped",
-    "price_quantiles_by_flag",
-    "orders_rank_distribution",
-    # never driver-checked (3)
-    "dedup_semantic",
-    "layout_zorder_scan",
-    "source_xml_roundtrip",
-    # NEW this round (8, never driver-checked): sequence analytics
-    # (sessionize/SCD2/streaks), skew machinery as checked queries
-    # (salted join == plain join, hot-key diagnosis), blocked+verified
-    # edit-distance dedup, leakage-safe group split, libm-free BM25
     "events_sessionize",
     "events_scd2_intervals",
+    "text_bm25_scores",
+    "sink_token_shards_capped",
+    # touched by this round's diffs (2)
+    "sink_token_shards",
     "orders_active_streaks",
+    # r8 newcomers, second confirmation (4)
     "skew_salted_join",
     "dq_key_skew",
     "dedup_editdist_verify",
     "sample_group_split",
-    "text_bm25_scores",
-    # last driver row r4 or older, oldest first (the 8 newcomers push the
-    # text_* tail out of this round's 50; they stay green under the local
-    # gate replica and rotate back next round)
-    "source_parquet_roundtrip",
-    "pricing_summary",
-    "scaling_params",
-    "minmax_scaled",
-    "array_features",
-    "range_ids",
-    "customers_by_region",
-    "segment_order_stats",
-    "customers_without_orders",
-    "parts_in_large_lineitems",
-    "top_orders_per_segment",
-    "set_ops_names",
-    "rollup_region_nation",
-    "distinct_segments",
-    "conditional_agg_status",
-    "orders_by_month",
-    "orders_status_pivot",
-    "events_hourly",
-    "events_json_extract",
-    "grouping_sets_customers",
-    "orders_top_global",
-    "customer_order_gaps",
-    "revenue_by_nation",
-    "orders_rank_metrics",
-    "unpivot_part_measures",
-    "customers_above_nation_avg",
-    "events_distinct_users_approx",
-    "dedup_exact_keys",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "dedup_embedding_lsh_sigs",
-    "sim_quantized_topk",
-    "sim_topk_bruteforce",
-    "text_unigram_logprob",
-    "text_repetition_signals",
-    "text_vocab_topk",
-    "text_source_quality",
-    "text_keywords_topk",
-    "text_token_stats",
-    "text_quality_score",
-    # ml_pred_sql cedes its slot to the new capped-shard query: its row is
-    # rows-only by design (random()), so the hash-paired newcomer buys the
-    # driver strictly more signal; ml_pred stays covered by pytest value
-    # tests + the local gate replica
+    # never driver-checked (1)
+    "stream_scd2_intervals",
+    # last driver row r4, oldest tail (9; ml_pred_sql stays ceded — rows-only
+    # by design, covered by pytest + the local replica)
     "pack_sequences",
+    "stream_topk_types",
+    "text_keywords_topk",
+    "text_quality_score",
+    "text_repetition_signals",
+    "text_source_quality",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "text_vocab_topk",
+    # last driver row r5, registration order (24)
+    "bpe_merge_table",
+    "cube_status_priority",
+    "decontaminate_train",
+    "dedup_clusters",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_keep_docs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_span_fraction",
+    "dq_audit_orders",
+    "dq_drift_psi",
+    "dq_snapshot_diff",
+    "ml_eval_metrics",
+    "ml_feature_hash",
+    "ml_onehot_orders",
+    "mm_audio_energy",
+    "mm_decode_png",
+    "pack_greedy_nosplit",
+    "pack_manifest_spans",
+    "pack_sequences_bpe",
+    "pipeline_containment",
+    "pipeline_curate",
 )
 
 
@@ -114,6 +110,7 @@ def _all_query_specs():
     specs = {}
     specs.update(RELATIONAL_QUERIES)
     for modname in (
+        "duckdb_ml_spark.plans.canary",
         "duckdb_ml_spark.operators.dedup",
         "duckdb_ml_spark.operators.similarity",
         "duckdb_ml_spark.operators.text",

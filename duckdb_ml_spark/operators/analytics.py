@@ -334,10 +334,16 @@ def sessionize(
     `stream_sessions` (there the gap is the watermark-driven state timeout;
     here it's a lag-and-running-sum islands plan over history).
 
-    Output: (user_id, session_id, session_start, session_end, n_events,
-    duration_us). session_id is 1-based per user in time order; duration is
-    exact integer microseconds (epoch_us both engines — never a float
-    interval cast, which rounds in DuckDB and truncates in Spark).
+    Output: (user_id, session_id, session_start_us, session_end_us,
+    n_events, duration_us). session_id is 1-based per user in time order;
+    ALL time columns are exact integer epoch-microseconds BIGINTs (r9,
+    VERDICT r8 item 2: the r8 form emitted raw TIMESTAMP session_start/end
+    and went driver hash-red while green in every local configuration —
+    raw timestamps are encoding-sensitive when the testdata ships ts as
+    TIMESTAMP(NANOS): Spark truncates ns→µs at read, a ns-capable oracle
+    engine carries ns into min/max outputs. epoch_us integers are immune
+    by construction; canary_ts_raw / canary_ts_epoch_us in plans/canary.py
+    isolate exactly this axis).
 
     Scale shape: ONE shuffle on user_id whose sort (ts, tiebreak) feeds both
     window passes (lag, then running sum — same spec → one Exchange+Sort,
@@ -359,8 +365,8 @@ def sessionize(
     sid = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     s = b.select(user_col, ts_col, sid.alias("session_id"))
     return s.groupBy(user_col, "session_id").agg(
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
+        F.unix_micros(F.min(ts_col)).alias("session_start_us"),
+        F.unix_micros(F.max(ts_col)).alias("session_end_us"),
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
             "duration_us"
@@ -372,25 +378,33 @@ def _sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))
 
 
+# The oracle pins EVERY ts use to µs precision (tsu = epoch_us of the
+# µs-cast value) so its window order, gap test, and outputs match Spark's
+# read-time ns→µs truncation whatever the parquet encoding is — the r9
+# environment-proof contract (VERDICT r8 item 2).
 _SESSIONIZE_ORACLE = f"""
-WITH o AS (
-    SELECT user_id, ts, event_id,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
-                THEN 1 ELSE 0 END AS brk
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+o AS (
+    SELECT user_id, tsu, event_id,
+           CASE WHEN lag(tsu) OVER w IS NULL
+                  OR tsu - lag(tsu) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
 ),
 s AS (
-    SELECT user_id, ts,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    SELECT user_id, tsu,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
     FROM o
 )
 SELECT user_id, session_id,
-       min(ts) AS session_start, max(ts) AS session_end,
+       min(tsu) AS session_start_us, max(tsu) AS session_end_us,
        count(*) AS n_events,
-       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+       max(tsu) - min(tsu) AS duration_us
 FROM s GROUP BY user_id, session_id
 """
 
@@ -412,14 +426,18 @@ def scd2_intervals(
     form a 100 TB event log wants to be stored in (8k rows from 10k events
     at sf0.01; real change streams compress far more).
 
-    Output: (user_id, event_type, version_n, valid_from, valid_to, n_events,
-    is_current) — valid_to NULL on the open (current) interval.
+    Output: (user_id, event_type, version_n, valid_from_us, valid_to_us,
+    n_events, is_current) — valid_to_us NULL on the open (current) interval.
+    Validity bounds are exact integer epoch-microseconds BIGINTs (r9,
+    VERDICT r8 item 2 — same raw-TIMESTAMP driver-red mechanism and same
+    fix as sessionize; see its docstring and plans/canary.py).
 
     Scale shape: one shuffle on user_id; the change-detection lag and the
     running-sum version number share the (ts, tiebreak) sort; the interval
-    rollup and the lead(valid_from) pass stay user-partitioned (version_n is
-    strictly increasing per user, so the second window sorts a relation
-    already collapsed to runs). Nothing global, nothing collected.
+    rollup and the lead(valid_from_us) pass stay user-partitioned
+    (version_n is strictly increasing per user, so the second window sorts
+    a relation already collapsed to runs). Nothing global, nothing
+    collected.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     a = F.col(attr_col)
@@ -435,7 +453,7 @@ def scd2_intervals(
     runs = b.select(user_col, attr_col, ts_col, ver.alias("version_n"))
     g = runs.groupBy(user_col, "version_n").agg(
         F.first(attr_col).alias(attr_col),  # constant within a run
-        F.min(ts_col).alias("valid_from"),
+        F.unix_micros(F.min(ts_col)).alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
     w2 = Window.partitionBy(user_col).orderBy("version_n")
@@ -443,10 +461,10 @@ def scd2_intervals(
         user_col,
         attr_col,
         "version_n",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         "n_events",
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
     )
 
 
@@ -454,30 +472,37 @@ def _scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(load(spark, sf_dir, "events"))
 
 
+# every ts use pinned to µs (tsu) — same environment-proof contract as the
+# sessionize oracle above
 _SCD2_ORACLE = """
-WITH o AS (
-    SELECT user_id, event_type, ts, event_id,
+WITH e AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+    FROM events
+),
+o AS (
+    SELECT user_id, event_type, tsu, event_id,
            CASE WHEN lag(event_type) OVER w IS NULL
                   OR event_type <> lag(event_type) OVER w
                 THEN 1 ELSE 0 END AS brk
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
 ),
 r AS (
-    SELECT user_id, event_type, ts,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    SELECT user_id, event_type, tsu,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                           ROWS UNBOUNDED PRECEDING) AS version_n
     FROM o
 ),
 g AS (
     SELECT user_id, version_n, any_value(event_type) AS event_type,
-           min(ts) AS valid_from, count(*) AS n_events
+           min(tsu) AS valid_from_us, count(*) AS n_events
     FROM r GROUP BY user_id, version_n
 )
-SELECT user_id, event_type, version_n, valid_from,
-       lead(valid_from) OVER w2 AS valid_to,
+SELECT user_id, event_type, version_n, valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
        n_events,
-       (lead(valid_from) OVER w2 IS NULL) AS is_current
+       (lead(valid_from_us) OVER w2 IS NULL) AS is_current
 FROM g
 WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
 """
@@ -487,20 +512,54 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
 
 
 def active_streaks(orders: DataFrame) -> DataFrame:
-    """Per customer: longest run of CONSECUTIVE calendar months with ≥1 order
-    (classic gaps-and-islands via month_index − dense_rank — consecutive
-    months share the island id).
+    """Per customer: longest run of CONSECUTIVE calendar months with ≥1 order.
 
     Output: (o_custkey, n_active_months, n_streaks, longest_streak) — all
     exact integers.
 
-    Scale shape: one wide shuffle (the distinct (customer, month) collapse
-    over raw orders), then one SMALL re-shuffle of the collapsed relation
-    (≤ customers × months rows — orders-of-magnitude smaller) to
-    customer-only partitioning for the dense_rank; both aggregations ride
-    that second partitioning. The month domain is tiny and bounded, so
-    per-customer windows never skew.
-    """
+    r9 SINGLE-EXCHANGE plan (VERDICT r8 item 8 — the r8 form shuffled twice:
+    a distinct on (customer, month), then a customer-only re-partition for
+    the dense_rank islands window, and measured 2.2× vs DuckDB at 1024×):
+    ONE groupBy(o_custkey) collects the DISTINCT month-index set per
+    customer (collect_set — partial-aggregated map-side, so the shuffle
+    carries ≤ |months| ints per customer), and the streak statistics fall
+    out of the sorted array with JVM array expressions: gaps = adjacent
+    diffs > 1 (zip_with over the array and its shift), longest = a running
+    (current, max) fold (aggregate). The month domain is calendar-bounded
+    (a decade is 120 ints), so per-customer state is O(1) at any data scale
+    — strictly less data moved than the old distinct, and one exchange
+    instead of two. HOF lambdas leave whole-stage codegen but run on ≤120
+    elements per customer, measured at 1024× (bench/STREAKS_x1024_r9*)."""
+    mo = F.date_trunc("month", F.col("o_orderdate"))
+    mi = (F.year(mo) * 12 + F.month(mo)).cast("int")
+    g = orders.select("o_custkey", mi.alias("mi")).groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("mi")).alias("ms")
+    )
+    # adjacent diffs over the sorted distinct months: ms[i+1] - ms[i]
+    diffs = (
+        "zip_with(slice(ms, 2, size(ms) - 1), "
+        "slice(ms, 1, size(ms) - 1), (a, b) -> a - b)"
+    )
+    longest = (
+        f"aggregate({diffs}, named_struct('cur', 1, 'mx', 1), "
+        "(acc, d) -> named_struct("
+        "  'cur', IF(d = 1, acc.cur + 1, 1), "
+        "  'mx',  greatest(acc.mx, IF(d = 1, acc.cur + 1, 1))), "
+        "acc -> acc.mx)"
+    )
+    return g.select(
+        "o_custkey",
+        F.size("ms").cast("bigint").alias("n_active_months"),
+        (F.expr(f"size(filter({diffs}, d -> d > 1))") + F.lit(1))
+        .cast("bigint")
+        .alias("n_streaks"),
+        F.expr(longest).cast("bigint").alias("longest_streak"),
+    )
+
+
+def active_streaks_window(orders: DataFrame) -> DataFrame:
+    """The pre-r9 two-shuffle islands form (month_index − dense_rank):
+    pytest equivalence anchor for the single-exchange array plan."""
     mo = F.date_trunc("month", F.col("o_orderdate"))
     m = orders.select("o_custkey", mo.alias("mo")).distinct()
     idx = F.year("mo") * 12 + F.month("mo")
@@ -589,7 +648,9 @@ QUERIES: dict[str, QuerySpec] = {
         name="orders_active_streaks",
         builder=_streaks_q,
         oracle=_STREAKS_ORACLE,
-        doc="Longest consecutive-month order streak per customer (gaps-and-islands, exact integers).",
-        tags=("analytics", "window", "orders"),
+        doc="Longest consecutive-month order streak per customer (r9 "
+        "single-exchange sorted-month-array plan; exact integers, oracle "
+        "unchanged).",
+        tags=("analytics", "orders"),
     ),
 }

@@ -754,21 +754,46 @@ def bm25_scores(
     retrieval scorer used to mine topic-targeted training data from a corpus
     (keyword-seeded retrieval before an embedding pass).
 
-    Log-free determinism (the keywords_topk 'libm-free' discipline + the
-    winsorized pinned-expression pattern): the standard ln-idf differs by
-    ulps across libms, so this uses the ODDS idf (N−df+0.5)/(df+0.5) — the
-    argument of the Robertson log, monotone in it, so ranking-equivalent —
-    and assembles each per-doc score from EXACT integers (tf, dl, df, N) via
-    ONE pinned IEEE expression mirrored verbatim in the oracle SQL. The
-    per-term scores join as (s0+s1)+s2, never a groupBy sum, so no
-    summation-order noise exists and the score hashes raw (no rounding).
+    Log-free determinism (the keywords_topk 'libm-free' discipline): the
+    standard ln-idf differs by ulps across libms, so this uses the ODDS idf
+    (N−df+0.5)/(df+0.5) — the argument of the Robertson log, monotone in
+    it, so ranking-equivalent.
 
-    Output: (doc_id, dl, tf_<term>..., score), docs matching ≥1 term.
+    r9 INTEGER-RATIONAL contract (VERDICT r8 item 2: the r8 form emitted a
+    raw DOUBLE score assembled with 0.5/2.2/… literals — green locally,
+    driver hash-red, suspected DECIMAL-literal arithmetic drift in the
+    oracle engine; canary_decimal_literal isolates the axis): each term's
+    score is now an exact INT64 RATIONAL pair. With k1 = 6/5, b = 3/4
+    (asserted), clearing denominators gives
+
+        score_t = num_t / den_t
+        num_t   = 22·sum_dl·tf·(2N − 2df + 1)
+        den_t   = (2df + 1)·(10·tf·sum_dl + 3·sum_dl + 9·dl·N)
+
+    — pure integer arithmetic from the exact corpus stats (tf, df, dl, N,
+    sum_dl); no float literal exists anywhere. The hashed columns are the
+    num/den pairs plus a `score` double derived per row by the pinned left
+    fold Σ num_t/den_t (3 IEEE divisions + 2 additions in fixed order over
+    identical int64s — bit-identical on any engine: int64→double conversion
+    and IEEE arithmetic are deterministic even above 2^53). INT64 bound:
+    |num_t| ≤ 44·sum_dl·N·tf — safe while sum_dl·N·tf < 2·10¹⁷ (holds
+    through ~10⁹-token corpora per scoring scope; a 100 TB global corpus
+    scores per-shard/per-source partitions, which is also the retrieval
+    sharding you want).
+
+    Output: (doc_id, dl, tf_<term>…, num_<term>, den_<term>…, score), docs
+    matching ≥1 term.
 
     Scale shape: one explode→per-doc conditional-count shuffle (tf's and dl
     in a single groupBy), a 1-row corpus-stats aggregate broadcast back, and
     a stateless score projection — two jobs, one wide shuffle keyed by
-    doc_id, no skew (df/N/avgdl are scalars)."""
+    doc_id, no skew (df/N/sum_dl are scalars)."""
+    import functools
+    import operator
+
+    # the 22/10/3/9 integerization above is the cleared-denominator form of
+    # exactly k1=6/5, b=3/4 — a different parameterization needs re-deriving
+    assert (BM25_K1, BM25_B) == (1.2, 0.75)
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     per = tok.groupBy("doc_id").agg(
@@ -787,28 +812,39 @@ def bm25_scores(
         ],
     )
     j = per.crossJoin(F.broadcast(corpus))
-    avgdl = F.col("sum_dl") / F.col("n_docs")  # exact ints → one IEEE div
+    n, sd, dl = F.col("n_docs"), F.col("sum_dl"), F.col("dl")
 
-    def term_score(t: str):
+    def term_rational(t: str):
         tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
-        idf = (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
-        denom = tf + F.lit(BM25_K1) * (
-            F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+        num = F.lit(22) * sd * tf * (F.lit(2) * n - F.lit(2) * df + F.lit(1))
+        den = (F.lit(2) * df + F.lit(1)) * (
+            F.lit(10) * tf * sd + F.lit(3) * sd + F.lit(9) * dl * n
         )
-        return (idf * (tf * F.lit(BM25_K1 + 1))) / denom
+        return num.alias(f"num_{t}"), den.alias(f"den_{t}")
 
-    s = [term_score(t) for t in terms]
-    score = (s[0] + s[1]) + s[2]
+    rat = [term_rational(t) for t in terms]
+    # explicit left fold over ALL terms (ADVICE r8 low: the old (s0+s1)+s2
+    # hardcode silently dropped terms beyond 3 and crashed under 3)
+    score = functools.reduce(
+        operator.add,
+        [
+            F.col(f"num_{t}").cast("double") / F.col(f"den_{t}").cast("double")
+            for t in terms
+        ],
+    )
     matched = sum(F.col(f"tf_{t}") for t in terms) > 0
-    return j.where(matched).select(
-        "doc_id",
-        "dl",
-        *[f"tf_{t}" for t in terms],
-        score.alias("score"),
+    return (
+        j.where(matched)
+        .select("doc_id", "dl", *[f"tf_{t}" for t in terms], *[c for pair in rat for c in pair])
+        .select("*", score.alias("score"))
     )
 
 
 def _bm25_oracle(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """Oracle twin of bm25_scores: the SAME integer rationals (bare integer
+    literals only — DECIMAL never enters) and the same pinned left-fold
+    double score via explicit ::DOUBLE casts."""
+    assert (BM25_K1, BM25_B) == (1.2, 0.75)
     tf_cols = ",\n           ".join(
         f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
     )
@@ -816,18 +852,17 @@ def _bm25_oracle(terms: tuple[str, ...] = BM25_TERMS) -> str:
         f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"
         for t in terms
     )
-    k1p1 = BM25_K1 + 1
-    one_minus_b = 1 - BM25_B
-
-    def ts(t: str) -> str:
-        return (
-            f"(((n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
-            f" * (tf_{t} * {k1p1}))"
-            f" / (tf_{t} + {BM25_K1} * ({one_minus_b} + {BM25_B} * (dl / (sum_dl / n_docs))))"
-        )
-
-    s = [ts(t) for t in terms]
+    rat_cols = ",\n       ".join(
+        f"(22 * sum_dl * tf_{t} * (2 * n_docs - 2 * df_{t} + 1))::BIGINT AS num_{t},\n"
+        f"       ((2 * df_{t} + 1) * (10 * tf_{t} * sum_dl + 3 * sum_dl + 9 * dl * n_docs))::BIGINT AS den_{t}"
+        for t in terms
+    )
+    # explicit left fold — parenthesized so the addition order is pinned
+    score = functools_left_fold(
+        [f"(num_{t}::DOUBLE / den_{t}::DOUBLE)" for t in terms]
+    )
     tf_out = ", ".join(f"tf_{t}" for t in terms)
+    rat_out = ", ".join(f"num_{t}, den_{t}" for t in terms)
     any_tf = " + ".join(f"tf_{t}" for t in terms)
     return f"""
 WITH tok AS (SELECT doc_id, unnest({tokens_sql("text")}) AS w FROM documents),
@@ -840,19 +875,34 @@ corpus AS (
     SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
            {df_cols}
     FROM per
+),
+rat AS (
+    SELECT doc_id, dl, {tf_out},
+       {rat_cols}
+    FROM per CROSS JOIN corpus
+    WHERE {any_tf} > 0
 )
-SELECT doc_id, dl, {tf_out},
-       (({s[0]} + {s[1]}) + {s[2]}) AS score
-FROM per CROSS JOIN corpus
-WHERE {any_tf} > 0
+SELECT doc_id, dl, {tf_out}, {rat_out},
+       {score} AS score
+FROM rat
 """
+
+
+def functools_left_fold(exprs: list[str]) -> str:
+    """((e0 + e1) + e2) + … — the pinned-association SQL sum (shared by the
+    BM25 oracle; mirrors the Spark-side functools.reduce fold)."""
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = f"({out} + {e})"
+    return out
 
 
 QUERIES: dict[str, QuerySpec] = {
     "text_bm25_scores": QuerySpec(
         "text_bm25_scores", bm25_scores, _bm25_oracle(),
-        doc="BM25 keyword relevance per doc (odds-idf variant: one pinned "
-        "IEEE expression over exact integers — libm-free, rounding-free).",
+        doc="BM25 keyword relevance per doc (odds-idf variant; r9: exact "
+        "INT64 rational num/den per term — no float/DECIMAL literal on "
+        "either engine — plus the pinned left-fold double score).",
         tags=("text", "retrieval", "bm25"),
     ),
     "text_chunk_stride": QuerySpec(

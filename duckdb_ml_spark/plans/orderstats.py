@@ -616,6 +616,78 @@ def quantiles_wide(
     return q.groupBy(key).agg(*aggs)
 
 
+def ceil_pos(num: int, den: int, n: int) -> int:
+    """1-based order-statistic position ⌈num·n/den⌉ in EXACT integer
+    arithmetic (float p·n is unusable here: 0.05·15000 = 750.0000000000001
+    rounds the position UP — the reason disc fracs are passed as int
+    rationals, never floats)."""
+    return -(-num * n // den)
+
+
+def exact_group_order_stats_lazy(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    fracs: list,
+    n_buckets: int = DEFAULT_BUCKETS,
+    cache_key=None,
+) -> DataFrame:
+    """(key, __i, __q): for each (num, den) in `fracs`, the ⌈num·n/den⌉-th
+    smallest value per key — INTERPOLATION-FREE order statistics (the
+    `quantile_disc`-style bound), all-lazy (no driver collect beyond the
+    cached bounds sketch). Same two-pass range-bucket shape as
+    exact_group_quantiles_lazy minus the floor/ceil pair and the frac: one
+    target position per (key, frac), located in its bucket via the tiny
+    offs relation, extracted by a per-(key,bucket) row_number over pruned
+    buckets only. Positions are computed with SQL `div` on exact integers
+    (see ceil_pos)."""
+    df = df.where(F.col(value_col).isNotNull())
+    bounds = value_range_bounds(df, value_col, n_buckets, cache_key=cache_key)
+    t = df.select(key, value_col).withColumn(
+        "__b", bucket_expr(F.col(value_col), bounds)
+    )
+    offs = _bucket_offsets(t.select(key, "__b"), key)
+    totals = offs.select(key, "__n").distinct()
+    pr = totals.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        # 0-based position = ⌈num·n/den⌉ − 1, integer div
+                        F.expr(
+                            f"(({num} * __n + {den - 1}) div {den}) - 1"
+                        ).alias("pos"),
+                    )
+                    for i, (num, den) in enumerate(fracs)
+                ]
+            )
+        ).alias("s"),
+    ).select(key, F.col("s.i").alias("__i"), F.col("s.pos").alias("__pos"))
+    need = (
+        pr.join(offs, on=key)
+        .where(
+            (F.col("__pos") >= F.col("__off"))
+            & (F.col("__pos") < F.col("__off") + F.col("__c"))
+        )
+        .select(key, "__i", "__b", (F.col("__pos") - F.col("__off") + 1).alias("__lpos"))
+    )
+    pruned = t.join(
+        F.broadcast(need.select(key, "__b").distinct()), [key, "__b"], "left_semi"
+    )
+    wl = Window.partitionBy(key, "__b").orderBy(value_col)
+    ranked = pruned.withColumn("__lr", F.row_number().over(wl))
+    return ranked.join(
+        F.broadcast(need),
+        on=[
+            ranked[key] == need[key],
+            ranked["__b"] == need["__b"],
+            F.col("__lr") == F.col("__lpos"),
+        ],
+    ).select(ranked[key].alias(key), "__i", F.col(value_col).alias("__q"))
+
+
 def _pinned_means(n, sum_scaled, sum_scaled_mid, n_lo, n_hi, lo, hi, scale):
     """THE one winsorized-mean recipe (driver-side form): exact integer
     inputs (counts + fixed-point sums) + the bitwise-pinned bounds, combined
@@ -641,6 +713,7 @@ def winsorized_stats(
     cache_key=None,
     mode: str = "auto",
     fixed_scale: int | None = None,
+    disc_fracs: tuple | None = None,
 ) -> DataFrame:
     """(key, __n, __mean_raw, __mean_wins, __n_lo, __n_hi): per-key count,
     raw mean, mean after clipping to the [p_lo, p_hi] exact quantiles, and
@@ -681,7 +754,20 @@ def winsorized_stats(
     NULL `value_col` rows are excluded ENTIRELY (counts included): the
     bounds must ignore them (quantile_cont semantics) and clip comparisons
     on NULL are engine-divergent, so all-over-non-null is the one
-    well-defined contract."""
+    well-defined contract.
+
+    `disc_fracs` (r9, VERDICT r8 item 3 — round 5 of the driver-red row):
+    pass ((lo_num, lo_den), (hi_num, hi_den)) to replace the INTERPOLATED
+    quantile_cont bounds with interpolation-free ORDER STATISTICS — the
+    ⌈num·n/den⌉-th smallest value per key (quantile_disc semantics; exact
+    integer positions via ceil_pos, never float p·n). The bound is then an
+    exact DATA VALUE (for 2-dp money, an exact 2-dp double) that any engine
+    version reproduces bit-for-bit, removing the last environment-coupled
+    float input: quantile_cont_sorted pins THIS host's DuckDB 1.0.0
+    interpolation, which a different oracle-side DuckDB can shift by ulps,
+    flipping n_lo/n_hi and the 4-dp means (the suspected r5-r8 red
+    mechanism; canary_quantile_interp isolates the axis). p_lo/p_hi are
+    ignored when disc_fracs is given."""
     df = df.where(F.col(value_col).isNotNull())
     if mode == "auto":
         from duckdb_ml_spark.operators.dedup import _cached_count
@@ -698,8 +784,13 @@ def winsorized_stats(
 
         def _w(pdf: pd.DataFrame) -> pd.DataFrame:
             v = np.sort(pdf[value_col].to_numpy())
-            lo, hi = quantile_cont_sorted(v, [p_lo, p_hi])
             n = len(v)
+            if disc_fracs is not None:
+                (ln, ld), (hn, hd) = disc_fracs
+                lo = float(v[ceil_pos(ln, ld, n) - 1])
+                hi = float(v[ceil_pos(hn, hd, n) - 1])
+            else:
+                lo, hi = quantile_cont_sorted(v, [p_lo, p_hi])
             n_lo = int((v < lo).sum())
             n_hi = int((v > hi).sum())
             if fixed_scale is None:
@@ -768,13 +859,23 @@ def winsorized_stats(
     )
     if len(cells) > CELL_COLLECT_GATE:
         # key cardinality beyond the driver-collect gate: all-lazy form
-        q = exact_group_quantiles_lazy(
-            df, key, value_col, [p_lo, p_hi], n_buckets=n_buckets, cache_key=cache_key
-        )
-        b = q.groupBy(key).agg(
-            F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
-            F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
-        )
+        if disc_fracs is not None:
+            q = exact_group_order_stats_lazy(
+                df, key, value_col, list(disc_fracs),
+                n_buckets=n_buckets, cache_key=cache_key,
+            )
+            b = q.groupBy(key).agg(
+                F.max(F.when(F.col("__i") == 0, F.col("__q"))).alias("__lo"),
+                F.max(F.when(F.col("__i") == 1, F.col("__q"))).alias("__hi"),
+            )
+        else:
+            q = exact_group_quantiles_lazy(
+                df, key, value_col, [p_lo, p_hi], n_buckets=n_buckets, cache_key=cache_key
+            )
+            b = q.groupBy(key).agg(
+                F.max(F.when(F.col("__p") == float(p_lo), F.col("__q"))).alias("__lo"),
+                F.max(F.when(F.col("__p") == float(p_hi), F.col("__q"))).alias("__hi"),
+            )
         base = df.select(key, value_col).join(F.broadcast(b), key)
         if fixed_scale is None:
             wins = F.greatest(F.col("__lo"), F.least(F.col("__hi"), x))
@@ -847,13 +948,23 @@ def winsorized_stats(
     needed_buckets: set = set()
     for k, (bs, offs, n) in layout.items():
         tgt = []
-        for p in (p_lo, p_hi):
-            h = p * (n - 1)
-            frac = h - math.floor(h)
-            bf, lf = _locate(bs, offs, math.floor(h))
-            bc, lc = _locate(bs, offs, math.ceil(h))
-            tgt.append((bf, lf, bc, lc, frac))
-            needed_buckets.update((int(bf), int(bc)))
+        if disc_fracs is not None:
+            # interpolation-free: ONE exact position per bound; reusing the
+            # (bf, lf, bc, lc, frac) tuple with bc=bf, lc=lf, frac=0.0 makes
+            # the kernel's v_f·(1−0) + v_c·0 collapse to exactly v_f
+            for num, den in disc_fracs:
+                pos0 = ceil_pos(num, den, n) - 1
+                bf, lf = _locate(bs, offs, pos0)
+                tgt.append((bf, lf, bf, lf, 0.0))
+                needed_buckets.add(int(bf))
+        else:
+            for p in (p_lo, p_hi):
+                h = p * (n - 1)
+                frac = h - math.floor(h)
+                bf, lf = _locate(bs, offs, math.floor(h))
+                bc, lc = _locate(bs, offs, math.ceil(h))
+                tgt.append((bf, lf, bc, lc, frac))
+                needed_buckets.update((int(bf), int(bc)))
         need[k] = tuple(tgt)
 
     scale_f = None if fixed_scale is None else float(fixed_scale)

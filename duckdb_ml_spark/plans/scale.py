@@ -325,7 +325,14 @@ def adaptive_salted_join(
     Output is plain-join-equal REGARDLESS of what the profile detects (both
     branches compute the same inner join), so the sampled profile affects
     cost only, never results."""
-    ck = None if cache_key is None else (cache_key, on, hot_threshold)
+    # sample_fraction is part of the key (ADVICE r8 low: omitting it let a
+    # later call with a different detection sensitivity silently reuse the
+    # stale hot-key list — output-equal, but not the mitigation asked for)
+    ck = (
+        None
+        if cache_key is None
+        else (cache_key, on, hot_threshold, sample_fraction)
+    )
     hot = _HOT_KEYS_CACHE.get(ck) if ck is not None else None
     if hot is None:
         cut = max(1, int(hot_threshold * sample_fraction / 2))

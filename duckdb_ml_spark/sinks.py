@@ -313,7 +313,8 @@ def write_token_shards(
     docs = docs.select("doc_id", "source", tokens(F.col("text")).alias("__w"))
 
     if max_tokens_per_shard is not None:
-        from duckdb_ml_spark.plans.orderstats import keyed_prefix_sum
+        from duckdb_ml_spark.operators.dedup import _cached_count
+        from duckdb_ml_spark.plans.orderstats import RANK_WINDOW_GATE, keyed_prefix_sum
 
         def _count(batches):
             for pdf in batches:
@@ -331,8 +332,17 @@ def write_token_shards(
         counts = docs.select("doc_id", "source", "__w").mapInPandas(
             _count, "doc_id bigint, source string, __nt bigint"
         )
+        # ONE doc count serves both decisions below (ADVICE r8 low: the old
+        # shape let keyed_prefix_sum's mode='auto' run counts.count() — a
+        # full extra tokenize pass — on top of the broadcast gate's count):
+        # the counts relation is one row per doc, so the memoized doc count
+        # IS its row count, and the prefix-sum mode is picked here instead
+        # of auto-counted inside.
+        gate_key = (sf_dir, "documents", "rowcount") if docs_from_table else None
+        n_docs_total = _cached_count(docs, gate_key)
         assign = keyed_prefix_sum(
-            counts, "source", "doc_id", "__nt", out_col="__start"
+            counts, "source", "doc_id", "__nt", out_col="__start",
+            mode="window" if n_docs_total <= RANK_WINDOW_GATE else "two_pass",
         ).select(
             "doc_id",
             F.floor(F.col("__start") / F.lit(int(max_tokens_per_shard)))
@@ -346,10 +356,7 @@ def write_token_shards(
         # (~100 MB of pairs) fall back to a shuffled join. The count is a
         # dataset property of the immutable documents table, so it rides the
         # shared per-source memo (no count job after the first call).
-        from duckdb_ml_spark.operators.dedup import _cached_count
-
-        gate_key = (sf_dir, "documents", "rowcount") if docs_from_table else None
-        if _cached_count(docs, gate_key) <= 8_000_000:
+        if n_docs_total <= 8_000_000:
             assign = F.broadcast(assign)
         docs = docs.join(assign, "doc_id")
     else:
@@ -375,8 +382,20 @@ def write_token_shards(
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import re
+
         src = pdf["source"].iloc[0]
         shard = pdf["__shard"].iloc[0]
+        # ADVICE r8 low: a source literally named 'a__01' would emit
+        # 'shard_a__01.bin', which the readback parser misattributes to
+        # source 'a', shard 1 — silently merging streams. Reject ambiguous
+        # names (and path separators) at write time, loudly.
+        if re.search(r"__\d+$", src) or "/" in src or "\0" in src:
+            raise ValueError(
+                f"source name {src!r} is ambiguous for the shard filename "
+                f"scheme (ends in __<digits> or contains a path separator); "
+                f"rename the source or write it under an escaped alias"
+            )
         stem = (
             f"shard_{src}" if pd.isna(shard) else f"shard_{src}__{int(shard):05d}"
         )
@@ -441,7 +460,8 @@ def write_token_shards(
 
 
 def read_token_shards_manifest(
-    spark: "SparkSession", out_dir: str, seq_len: int = 64, pad_id: int = None
+    spark: "SparkSession", out_dir: str, seq_len: int = 64, pad_id: int = None,
+    per_shard: bool = False,
 ) -> DataFrame:
     """Decode the written .bin shards BACK into a verifiable manifest:
     (source, n_tokens, n_seqs, stream_md5) where stream_md5 hashes the
@@ -454,7 +474,14 @@ def read_token_shards_manifest(
     bit-for-bit (pytest-asserted). binaryFile source + one per-file Arrow
     kernel; the per-source reassembly groups only (shard_i, decoded stream)
     rows — the verification endpoint inherently serializes one source's
-    stream through one hash."""
+    stream through one hash.
+
+    per_shard=True (r9, VERDICT r8 item 2): skip the per-source reassembly
+    and return ONE ROW PER FILE — (source, shard_i, n_tokens, n_seqs,
+    shard_md5) with the md5 over that shard's own padding-stripped stream
+    (JVM-side F.md5, no extra shuffle at all). This is the
+    forensics-friendly shape the capped driver gate hashes: any future red
+    localizes itself to a single shard instead of a per-source rollup."""
     import glob
     import hashlib
 
@@ -531,6 +558,17 @@ def read_token_shards_manifest(
         decoded = (
             bins.select("path", "content").coalesce(n_coalesce)
             .mapInPandas(gen, decode_schema)
+        )
+
+    if per_shard:
+        from pyspark.sql import functions as F
+
+        return decoded.select(
+            "source",
+            "shard_i",
+            "n_tokens",
+            "n_seqs",
+            F.md5(F.col("stream").cast("binary")).alias("shard_md5"),
         )
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -239,7 +239,7 @@ ids AS (SELECT u.doc_id, u.source, u.pos, lex.id
 SELECT source,
        count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_tokens,
-       ceil(count(*) / {TOKEN_SHARD_SEQ_LEN}.0)::BIGINT AS n_seqs,
+       (count(*) + {TOKEN_SHARD_SEQ_LEN - 1}) // {TOKEN_SHARD_SEQ_LEN} AS n_seqs,
        md5(string_agg(id::VARCHAR, ',' ORDER BY doc_id, pos)) AS stream_md5
 FROM ids GROUP BY source
 """
@@ -253,11 +253,18 @@ def _token_shards_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_tokens_per_shard=512 splits every source into ~3 `shard_<src>__<i>`
     pieces at sf0.01 (per-source streams are ~1.1-1.6k tokens), exercising
     the keyed_prefix_sum assignment, the multi-file atomic writes, and the
-    shard-order readback reassembly end-to-end. The oracle replicates the
-    split in SQL: the same exclusive per-source prefix sum over in-lexicon
-    token counts, shard_i = start // cap, per-shard seq padding — so n_seqs
-    (which grows with per-shard padding) and the reassembled stream_md5
-    (bit-identical to the uncapped stream) are both hash-paired."""
+    per-file readback end-to-end.
+
+    r9 PER-SHARD shape (VERDICT r8 item 2 — the r8 per-source rollup went
+    driver hash-red while its uncapped twin stayed green, which isolates
+    the divergence to the split-dependent columns; a rollup gave no way to
+    see WHERE): the hashed output is now one row per shard file —
+    (source, shard_i, n_docs, n_tokens, n_seqs, shard_md5) — with n_docs
+    from the writer manifest and the other columns decoded from the bytes
+    on disk. The oracle replicates the split per shard with INTEGER-ONLY
+    math (`(n + 63) // 64`, never `ceil(n / 64.0)` — DuckDB DECIMAL
+    division is version-dependent; canary_decimal_literal probes that
+    axis). Any future red localizes itself to single shards."""
     from pyspark.sql import functions as F
 
     from duckdb_ml_spark.sinks import read_token_shards_manifest, write_token_shards
@@ -270,15 +277,15 @@ def _token_shards_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN,
         max_tokens_per_shard=TOKEN_SHARD_CAP,
     )
-    nd: dict = {}
-    for r in manifest:  # a doc lands in exactly one shard (doc-boundary split)
-        nd[r["source"]] = nd.get(r["source"], 0) + r["n_docs"]
     ndocs = spark.createDataFrame(
-        sorted(nd.items()), "source string, n_docs bigint"
+        [(r["source"], r["shard_i"], r["n_docs"]) for r in manifest],
+        "source string, shard_i int, n_docs bigint",
     )
-    back = read_token_shards_manifest(spark, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN)
-    return back.join(F.broadcast(ndocs), "source").select(
-        "source", "n_docs", "n_tokens", "n_seqs", "stream_md5"
+    back = read_token_shards_manifest(
+        spark, out_dir, seq_len=TOKEN_SHARD_SEQ_LEN, per_shard=True
+    )
+    return back.join(F.broadcast(ndocs), ["source", "shard_i"]).select(
+        "source", "shard_i", "n_docs", "n_tokens", "n_seqs", "shard_md5"
     )
 
 
@@ -296,22 +303,19 @@ u AS (SELECT doc_id, source, unnest(ws) AS word,
 ids AS (SELECT u.doc_id, u.source, u.pos, lex.id
         FROM u JOIN lex ON u.word = lex.word),
 dt AS (SELECT doc_id, source, count(*) AS nt FROM ids GROUP BY doc_id, source),
-ps AS (SELECT source, nt,
+ps AS (SELECT doc_id, nt,
               coalesce(sum(nt) OVER (
                   PARTITION BY source ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
        FROM dt),
-sh AS (SELECT source, strt // {TOKEN_SHARD_CAP} AS shard_i, sum(nt) AS st
-       FROM ps GROUP BY source, strt // {TOKEN_SHARD_CAP}),
-seqs AS (SELECT source, sum(ceil(st / {TOKEN_SHARD_SEQ_LEN}.0)::BIGINT) AS n_seqs
-         FROM sh GROUP BY source)
-SELECT d.source, d.n_docs, d.n_tokens, seqs.n_seqs, d.stream_md5
-FROM (SELECT source,
-             count(DISTINCT doc_id) AS n_docs,
-             count(*) AS n_tokens,
-             md5(string_agg(id::VARCHAR, ',' ORDER BY doc_id, pos)) AS stream_md5
-      FROM ids GROUP BY source) d
-JOIN seqs ON d.source = seqs.source
+asn AS (SELECT doc_id, (strt // {TOKEN_SHARD_CAP})::INT AS shard_i FROM ps)
+SELECT i.source, a.shard_i,
+       count(DISTINCT i.doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       (count(*) + {TOKEN_SHARD_SEQ_LEN - 1}) // {TOKEN_SHARD_SEQ_LEN} AS n_seqs,
+       md5(string_agg(i.id::VARCHAR, ',' ORDER BY i.doc_id, i.pos)) AS shard_md5
+FROM ids i JOIN asn a ON i.doc_id = a.doc_id
+GROUP BY i.source, a.shard_i
 """
 
 

@@ -142,32 +142,40 @@ def _scd2_us_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the analytics SCD2 oracle with µs-integer validity bounds — the exact
-# schema the applyInPandasWithState twin emits (state rows carry µs ints)
+# schema the applyInPandasWithState twin emits (state rows carry µs ints).
+# r9: every ts use pinned to µs up front (epoch_us of the µs-cast value) so
+# window order and outputs match Spark's read-time ns→µs truncation
+# whatever the parquet encoding is (VERDICT r8 item 2 / plans/canary.py).
 _SCD2_US_ORACLE = """
-WITH o AS (
-    SELECT user_id, event_type, ts, event_id,
+WITH e AS (
+    SELECT user_id, event_type, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+    FROM events
+),
+o AS (
+    SELECT user_id, event_type, tsu, event_id,
            CASE WHEN lag(event_type) OVER w IS NULL
                   OR event_type <> lag(event_type) OVER w
                 THEN 1 ELSE 0 END AS brk
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
 ),
 r AS (
-    SELECT user_id, event_type, ts,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    SELECT user_id, event_type, tsu,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                           ROWS UNBOUNDED PRECEDING) AS version_n
     FROM o
 ),
 g AS (
     SELECT user_id, version_n, any_value(event_type) AS event_type,
-           min(ts) AS valid_from, count(*) AS n_events
+           min(tsu) AS valid_from_us, count(*) AS n_events
     FROM r GROUP BY user_id, version_n
 )
 SELECT user_id, event_type, version_n,
-       epoch_us(valid_from) AS valid_from_us,
-       epoch_us(lead(valid_from) OVER w2) AS valid_to_us,
+       valid_from_us,
+       lead(valid_from_us) OVER w2 AS valid_to_us,
        n_events,
-       (lead(valid_from) OVER w2 IS NULL) AS is_current
+       (lead(valid_from_us) OVER w2 IS NULL) AS is_current
 FROM g
 WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
 """

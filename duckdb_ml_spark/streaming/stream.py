@@ -282,13 +282,13 @@ def scd2_compact(ev: DataFrame) -> DataFrame:
     timestamps, so the two forms compare bit-exactly in tests)."""
     from duckdb_ml_spark.operators.analytics import scd2_intervals
 
-    g = scd2_intervals(ev)
-    return g.select(
+    # scd2_intervals already emits µs-integer validity bounds (r9 contract)
+    return scd2_intervals(ev).select(
         "user_id",
         "event_type",
         "version_n",
-        F.unix_micros("valid_from").alias("valid_from_us"),
-        F.unix_micros("valid_to").alias("valid_to_us"),
+        "valid_from_us",
+        "valid_to_us",
         "n_events",
         "is_current",
     )

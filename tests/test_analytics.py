@@ -32,6 +32,12 @@ def ts(minutes):
     return T0 + dt.timedelta(minutes=minutes)
 
 
+def us(minutes):
+    """Exact epoch-µs of ts(minutes) under the UTC session timezone."""
+    d = ts(minutes) - dt.datetime(1970, 1, 1)
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+
 def test_funnel_requires_stage_order(spark):
     from duckdb_ml_spark.operators.analytics import funnel_counts
 
@@ -148,7 +154,9 @@ def test_sessionize_gap_islands(spark):
     assert out[(1, 1)].n_events == 2 and out[(1, 1)].duration_us == 10 * 60 * 1_000_000
     assert out[(1, 2)].n_events == 2 and out[(1, 2)].duration_us == 5 * 60 * 1_000_000
     assert out[(2, 1)].n_events == 1 and out[(2, 1)].duration_us == 0
-    assert out[(1, 1)].session_start == ts(0) and out[(1, 2)].session_end == ts(7 * 60 + 5)
+    # r9 contract: epoch-µs BIGINTs, never raw timestamps (VERDICT r8 item 2)
+    assert out[(1, 1)].session_start_us == us(0)
+    assert out[(1, 2)].session_end_us == us(7 * 60 + 5)
 
 
 def test_sessionize_boundary_exactly_gap_is_same_session(spark):
@@ -179,9 +187,10 @@ def test_scd2_intervals_tile_and_version(spark):
     assert [r.n_events for r in out] == [2, 1, 1]
     assert [r.version_n for r in out] == [1, 2, 3]
     # half-open tiling: each interval's valid_to is the successor's valid_from
-    assert out[0].valid_to == out[1].valid_from == ts(2)
-    assert out[1].valid_to == out[2].valid_from == ts(3)
-    assert out[2].valid_to is None and out[2].is_current
+    # (epoch-µs BIGINTs — the r9 environment-proof contract)
+    assert out[0].valid_to_us == out[1].valid_from_us == us(2)
+    assert out[1].valid_to_us == out[2].valid_from_us == us(3)
+    assert out[2].valid_to_us is None and out[2].is_current
     assert not out[0].is_current and not out[1].is_current
 
 
@@ -230,3 +239,22 @@ def test_sessionize_single_exchange(spark):
 
     plan = _sessionize_q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_active_streaks_single_exchange_and_equivalent(spark):
+    """r9 (VERDICT r8 item 8): the sorted-month-array plan must (a) shuffle
+    exactly once and (b) agree row-for-row with the two-shuffle islands
+    form on real data."""
+    from duckdb_ml_spark.operators.analytics import (
+        active_streaks,
+        active_streaks_window,
+    )
+
+    orders = load(spark, SF_DIR, "orders")
+    plan = (
+        active_streaks(orders)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    a = {tuple(r) for r in active_streaks(orders).collect()}
+    b = {tuple(r) for r in active_streaks_window(orders).collect()}
+    assert a == b

@@ -1465,9 +1465,12 @@ def test_group_split_no_source_straddles(spark, sf_dir):
 
 
 def test_bm25_score_matches_pinned_formula(spark, sf_dir):
-    """Every emitted score must equal the python recomputation from the exact
-    integer components BIT-FOR-BIT (the pinned-IEEE-expression contract):
-    same association order, exact integer inputs, no rounding anywhere."""
+    """Every emitted rational pair and score must equal the python
+    recomputation from the exact integer components BIT-FOR-BIT (the r9
+    integer-rational contract): num/den as exact ints, score as the pinned
+    left-fold of num/den divisions — and the rationals must agree with the
+    textbook odds-idf BM25 formula to float tolerance (the integerization
+    is the SAME statistic, not a different one)."""
     from duckdb_ml_spark.operators.text import BM25_B, BM25_K1, BM25_TERMS, bm25_scores
     from duckdb_ml_spark.operators.textnorm import tokens
 
@@ -1482,13 +1485,25 @@ def test_bm25_score_matches_pinned_formula(spark, sf_dir):
     df = {t: sum(1 for r in per if r[f"tf_{t}"] > 0) for t in BM25_TERMS}
     avgdl = sum_dl / n_docs
 
+    def rational(r, t):
+        tf = r[f"tf_{t}"]
+        num = 22 * sum_dl * tf * (2 * n_docs - 2 * df[t] + 1)
+        den = (2 * df[t] + 1) * (10 * tf * sum_dl + 3 * sum_dl + 9 * r.dl * n_docs)
+        return num, den
+
     def score(r):
-        s = []
+        s = 0.0
         for t in BM25_TERMS:
-            tf = r[f"tf_{t}"]
-            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
-            s.append((idf * (tf * (BM25_K1 + 1))) / (tf + BM25_K1 * ((1 - BM25_B) + BM25_B * (r.dl / avgdl))))
-        return (s[0] + s[1]) + s[2]
+            num, den = rational(r, t)
+            s = s + num / den
+        return s
+
+    def textbook_term(r, t):
+        tf = r[f"tf_{t}"]
+        idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+        return (idf * (tf * (BM25_K1 + 1))) / (
+            tf + BM25_K1 * ((1 - BM25_B) + BM25_B * (r.dl / avgdl))
+        )
 
     out = bm25_scores(spark, sf_dir).collect()
     assert out, "corpus must match at least one term"
@@ -1496,6 +1511,13 @@ def test_bm25_score_matches_pinned_formula(spark, sf_dir):
     for r in out:
         e = expected[r.doc_id]
         assert r.dl == e.dl
+        for t in BM25_TERMS:
+            num, den = rational(e, t)
+            assert (r[f"num_{t}"], r[f"den_{t}"]) == (num, den)  # exact ints
+            # the rational IS the textbook odds-idf term, just cleared
+            assert abs(num / den - textbook_term(e, t)) <= 1e-12 * max(
+                1.0, abs(textbook_term(e, t))
+            )
         assert r.score == score(e)  # exact float equality, not approx
     # only matching docs are emitted
     n_match = sum(1 for r in per if any(r[f"tf_{t}"] > 0 for t in BM25_TERMS))
