@@ -122,10 +122,17 @@ def main() -> int:
     timed("bucketed_join_sec", lambda: agg(bl.join(bo, "l_orderkey")).write
           .format("noop").mode("overwrite").save())
 
-    # sanity: identical results both ways
-    a = {tuple(r) for r in agg(li.join(od, "l_orderkey")).collect()}
-    b = {tuple(r) for r in agg(bl.join(bo, "l_orderkey")).collect()}
-    out["results_equal"] = a == b
+    # sanity: counts must match EXACTLY; revenue only to relative tolerance —
+    # the two plans accumulate 614 M products in different orders, so the
+    # double sums differ by ~1e-13 relative (measured), which 2-dp rounding
+    # cannot absorb at the ~1e13 magnitude (the same reason query/oracle
+    # pairs round only aggregates and never hash huge raw sums)
+    ra = {r[0]: (r[1], r[2]) for r in agg(li.join(od, "l_orderkey")).collect()}
+    rb = {r[0]: (r[1], r[2]) for r in agg(bl.join(bo, "l_orderkey")).collect()}
+    out["n_items_equal"] = all(ra[k][0] == rb[k][0] for k in ra) and set(ra) == set(rb)
+    out["revenue_rel_delta_max"] = max(
+        abs(ra[k][1] - rb[k][1]) / abs(ra[k][1]) for k in ra
+    )
 
     if not args.keep_tables:
         for name, root in ((tl, roots[0]), (to, roots[1])):
