@@ -624,6 +624,94 @@ def _quantized_topk_oracle(dim: int = 64, k: int = TOP_K) -> str:
     """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion (lexical BM25 × dense ANN) ------
+
+RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+RRF_POOL = 100  # per-leg candidate depth fed into the fusion
+RRF_OUT = 20
+HYBRID_QUERY_ID = 0  # the query document/vector (vec_id == doc_id by data design)
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion: fuse the LEXICAL ranking
+    (BM25 keyword relevance over `documents`) with the DENSE ranking
+    (quantized-cosine ANN over `embeddings`; vec_id ≡ doc_id) as
+    rrf = Σ_leg 1/(RRF_K + rank_leg) over each leg's top-RRF_POOL — the
+    standard first-stage retriever of a topic-targeted data-mining pipeline
+    (keyword recall + semantic recall, neither alone sufficient).
+
+    Determinism by construction (the r9 contract): both legs contribute
+    RANKS, never raw scores — the BM25 ordering keys are bit-identical
+    cross-engine (exact int64 rationals → pinned doubles) and the dense leg
+    reuses quantized_topk's pinned qcos expression chain; the fused score is
+    a pinned two-term sum of exact IEEE divisions of small ints, so it
+    hashes raw. Docs missing from a leg contribute 0 from that leg (their
+    rank column stays NULL in the output — standard RRF semantics).
+
+    Scale shape: each leg ends in a top-RRF_POOL (the lexical leg a global
+    TakeOrderedAndProject, the dense leg quantized_topk's per-query window);
+    the fusion then joins two ≤RRF_POOL-row relations — broadcast-trivial at
+    any corpus size. Ranking *within* the pooled 100 rows uses a single-
+    partition window over exactly 100 rows, which is the point of pooling:
+    the corpus-sized work is the per-leg scoring scan, never the fusion."""
+    from duckdb_ml_spark.operators.text import bm25_scores
+
+    dense = (
+        quantized_topk(spark, sf_dir, k=RRF_POOL)
+        .where(F.col("query_id") == HYBRID_QUERY_ID)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    lex_pool = (
+        bm25_scores(spark, sf_dir)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_pool.withColumn("lex_rank", F.row_number().over(wl)).select(
+        "doc_id", "lex_rank"
+    )
+    fused = lex.join(dense, "doc_id", "full_outer")
+    one = F.lit(1.0)
+    rrf = F.coalesce(
+        one / (F.lit(RRF_K) + F.col("lex_rank")).cast("double"), F.lit(0.0)
+    ) + F.coalesce(
+        one / (F.lit(RRF_K) + F.col("dense_rank")).cast("double"), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_OUT)
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Oracle twin: the BM25 and quantized-cosine oracles as subqueries, the
+    same top-RRF_POOL per leg, the same pinned fusion expression with
+    explicit ::DOUBLE casts (no bare DECIMAL literal)."""
+    from duckdb_ml_spark.operators.text import _bm25_oracle
+
+    return f"""
+WITH lex AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM ({_bm25_oracle()}) b
+    QUALIFY lex_rank <= {RRF_POOL}
+),
+dense AS (
+    SELECT neighbor_id AS doc_id, rank AS dense_rank
+    FROM ({_quantized_topk_oracle(k=RRF_POOL)}) d
+    WHERE query_id = {HYBRID_QUERY_ID}
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+       (COALESCE(1::DOUBLE / (({RRF_K} + l.lex_rank))::DOUBLE, 0::DOUBLE)
+        + COALESCE(1::DOUBLE / (({RRF_K} + d.dense_rank))::DOUBLE, 0::DOUBLE)) AS rrf
+FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {RRF_OUT}
+"""
+
+
 # --- persistent IVF index (build once, query many) ---------------------------
 
 
@@ -862,6 +950,14 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_quantized_topk_oracle(),
         doc="Asymmetric int8-quantized top-5 (float queries vs corpus codes — ANN serving path).",
         tags=("similarity", "ann", "quantize"),
+    ),
+    "sim_hybrid_rrf": QuerySpec(
+        name="sim_hybrid_rrf",
+        builder=hybrid_rrf,
+        oracle=_hybrid_rrf_oracle(),
+        doc="Hybrid retrieval: BM25 lexical × quantized-cosine dense legs "
+        "fused by reciprocal-rank (top-20; rank-only legs, pinned fusion).",
+        tags=("similarity", "retrieval", "hybrid", "rrf"),
     ),
     "sim_knn_join": QuerySpec(
         name="sim_knn_join",

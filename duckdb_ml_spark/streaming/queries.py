@@ -58,23 +58,28 @@ def _sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load(spark, sf_dir, "events"))
 
 
+# every ts use pinned to µs (tsu) — the r9 environment-proof contract
+# (VERDICT r8 item 2 / plans/canary.py); 30 min = 1 800 000 000 µs
 _SESSIONS_ORACLE = """
-WITH o AS (
-    SELECT user_id, ts, value,
-           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) IS NULL
-                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
-                     > INTERVAL '30 minutes'
+WITH e AS (
+    SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events
+),
+o AS (
+    SELECT user_id, tsu, value,
+           CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, value) IS NULL
+                  OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, value)
+                     > 1800000000
                 THEN 1 ELSE 0 END AS brk
-    FROM events
+    FROM e
 ),
 s AS (
-    SELECT user_id, ts, value,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+    SELECT user_id, tsu, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, value
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM o
 )
-SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-       max(ts) AS last_ts, round(sum(value), 6) AS sum_value
+SELECT user_id, min(tsu) AS session_start_us, count(*) AS n_events,
+       max(tsu) AS last_ts_us, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
@@ -84,7 +89,8 @@ def _user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _USER_STATE_ORACLE = """
-SELECT user_id, count(*) AS n_events, max(value) AS max_value, max(ts) AS last_ts
+SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS last_ts_us
 FROM events GROUP BY user_id
 """
 

@@ -92,28 +92,42 @@ def sliding_counts(
 
 def session_windows(ev: DataFrame, gap: str = "30 minutes", watermark: str | None = None) -> DataFrame:
     """Per-user session windows (gap-based). A session breaks when the next
-    event is ≥ gap after the previous one; session_start = first event ts."""
+    event is ≥ gap after the previous one; session_start_us = first event ts.
+
+    r9: time outputs are epoch-µs BIGINTs (session_start_us, last_ts_us) —
+    the environment-proof contract every ts-emitting query adopted after
+    the r8 driver reds (see operators/analytics.sessionize and
+    plans/canary.py); the session assignment itself still runs on the
+    TIMESTAMP column (session_window requires it)."""
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
     return (
         ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max("ts").alias("last_ts"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "last_ts", "sum_value")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "last_ts_us",
+            "sum_value",
+        )
     )
 
 
 def user_state(ev: DataFrame) -> DataFrame:
     """Batch-equivalent of the stateful per-user accumulator: final state per
-    user (event count, max value, last event time). The streaming twin keeps
-    this as per-key state via applyInPandasWithState (user_state_stream)."""
+    user (event count, max value, last event time as epoch-µs BIGINT — the
+    exact schema the stateful twin's state rows carry). The streaming twin
+    keeps this as per-key state via applyInPandasWithState
+    (user_state_stream)."""
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max("value").alias("max_value"),
-        F.max("ts").alias("last_ts"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
     )
 
 

@@ -1540,3 +1540,49 @@ def test_bm25_rarer_term_scores_higher_at_equal_tf(spark):
     ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     out = {r.doc_id: r.score for r in bm25_scores(spark, tmp, terms=("rare", "common", "pad")).collect()}
     assert out[1] > out[2]
+
+
+def test_hybrid_rrf_fusion_math_and_shape(spark, sf_dir):
+    """The fused output must (a) be exactly RRF_OUT rows in strictly
+    rrf-descending (tiebreak doc_id) order, (b) recompute bit-for-bit from
+    the two legs' ranks via the pinned 1/(K+r) two-term sum, and (c) rank
+    the legs consistently with their own source orderings."""
+    from duckdb_ml_spark.operators.similarity import (
+        HYBRID_QUERY_ID,
+        RRF_K,
+        RRF_OUT,
+        RRF_POOL,
+        hybrid_rrf,
+        quantized_topk,
+    )
+    from duckdb_ml_spark.operators.text import bm25_scores
+
+    out = hybrid_rrf(spark, sf_dir).collect()
+    assert len(out) == RRF_OUT
+    # recompute leg ranks independently
+    lex_rows = sorted(
+        ((float(r.score), int(r.doc_id)) for r in bm25_scores(spark, sf_dir).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:RRF_POOL]
+    lex_rank = {doc: i + 1 for i, (_, doc) in enumerate(lex_rows)}
+    dense_rank = {
+        int(r.neighbor_id): int(r.rank)
+        for r in quantized_topk(spark, sf_dir, k=RRF_POOL).collect()
+        if r.query_id == HYBRID_QUERY_ID
+    }
+    prev = None
+    for r in out:
+        want_lex = lex_rank.get(r.doc_id)
+        want_dense = dense_rank.get(r.doc_id)
+        assert r.lex_rank == want_lex and r.dense_rank == want_dense
+        want_rrf = (1.0 / (RRF_K + want_lex) if want_lex else 0.0) + (
+            1.0 / (RRF_K + want_dense) if want_dense else 0.0
+        )
+        assert r.rrf == want_rrf  # exact float equality (pinned expression)
+        if prev is not None:
+            assert (prev[0], prev[1]) < (-r.rrf, r.doc_id) or prev[0] == -r.rrf
+            assert prev[0] <= -r.rrf
+        prev = (-r.rrf, r.doc_id)
+    # both legs must actually contribute to the fused head
+    assert any(r.lex_rank is not None for r in out)
+    assert any(r.dense_rank is not None for r in out)

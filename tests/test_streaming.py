@@ -51,7 +51,7 @@ def _sorted_rows(df, cols):
         (
             lambda ev: session_windows(ev, watermark="2 hours"),
             "t_sessions",
-            ["user_id", "session_start", "n_events", "last_ts", "sum_value"],
+            ["user_id", "session_start_us", "n_events", "last_ts_us", "sum_value"],
         ),
     ],
 )
@@ -79,11 +79,9 @@ def test_stateful_user_state_matches_batch(spark, sf_dir):
         )
     )
     got = _sorted_rows(final, ["user_id", "n_events", "max_value", "last_ts_us"])
+    # user_state emits last_ts_us directly since r9 (epoch-µs contract)
     want_df = user_state(load(spark, sf_dir, "events")).select(
-        "user_id",
-        "n_events",
-        "max_value",
-        (F.unix_micros("last_ts")).alias("last_ts_us"),
+        "user_id", "n_events", "max_value", "last_ts_us"
     )
     want = _sorted_rows(want_df, ["user_id", "n_events", "max_value", "last_ts_us"])
     assert got == want and len(got) > 0
