@@ -1215,8 +1215,18 @@ def _embedding_lsh_pairs_oracle() -> str:
 SPAN_N = 5  # window width (tokens) for the span-duplication signal
 
 
+# Above this doc count the span-fraction joins switch from SHUFFLE_HASH to
+# spillable sort-merge: a shuffled-hash build side is PINNED memory (no
+# spill), and at the 1024× probe (5.1 M docs, ~10⁸ distinct grams) the
+# concurrent unspillable builds starved the per-(doc,gram) hash aggregation
+# to a hard AGGREGATE_OUT_OF_MEMORY. 256× (1.28 M docs) ran fine — gate at
+# 2 M errs toward the spillable form (r9; artifact SPANFIX_x1024_r9).
+SPAN_JOIN_HASH_GATE = 2_000_000
+
+
 def span_dup_fraction(
-    docs: DataFrame, n: int = SPAN_N, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, n: int = SPAN_N, text_col: str = "text", id_col: str = "doc_id",
+    cache_key=None,
 ) -> DataFrame:
     """Per-doc fraction of n-token window POSITIONS whose exact token sequence
     also occurs in at least one OTHER document — the aggregate form of
@@ -1248,21 +1258,27 @@ def span_dup_fraction(
     # corpus_shingles pattern) and every variant collapses to one scan of it.
     g = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("mult"))
     counts = g.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
-    # SHUFFLE_HASH hints, deliberately: BOTH join sides here grow linearly
+    # Join-strategy hints, deliberately: BOTH join sides here grow linearly
     # with the corpus (counts is one row per distinct n-gram, per_win one row
     # per doc), so Catalyst's stats-based broadcast election is a trap —
     # measured at the 16× probe it broadcast the multi-million-row gram-count
-    # relation (hundreds of MB to every executor, 27.7 s vs DuckDB 8.2). With
-    # the hints both joins are co-partitioned hash joins on their keys and the
-    # whole plan is stats-independent: 16× drops 27.7 → 11.4 s (DuckDB 8.2)
-    # and sf0.1 is unchanged (hash-identical output, floor-level delta).
-    per_win = g.join(counts.hint("SHUFFLE_HASH"), "shingle").groupBy(id_col).agg(
+    # relation (hundreds of MB to every executor, 27.7 s vs DuckDB 8.2).
+    # WHICH non-broadcast strategy is size-gated (r9): SHUFFLE_HASH is the
+    # fast form (no sorts; 16×: 27.7 → 11.4 s) but its build side is PINNED
+    # memory — at the 1024× probe the concurrent unspillable builds starved
+    # the hash aggregation into AGGREGATE_OUT_OF_MEMORY. Above
+    # SPAN_JOIN_HASH_GATE docs the hints switch to MERGE (sort-merge spills;
+    # the sorts ride the existing shuffle exchanges). Both branches are
+    # stats-independent and hash-identical in output.
+    n_docs = _cached_count(docs, cache_key)
+    strat = "SHUFFLE_HASH" if n_docs <= SPAN_JOIN_HASH_GATE else "MERGE"
+    per_win = g.join(counts.hint(strat), "shingle").groupBy(id_col).agg(
         F.sum("mult").alias("n_windows"),
         F.sum(F.col("mult") * (F.col("n_docs_with") >= 2).cast("bigint")).alias(
             "n_dup_windows"
         ),
     )
-    return docs.select(id_col).join(per_win.hint("SHUFFLE_HASH"), id_col, "left").select(
+    return docs.select(id_col).join(per_win.hint(strat), id_col, "left").select(
         id_col,
         F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
         F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
@@ -1273,7 +1289,10 @@ def span_dup_fraction(
 
 
 def _span_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return span_dup_fraction(load(spark, sf_dir, "documents"))
+    return span_dup_fraction(
+        load(spark, sf_dir, "documents"),
+        cache_key=(sf_dir, "documents", "rowcount"),
+    )
 
 
 _SPAN_DUP_ORACLE = f"""

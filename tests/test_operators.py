@@ -1586,3 +1586,20 @@ def test_hybrid_rrf_fusion_math_and_shape(spark, sf_dir):
     # both legs must actually contribute to the fused head
     assert any(r.lex_rank is not None for r in out)
     assert any(r.dense_rank is not None for r in out)
+
+
+def test_span_dup_fraction_merge_branch_equals_hash_branch(spark, sf_dir, monkeypatch):
+    """r9 OOM fix: above SPAN_JOIN_HASH_GATE the span-fraction joins switch
+    from pinned-memory SHUFFLE_HASH builds to spillable sort-merge — the
+    1024× probe starved the per-(doc,gram) aggregation through the
+    unspillable builds. Both branches must be row-identical."""
+    from duckdb_ml_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents").limit(120)
+    a = {tuple(r) for r in dedup.span_dup_fraction(docs).collect()}
+    monkeypatch.setattr(dedup, "SPAN_JOIN_HASH_GATE", 0)
+    merged = dedup.span_dup_fraction(docs)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan
+    b = {tuple(r) for r in merged.collect()}
+    assert a == b and len(a) == 120
