@@ -196,6 +196,7 @@ _EXEC_AT_BUILD = frozenset(
         # text_bpe_counts_budget / pack_sequences_bpe left r5: they now apply
         # the FIXED packing tokenizer (bpe.packing_merges) — pure plan builders
         "decontaminate_train",  # corpus_shingles localCheckpoint at build
+        "decontaminate_bloom",  # same materialized shingle relation
         "pipeline_containment",
         "pipeline_curate",
         # r5 two-pass order statistics: range-bounds collect (cold path) at

@@ -14,7 +14,7 @@ detection, and join planning decisions when humans are in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_ml_spark.plans.relational import QuerySpec
@@ -336,7 +336,90 @@ FROM s
 """
 
 
+# --- deterministic distinct-count sketch (threshold sampling) ----------------
+
+# Sampling rate 1/DSKETCH_R: only hashes below 2^60/R survive to the distinct
+# aggregation, est = R · |survivors|. Distinct sampling (Gibbons, VLDB 2001) /
+# the Theta-sketch fixed-threshold mode — unlike HLL (see
+# events_distinct_users_approx, whose Spark/DuckDB sketches disagree in their
+# raw estimates and are therefore band-contracted), this sketch is built from
+# the repo's cross-engine md5 hash, so the RAW estimate is bit-identical on
+# any engine and hash-pairs directly. Relative error ~ 1/√(n/R).
+DSKETCH_R = 8
+DSKETCH_THRESHOLD = (1 << 60) // DSKETCH_R
+
+
+def distinct_sketch_rollup(
+    df: DataFrame,
+    key: Column,
+    group_col: str = "lang",
+    rate: int = DSKETCH_R,
+    salt: str = "dcount",
+) -> DataFrame:
+    """(group | '__ALL__', n_rows, n_kept, est_distinct): per-group and
+    overall distinct-count estimates from threshold sampling of a 60-bit
+    key hash.
+
+    Scale shape: the h < 2^60/R predicate is a scan-time filter, so the
+    distinct aggregation shuffles only ~1/R of the distinct keys (vs ALL of
+    them for exact count(DISTINCT) — at 100 TB pick R = 2^20 and the shuffle
+    carries a millionth); n_rows rides the same rollup as a map-side count.
+    Estimator is an exact integer product — no floats anywhere."""
+    from duckdb_ml_spark.operators.sampling import hash_uint
+
+    thr = (1 << 60) // rate
+    t = df.select(
+        F.col(group_col).alias("g"), hash_uint(key, salt, 15).alias("h")
+    )
+    kept = F.count_distinct(F.when(F.col("h") < thr, F.col("h")))
+    return (
+        t.rollup("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            kept.cast("bigint").alias("n_kept"),
+            (kept * rate).cast("bigint").alias("est_distinct"),
+        )
+        .select(
+            F.coalesce("g", F.lit("__ALL__")).alias(group_col),
+            "n_rows",
+            "n_kept",
+            "est_distinct",
+        )
+    )
+
+
+def _distinct_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting: estimated distinct TEXTS per language + overall —
+    the dedup-rate dashboard number, priced at 1/R of an exact distinct."""
+    docs = load(spark, sf_dir, "documents")
+    return distinct_sketch_rollup(docs, F.col("text"), "lang")
+
+
+def _distinct_sketch_oracle() -> str:
+    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
+
+    return f"""
+WITH t AS (
+    SELECT lang, {_hash_uint_sql("text", "dcount", 15)} AS h FROM documents
+)
+SELECT coalesce(lang, '__ALL__') AS lang,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT CASE WHEN h < {DSKETCH_THRESHOLD} THEN h END)::BIGINT AS n_kept,
+       ({DSKETCH_R} * count(DISTINCT CASE WHEN h < {DSKETCH_THRESHOLD} THEN h END))::BIGINT AS est_distinct
+FROM t GROUP BY ROLLUP(lang)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dq_distinct_sketch": QuerySpec(
+        name="dq_distinct_sketch",
+        builder=_distinct_sketch_q,
+        oracle=_distinct_sketch_oracle(),
+        doc="Deterministic distinct-count rollup via threshold sampling "
+        "(hash < 2^60/R): raw estimates hash-pair cross-engine, the distinct "
+        "agg shuffles only 1/R of the keys.",
+        tags=("dq", "sketch", "approx", "pipeline"),
+    ),
     "dq_drift_psi": QuerySpec(
         name="dq_drift_psi",
         builder=_psi_drift_q,

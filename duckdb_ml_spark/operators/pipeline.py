@@ -124,6 +124,105 @@ GROUP BY d.doc_id
 """
 
 
+# --- Bloom-filter decontamination variant ------------------------------------
+
+# Portable blocked Bloom filter built from the repo's cross-engine md5 hash
+# (sampling.hash_uint). Spark's internal bloom_filter_agg/might_contain pair is
+# not registered as a public SQL function (checked on this build: 4.1.2 raises
+# UNRESOLVED_ROUTINE), and its sketch bytes would be engine-private anyway —
+# this filter is plain BIGINT words + bit_or aggregation, so the SAME filter is
+# computable by any engine and the whole plan stays in whole-stage codegen.
+BLOOM_WORDS = 8192  # 63-bit words → ~516k bits (~64 KB filter)
+BLOOM_BITS = 63  # bits used per BIGINT word (sign bit left alone)
+_BLOOM_SALTS = ("bloomA", "bloomB")  # k=2 independent probe hashes
+
+
+def _bloom_probes(shingle, n_words: int):
+    """k=2 (word_idx, mask) column pairs for one shingle value."""
+    from duckdb_ml_spark.operators.sampling import hash_uint
+
+    out = []
+    for salt in _BLOOM_SALTS:
+        h = hash_uint(shingle, salt, 15)  # 60-bit uniform
+        wi = ((h / BLOOM_BITS).cast("bigint") % n_words).cast("bigint")
+        # F.shiftleft's python wrapper only takes a literal shift; the SQL
+        # function itself accepts a column second argument
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (h % BLOOM_BITS).cast("int")
+        )
+        out.append((wi, mask))
+    return out
+
+
+def bloom_filter_words(member_shingles: DataFrame, n_words: int = BLOOM_WORDS) -> DataFrame:
+    """(wi, word) rows of a Bloom filter over the member shingle set: each
+    member sets k=2 bits via bit_or aggregation. Map-side combinable; the
+    result relation is at most `n_words` rows regardless of member count."""
+    probes = _bloom_probes(F.col("shingle"), n_words)
+    rows = member_shingles.select(
+        F.explode(
+            F.array(*[F.struct(wi.alias("wi"), m.alias("mask")) for wi, m in probes])
+        ).alias("p")
+    )
+    return rows.groupBy(F.col("p.wi").alias("wi")).agg(
+        F.bit_or("p.mask").alias("word")
+    )
+
+
+def decontaminate_bloom(
+    train_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_words: int = BLOOM_WORDS,
+) -> DataFrame:
+    """contaminated_from_shingles semantics through a Bloom pre-filter:
+    (1) build a ≤n_words-row Bloom filter over the DISTINCT eval shingles,
+    (2) probe every train shingle with two broadcast hash joins against the
+    filter (map-side, no shuffle of the train stream), (3) exact-verify the
+    survivors against the real eval shingle set, (4) the same one-shuffle
+    groupBy/countDistinct as the exact path.
+
+    Bloom filters have no false negatives and step (3) removes the false
+    positives, so the output is row-for-row IDENTICAL to the exact
+    decontamination — the registered query shares _DECONTAM_ORACLE verbatim.
+
+    Scale rationale: the exact path broadcasts the full eval shingle STRINGS
+    (~50-100 B/gram). The filter is ~1 byte per member at a 2% FP rate — at a
+    10⁸-gram eval corpus that is ~100 MB of strings vs ~12 MB of filter words,
+    and only ~2% of non-contaminated train shingles (plus all true matches)
+    reach the verify join, whose probe side shrinks from the whole corpus
+    stream to near-contaminated rows only. The verify join itself is left
+    unhinted: AQE picks broadcast while the eval set fits and a shuffle join
+    beyond — by then its train side is the reduced survivor stream."""
+    ev_sh = eval_shingles.select("shingle").distinct()
+    filt = bloom_filter_words(ev_sh, n_words)
+
+    probed = train_shingles
+    for i, (wi, mask) in enumerate(_bloom_probes(F.col("shingle"), n_words)):
+        probed = probed.withColumn(f"__wi{i}", wi).withColumn(f"__mask{i}", mask)
+        f_i = filt.withColumnRenamed("wi", f"__wi{i}").withColumnRenamed(
+            "word", f"__word{i}"
+        )
+        probed = probed.join(F.broadcast(f_i), f"__wi{i}", "left")
+    survivors = probed.where(
+        (F.coalesce(F.col("__word0"), F.lit(0)).bitwiseAND(F.col("__mask0")) != 0)
+        & (F.coalesce(F.col("__word1"), F.lit(0)).bitwiseAND(F.col("__mask1")) != 0)
+    ).select(id_col, "shingle")
+    return (
+        survivors.join(ev_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+def _decontam_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = corpus_shingles(spark, sf_dir)
+    return decontaminate_bloom(
+        sh.where(F.col("doc_id") % EVAL_MOD != 0),
+        sh.where(F.col("doc_id") % EVAL_MOD == 0),
+    )
+
+
 # --- sequence packing --------------------------------------------------------
 
 
@@ -801,6 +900,18 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_DECONTAM_ORACLE,
         doc="Train docs sharing n-grams with the eval set (broadcast eval-shingle join).",
         tags=("pipeline", "decontam"),
+    ),
+    "decontaminate_bloom": QuerySpec(
+        name="decontaminate_bloom",
+        builder=_decontam_bloom_q,
+        # identical output to the exact path by construction (no false
+        # negatives + exact verify of survivors) → shares the exact oracle
+        oracle=_DECONTAM_ORACLE,
+        doc="Decontamination through a portable 2-hash Bloom pre-filter "
+        "(BIGINT bit-words + bit_or agg, broadcast-join probes, exact verify "
+        "of survivors) — ~1 B/gram filter instead of broadcasting eval-gram "
+        "strings; output identical to decontaminate_train.",
+        tags=("pipeline", "decontam", "sketch", "bloom"),
     ),
     "pack_sequences": QuerySpec(
         name="pack_sequences",

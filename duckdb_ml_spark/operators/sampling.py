@@ -557,7 +557,118 @@ FROM documents GROUP BY 1
 """
 
 
+# --- curriculum mixture scheduling over epochs -------------------------------
+
+CUR_EPOCHS = 5  # epoch fraction e/(E-1) ∈ {0, ¼, ½, ¾, 1} — exact binary
+
+
+def curriculum_counts(
+    df: DataFrame,
+    weight_target: Column,
+    id_col: str = "doc_id",
+    epochs: int = CUR_EPOCHS,
+    salt: str = "cur",
+) -> DataFrame:
+    """Per-(row, epoch) replica counts under a linearly ANNEALED mixture
+    weight: epoch 0 samples every source uniformly (w=1), the final epoch
+    samples at the target mixture weight, and intermediate epochs interpolate
+    — the curriculum/annealing schedule of a multi-epoch pretraining run
+    (start broad, converge to the tuned mixture).
+
+    w_e = 1 + (e/(E-1))·(w_target − 1); count = floor(w_e) + bernoulli(frac)
+    with the bernoulli uniform drawn from md5(salt‖e‖':'‖id) — a fresh
+    independent draw per epoch, so consecutive epochs don't repeat the same
+    fractional-row choices (mixture_resample's contract, re-seeded per epoch).
+
+    Determinism contract: with E-1 a power of two and w_target built from
+    exact binary fractions, every w_e (and its floor/frac) is an exact
+    double on any IEEE engine; the uniform is an exact int64/2^60 quotient.
+
+    Scale shape: one scan — the epoch dimension is an in-row explode (E× map
+    output, no shuffle), counts are pure column expressions; only the final
+    per-(epoch, source) rollup aggregates. At 100 TB this prices E epochs of
+    mixture schedule in a single pass over the corpus manifest."""
+    t = df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1)))
+    )
+    frac_e = F.col("epoch").cast("double") / F.lit(float(epochs - 1))
+    w = F.lit(1.0) + frac_e * (weight_target - F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    cnt = F.floor(w).cast("int") + (u < (w - F.floor(w))).cast("int")
+    return t.withColumn("__w", w).withColumn("__cnt", cnt)
+
+
+def _curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, source) schedule table over the 20-source corpus: the
+    target weight is the mixture query's deterministic 0.25..3.75 ramp, so
+    epoch 0 is uniform and epoch 4 equals sample_mixture_resample's rates.
+    Hashed output is integer-only: w_x16 (the scheduled weight in exact
+    sixteenths), docs selected ≥1×, and total replica rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    wt = F.lit(0.25) + (F.substring("source", 4, 8).cast("int") % 8) * F.lit(0.5)
+    c = curriculum_counts(docs, wt)
+    return c.groupBy(
+        F.col("epoch").cast("bigint").alias("epoch"), F.col("source")
+    ).agg(
+        (F.max("__w") * 16).cast("int").alias("w_x16"),
+        F.sum((F.col("__cnt") >= 1).cast("int")).cast("bigint").alias("n_docs"),
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           0.25::DOUBLE + (substr(source, 4)::INT % 8) * 0.5::DOUBLE AS wt
+    FROM documents
+),
+x AS (
+    SELECT epoch, source,
+           1.0::DOUBLE + (epoch::DOUBLE / {float(CUR_EPOCHS - 1)}) * (wt - 1.0::DOUBLE) AS w,
+           ('0x' || substr(md5('cur' || epoch::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
+               / {float(1 << 60)} AS u
+    FROM d CROSS JOIN (SELECT unnest(generate_series(0, {CUR_EPOCHS - 1})) AS epoch)
+),
+c AS (
+    SELECT epoch, source, w,
+           (floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END)::INT AS cnt
+    FROM x
+)
+SELECT epoch, source,
+       (max(w) * 16)::INT AS w_x16,
+       sum(CASE WHEN cnt >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(cnt)::BIGINT AS n_rows
+FROM c GROUP BY epoch, source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_curriculum": QuerySpec(
+        "sample_curriculum", _curriculum_q, _CURRICULUM_ORACLE,
+        doc="Curriculum mixture schedule: per-epoch source weights annealed "
+        "uniform → target over 5 epochs, fresh per-epoch bernoulli draws; "
+        "one-scan explode plan, integer-only hashed output.",
+        tags=("sampling", "pipeline", "mixing", "curriculum"),
+    ),
     "sample_group_split": QuerySpec(
         "sample_group_split", _group_split_q, _GROUP_SPLIT_ORACLE,
         doc="Leakage-safe group-aware 80/20 split (hash the source, not the "

