@@ -161,6 +161,7 @@ _EXEC_AT_BUILD = frozenset(
         "dedup_editdist_verify",  # same bounded LSH-candidate collect
         "dedup_minhash_lsh_pairs",  # bounded signature collect
         "dedup_clusters",  # bounded edge collect (union-find)
+        "dedup_clusters_distributed",  # propagation rounds execute at build
         "dedup_keep_docs",
         "dedup_keep_best",  # rides the same bounded union-find collect
         "sim_tfidf_rescore",  # LSH candidate collect feeds the rescore

@@ -765,6 +765,21 @@ def _dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, _minhash_lsh_pairs_q(spark, sf_dir))
 
 
+def _dedup_clusters_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters with the bounded-collect gate FORCED OFF
+    (max_collect_edges=0): the distributed min-label-propagation path — the
+    plan that runs when the near-dup edge set exceeds driver memory at
+    100 TB. Same output contract as dedup_clusters (oracle shared), so the
+    scale path is value-hash-checked against the recursive-CTE transitive
+    closure, not just pytest-equivalence-checked against the union-find
+    path. Converges in diameter rounds; near-dup clusters are shallow
+    (dense blobs around a template), so rounds ≈ 2-3 here."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, _minhash_lsh_pairs_q(spark, sf_dir), max_collect_edges=0
+    )
+
+
 def _dedup_clusters_oracle() -> str:
     # transitive closure via recursive CTE (UNION dedups -> terminates), then
     # min reachable id per node; isolated docs cluster with themselves
@@ -1689,6 +1704,15 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=_dedup_clusters_oracle(),
         doc="Connected-component cluster ids over MinHash-LSH near-dup pairs.",
         tags=("dedup", "clustering"),
+    ),
+    "dedup_clusters_distributed": QuerySpec(
+        name="dedup_clusters_distributed",
+        builder=_dedup_clusters_distributed_q,
+        oracle=_dedup_clusters_oracle(),
+        doc="Connected components via distributed min-label propagation "
+        "(the above-gate 100 TB path, forced), hash-checked against the "
+        "same transitive-closure oracle as dedup_clusters.",
+        tags=("dedup", "clustering", "scale"),
     ),
     "dedup_keep_docs": QuerySpec(
         name="dedup_keep_docs",
