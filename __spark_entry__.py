@@ -212,6 +212,7 @@ _EXEC_AT_BUILD = frozenset(
         "layout_zorder_scan",
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
+        "sample_per_source_k",  # same keyed_global_rank cached-count gate
         # r6 late: centroid-matrix collect (cached dataset artifact) at build
         "dedup_semantic",
         # r8 late: sampled hot-key profile collect at build

@@ -557,6 +557,62 @@ FROM documents GROUP BY 1
 """
 
 
+# --- deterministic per-group uniform k-sample --------------------------------
+
+
+def per_source_uniform_k(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: str = "ksample",
+    cache_key=None,
+) -> DataFrame:
+    """Exactly-k uniform sample per group (fewer if the group is smaller):
+    the k docs with the smallest md5(salt:id) hashes — a deterministic
+    reservoir (bottom-k by hash ≡ uniform without replacement), the standard
+    construction for fixed-size per-source eval holdouts and spot-check
+    panels. Reproducible on any partitioning; adding docs to a group only
+    ever swaps members at the boundary (hash order is stable).
+
+    Scale shape: ranks come from plans/orderstats.keyed_global_rank — below
+    its gate one window per group, above it the two-pass range-bucket rank,
+    so no group ever sorts on a single task at 100 TB."""
+    from duckdb_ml_spark.plans.orderstats import keyed_global_rank
+
+    t = df.select(group_col, id_col).withColumn(
+        "__h", hash_uint(F.col(id_col), salt, 15)
+    )
+    r = keyed_global_rank(
+        t, key=group_col, value_col="__h", tiebreak_col=id_col, cache_key=cache_key
+    )
+    return r.where(F.col("__rn") <= k).select(
+        group_col, id_col, F.col("__rn").cast("bigint").alias("pos")
+    )
+
+
+def _per_source_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return per_source_uniform_k(
+        load(spark, sf_dir, "documents"),
+        cache_key=(sf_dir, "documents", "ksample"),
+    )
+
+
+_PER_SOURCE_K_ORACLE = f"""
+WITH t AS (
+    SELECT source, doc_id,
+           {_hash_uint_sql("doc_id", "ksample", 15)} AS h
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS pos
+    FROM t
+)
+SELECT source, doc_id, pos FROM r WHERE pos <= 10
+"""
+
+
 # --- curriculum mixture scheduling over epochs -------------------------------
 
 CUR_EPOCHS = 5  # epoch fraction e/(E-1) ∈ {0, ¼, ½, ¾, 1} — exact binary
@@ -662,6 +718,13 @@ FROM c GROUP BY epoch, source
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "sample_per_source_k": QuerySpec(
+        "sample_per_source_k", _per_source_k_q, _PER_SOURCE_K_ORACLE,
+        doc="Deterministic per-source uniform k-sample (bottom-k by hash — "
+        "the reservoir construction for fixed-size eval holdouts), ranks "
+        "via the gated two-pass keyed rank.",
+        tags=("sampling", "pipeline", "holdout"),
+    ),
     "sample_curriculum": QuerySpec(
         "sample_curriculum", _curriculum_q, _CURRICULUM_ORACLE,
         doc="Curriculum mixture schedule: per-epoch source weights annealed "

@@ -897,7 +897,99 @@ def functools_left_fold(exprs: list[str]) -> str:
     return out
 
 
+# --- count-min frequency sketch ----------------------------------------------
+
+# d=2 hash rows × CM_WIDTH counters: the fixed-size frequency sketch
+# (Cormode & Muthukrishnan 2005). est(word) = min over rows of its counter —
+# always ≥ the true count (collisions only ADD). Built from the repo's
+# cross-engine md5 hash, so — like dq_distinct_sketch and unlike engine HLLs —
+# the RAW counter values and estimates hash-pair between engines.
+CM_WIDTH = 1024
+_CM_SALTS = ("cm0", "cm1")
+
+
+def countmin_counters(words: DataFrame, width: int = CM_WIDTH) -> DataFrame:
+    """(r, b, c): the d×width counter table over a one-column word stream.
+    Map-side combinable sum — the shuffle carries ≤ d·width rows per input
+    partition regardless of vocabulary size (the whole point at 100 TB:
+    frequency estimation with fixed state, no per-word shuffle)."""
+    from duckdb_ml_spark.operators.sampling import hash_uint
+
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (hash_uint(F.col("w"), salt) % width).alias("b"),
+            )
+            for i, salt in enumerate(_CM_SALTS)
+        ]
+    )
+    return (
+        words.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """(word, n_exact, n_est) for the exact top-k corpus words: the count-min
+    estimate joined against ground truth — the sketch-validation table
+    (n_est ≥ n_exact by construction; equality when the word's two buckets
+    are collision-free). Exact side is the comparator, sketch side is the
+    scale path — same audit discipline as events_distinct_users_approx."""
+    from duckdb_ml_spark.operators.sampling import hash_uint
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    cm = countmin_counters(toks)
+
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("w"))
+        .limit(k)
+    )
+    for i, salt in enumerate(_CM_SALTS):
+        top = top.withColumn(f"__b{i}", hash_uint(F.col("w"), salt) % CM_WIDTH)
+        c_i = cm.where(F.col("r") == i).select(
+            F.col("b").alias(f"__b{i}"), F.col("c").alias(f"__c{i}")
+        )
+        top = top.join(F.broadcast(c_i), f"__b{i}")
+    return top.select(
+        F.col("w").alias("word"),
+        "n_exact",
+        F.least("__c0", "__c1").cast("bigint").alias("n_est"),
+    )
+
+
+def _countmin_oracle(k: int = 20) -> str:
+    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
+
+    h0 = _hash_uint_sql("w", _CM_SALTS[0])
+    h1 = _hash_uint_sql("w", _CM_SALTS[1])
+    return f"""
+WITH toks AS (SELECT unnest({tokens_sql("text")}) AS w FROM documents),
+hashed AS (SELECT w, {h0} % {CM_WIDTH} AS b0, {h1} % {CM_WIDTH} AS b1 FROM toks),
+c0 AS (SELECT b0 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
+c1 AS (SELECT b1 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
+top AS (
+    SELECT w, b0, b1, count(*)::BIGINT AS n_exact
+    FROM hashed GROUP BY w, b0, b1
+    ORDER BY n_exact DESC, w ASC LIMIT {k}
+)
+SELECT t.w AS word, t.n_exact, least(c0.c, c1.c)::BIGINT AS n_est
+FROM top t JOIN c0 ON c0.b = t.b0 JOIN c1 ON c1.b = t.b1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_countmin_freq": QuerySpec(
+        "text_countmin_freq", countmin_topk_audit, _countmin_oracle(),
+        doc="Count-min frequency sketch audit: d=2×1024 cross-engine-"
+        "deterministic counters, estimates (always ≥ exact) joined against "
+        "the exact top-20 words.",
+        tags=("text", "sketch", "approx"),
+    ),
     "text_bm25_scores": QuerySpec(
         "text_bm25_scores", bm25_scores, _bm25_oracle(),
         doc="BM25 keyword relevance per doc (odds-idf variant; r9: exact "

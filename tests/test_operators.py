@@ -1678,3 +1678,47 @@ def test_distinct_sketch_filter_precedes_distinct(spark, sf_dir):
 
     plan = _distinct_sketch_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "expand" in plan.lower() or "rollup" in plan.lower() or "Expand" in plan
+
+
+def test_countmin_overestimates_and_fixed_state(spark, sf_dir):
+    """CM invariants: est >= exact for every audited word; each hash row's
+    counters sum to the total token count (every token lands in exactly one
+    bucket per row); the counter table never exceeds d x width rows."""
+    from duckdb_ml_spark.operators.text import (
+        CM_WIDTH,
+        _CM_SALTS,
+        countmin_counters,
+        countmin_topk_audit,
+    )
+    from duckdb_ml_spark.operators.textnorm import tokens
+
+    rows = countmin_topk_audit(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.n_est >= r.n_exact for r in rows)
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    cm = countmin_counters(toks)
+    assert cm.count() <= len(_CM_SALTS) * CM_WIDTH
+    n_toks = toks.count()
+    sums = {r.r: r.s for r in cm.groupBy("r").agg(F.sum("c").alias("s")).collect()}
+    assert sums == {i: n_toks for i in range(len(_CM_SALTS))}
+
+
+def test_per_source_k_sample_shape_and_determinism(spark, sf_dir):
+    """Exactly min(k, |source|) rows per source with contiguous 1..k ranks;
+    repeat runs return the identical membership."""
+    from duckdb_ml_spark.operators.sampling import per_source_uniform_k
+
+    docs = load(spark, sf_dir, "documents")
+    out1 = per_source_uniform_k(docs, k=7).collect()
+    out2 = per_source_uniform_k(docs, k=7).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    by_src = {}
+    for r in out1:
+        by_src.setdefault(r.source, []).append(r.pos)
+    for src, poss in by_src.items():
+        assert sorted(poss) == list(range(1, min(7, sizes[src]) + 1))
+    assert set(by_src) == {s for s, n in sizes.items() if n > 0}
