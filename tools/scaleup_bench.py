@@ -111,6 +111,27 @@ DEFAULT_QUERIES = [
     "dq_key_skew",
     "sample_group_split",
     "text_bm25_scores",
+    # r9 second session: the similarity SERVING family over the now-scaled
+    # embeddings table (scale_embeddings — replicated+perturbed vectors, so
+    # the 65 536 collect gates cross at 64× and the distributed kernels run).
+    # The k-means/codebook families (ivf/pq/ivfpq) are excluded: their
+    # builders TRAIN at build time per invocation — the probe would measure
+    # training, not serving (build-vs-serve asymmetry documented in VERDICT
+    # r8 plan audit).
+    "sim_topk_bruteforce",
+    "sim_quantized_topk",
+    "dedup_embedding_lsh_sigs",
+    "dedup_semantic",
+    # r9 second session additions with a data-bound scale story. The
+    # candidate-pair consumers (dedup_clusters_distributed, editdist) stay
+    # excluded: derived corpora make every doc a factor-way near-dup family,
+    # so pair counts grow quadratically BY CONSTRUCTION of the derivation,
+    # not by engine behavior.
+    "decontaminate_bloom",
+    "dq_distinct_sketch",
+    "text_countmin_freq",
+    "sample_per_source_k",
+    "sample_curriculum",
 ]
 
 
@@ -147,6 +168,33 @@ def build_derived(out_dir: Path, factor: int) -> None:
     marker.touch()
 
 
+def scale_embeddings(out_dir: Path, factor: int) -> None:
+    """Replace the dim-copied embeddings table with a FACTOR-replicated one
+    (vec_id shifted, vectors perturbed per replica so replicas are near- but
+    not exact-duplicates) — gives the similarity SERVING family real above-
+    gate scale behavior (65 536-row collect gates cross at 64×). Separate
+    marker so existing fact caches (24 GB at 1024×) are not re-derived."""
+    import duckdb
+
+    marker = out_dir / "_EMB_SCALED"
+    if marker.exists():
+        return
+    con = duckdb.connect()
+    con.execute(f"SET max_expression_depth TO {max(1000, factor * 8)}")
+    parts = [
+        f"SELECT vec_id + {i * 1_000_000} AS vec_id, "
+        f"list_transform(embedding, x -> (x * (1.0 + {i} * 1e-6) + {i % 97} * 1e-7)::FLOAT) AS embedding, "
+        f"label "
+        f"FROM '{SRC_SF}/embeddings.parquet'"
+        for i in range(factor)
+    ]
+    union = " UNION ALL ".join(parts)
+    con.execute(
+        f"COPY ({union}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    marker.touch()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=16)
@@ -158,6 +206,7 @@ def main() -> int:
     out_dir = REPO / ".tmp" / f"sfx{args.factor}"
     t0 = time.time()
     build_derived(out_dir, args.factor)
+    scale_embeddings(out_dir, args.factor)
     print(f"derived data ready in {time.time() - t0:.1f}s: {out_dir}", file=sys.stderr)
 
     names = args.only.split(",") if args.only else DEFAULT_QUERIES
