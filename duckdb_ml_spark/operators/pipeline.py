@@ -57,26 +57,42 @@ def corpus_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return df
 
 
+# Above this corpus doc count the decontam/containment eval-gram side is no
+# longer force-broadcast: at the r9 1024× probe (5.1 M docs) the mod-17
+# pseudo-benchmark expands to ~11 M distinct grams, and the PINNED broadcast
+# hash relation starved the per-doc aggregation to AGGREGATE_OUT_OF_MEMORY
+# (same failure mode as the span-fraction SHUFFLE_HASH builds, fixed the same
+# way: size-gate the strategy). Below the gate (≤ ~2.2 M grams ≈ 100 MB) the
+# broadcast-semi-join stays — it is the right plan for REAL benchmarks, whose
+# gram sets are corpus-independent (~10⁴-10⁶). Above it the join falls back
+# to spillable sort-merge; at true 100 TB the answer is decontaminate_bloom,
+# whose filter is ~1 byte/gram and stays broadcastable ~50× longer.
+DECONTAM_BROADCAST_DOC_GATE = 1_000_000
+
+
 def contaminated_from_shingles(
     train_shingles: DataFrame,
     eval_shingles: DataFrame,
     id_col: str = "doc_id",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(doc_id, n_shared) from precomputed (doc, shingle) relations: every
     train doc sharing ≥1 distinct n-gram with ANY eval doc; n_shared is the
     "contamination mass" used for thresholding.
 
-    Scale shape: the eval shingle set is tiny versus the corpus (benchmarks
-    are ~10⁴-10⁶ grams), so it BROADCASTS; the train shingle stream joins it
-    map-side and only matching (doc, shingle) rows reach the one groupBy
-    shuffle. The corpus text itself never shuffles. At 100 TB this is a
-    broadcast-semi-join over the scan — the canonical decontamination plan."""
+    Scale shape: a corpus-independent eval gram set (real benchmarks,
+    ~10⁴-10⁶ grams) BROADCASTS; the train shingle stream joins it map-side
+    and only matching (doc, shingle) rows reach the one groupBy shuffle —
+    the canonical decontamination plan. Pass broadcast_eval=False when the
+    eval side scales with the corpus (see DECONTAM_BROADCAST_DOC_GATE)."""
     ev_sh = eval_shingles.select("shingle").distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
     # filter FIRST (map-side broadcast join), dedup AFTER: only eval-matching
     # (doc, shingle) rows ever reach the shuffle, and countDistinct dedups the
     # train doc's repeated shingles in the same agg pass
     return (
-        train_shingles.join(F.broadcast(ev_sh), "shingle")
+        train_shingles.join(ev_sh, "shingle")
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_shared"))
     )
@@ -99,11 +115,21 @@ def contaminated_docs(
     )
 
 
+def _broadcast_eval_ok(spark: SparkSession, sf_dir: str) -> bool:
+    """True while the mod-17 pseudo-benchmark's gram set is broadcast-safe
+    (corpus ≤ DECONTAM_BROADCAST_DOC_GATE docs; memoized count)."""
+    from duckdb_ml_spark.operators.dedup import _cached_count
+
+    n = _cached_count(load(spark, sf_dir, "documents"), (sf_dir, "documents"))
+    return n <= DECONTAM_BROADCAST_DOC_GATE
+
+
 def _decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus_shingles(spark, sf_dir)
     return contaminated_from_shingles(
         sh.where(F.col("doc_id") % EVAL_MOD != 0),
         sh.where(F.col("doc_id") % EVAL_MOD == 0),
+        broadcast_eval=_broadcast_eval_ok(spark, sf_dir),
     )
 
 
@@ -664,17 +690,24 @@ def containment_from_shingles(
     probe_shingles: DataFrame,
     reference_shingles: DataFrame,
     id_col: str = "doc_id",
+    broadcast_ref: bool = True,
 ) -> DataFrame:
     """Containment scores from precomputed (doc, shingle) relations (the
-    shingle-sharing core of containment_vs_reference)."""
-    ref_sh = reference_shingles.select("shingle").distinct()
+    shingle-sharing core of containment_vs_reference). broadcast_ref=False
+    when the reference gram set scales with the corpus
+    (DECONTAM_BROADCAST_DOC_GATE — the 1024×-probe OOM class)."""
+    ref = reference_shingles.select("shingle").distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    if broadcast_ref:
+        ref = F.broadcast(ref)
     # dedup (doc, shingle) FIRST — one exchange clustered by doc_id, which the
     # downstream groupBy(doc_id) reuses — then the rollup uses plain count/sum
     # aggregates; two count_distinct's in one agg would trigger an Expand
     # (input doubled)
     pr_sh = probe_shingles.repartition(id_col).dropDuplicates([id_col, "shingle"])
     scored = (
-        pr_sh.join(F.broadcast(ref_sh.withColumn("__hit", F.lit(1))), "shingle", "left")
+        pr_sh.join(ref, "shingle", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -692,7 +725,10 @@ def containment_from_shingles(
 def _containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus_shingles(spark, sf_dir)
     return containment_from_shingles(
-        sh.where(F.col("doc_id") % 2 == 1), sh.where(F.col("doc_id") % 2 == 0)
+        sh.where(F.col("doc_id") % 2 == 1),
+        sh.where(F.col("doc_id") % 2 == 0),
+        # the mod-2 reference is HALF the corpus — gate like decontaminate
+        broadcast_ref=_broadcast_eval_ok(spark, sf_dir),
     )
 
 
@@ -752,12 +788,14 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = deduped.where(F.col("doc_id") % EVAL_MOD != 0)
     sh = corpus_shingles(spark, sf_dir)
     ev_sh = sh.where(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    if _broadcast_eval_ok(spark, sf_dir):  # same gate as decontaminate_train
+        ev_sh = F.broadcast(ev_sh)
     # only the contaminated id SET matters here (no n_shared threshold), so a
     # distinct projection replaces decontaminate_train's countDistinct agg —
     # same ids, one cheap int64 distinct instead of a per-doc count
     contaminated_ids = (
         sh.where(F.col("doc_id") % EVAL_MOD != 0)
-        .join(F.broadcast(ev_sh), "shingle")
+        .join(ev_sh, "shingle")
         .select("doc_id")
         .distinct()
     )

@@ -331,3 +331,22 @@ def test_decontaminate_bloom_probe_side_has_no_pre_verify_shuffle(spark, sf_dir)
     )
     # two probe joins + (possibly) the verify join ride broadcast
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_decontam_nonbroadcast_branch_equals_broadcast(spark, sf_dir):
+    """Above DECONTAM_BROADCAST_DOC_GATE the eval side must not be pinned as
+    a broadcast (the r9 1024x OOM class): the fallback join must produce the
+    identical result and its plan must not force a BroadcastExchange on the
+    eval-gram relation."""
+    from duckdb_ml_spark.operators.pipeline import (
+        EVAL_MOD,
+        contaminated_from_shingles,
+        corpus_shingles,
+    )
+
+    sh = corpus_shingles(spark, sf_dir)
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = sh.where(F.col("doc_id") % EVAL_MOD == 0)
+    on = contaminated_from_shingles(train, ev, broadcast_eval=True)
+    off = contaminated_from_shingles(train, ev, broadcast_eval=False)
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
