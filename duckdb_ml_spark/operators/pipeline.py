@@ -47,12 +47,28 @@ PACK_CAPACITY = 256  # tokens per pack
 _SHINGLE_CACHE: dict = {}
 
 
+# Above this doc count the shingle relation is NOT localCheckpoint'ed:
+# checkpoint blocks are deserialized Java-object rows, and every consumer
+# tries to promote them from disk back into heap
+# (BlockManager.maybeCacheDiskValuesInMemory → putIteratorAsValues) — at the
+# r9 1024× probe (5.1 M docs ⇒ ~195 M (doc, shingle) rows) that promotion
+# OOM'd the JVM heap outright. Above the gate the relation stays LAZY:
+# shingling is one-pass scan-time work (tokenize + explode), which is exactly
+# how a 100 TB decontam pipeline consumes its corpus — inline over the scan,
+# with the persisted form being a parquet gram INDEX, not an in-memory cache.
+SHINGLE_CHECKPOINT_DOC_GATE = 1_000_000
+
+
 def corpus_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    from duckdb_ml_spark.operators.dedup import _cached_count
+
     key = (id(spark), sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
         docs = load(spark, sf_dir, "documents")
-        df = exploded_shingles(docs, n=n).localCheckpoint(eager=True)
+        df = exploded_shingles(docs, n=n)
+        if _cached_count(docs, (sf_dir, "documents")) <= SHINGLE_CHECKPOINT_DOC_GATE:
+            df = df.localCheckpoint(eager=True)
         _SHINGLE_CACHE[key] = df
     return df
 
