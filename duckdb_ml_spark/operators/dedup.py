@@ -1373,6 +1373,19 @@ SELECT anchor, other, 0 AS label FROM neg
 
 SEM_STRIDE = 25  # vec_id % 25 == 0 → corpus/25 coarse centroids (oracle-parity mode)
 SEM_TAU = 0.4  # within-cluster cosine at/above which the higher id is dropped
+# Above this member count a cluster is re-partitioned before the pairwise
+# step (SemDeDup's own recluster-oversized move, arXiv:2303.09540 §3): the
+# r9 64× probe hit a collapsed mega-cluster whose n² float64 cosine block
+# (n ≈ tens of thousands → multi-GB, 64 accumulation passes) pinned one task
+# for tens of minutes. Never reached at driver check scales (max cluster
+# ≈ stride members), so the oracle stays exact; above it the within-cluster
+# prune is computed per sub-cluster — a documented approximation.
+SEM_MAX_CLUSTER = 4096
+# Centroid-matrix tile width for the assign kernel: bounds the per-batch
+# dot-product working set to batch×tile (an Arrow batch is ~10k rows →
+# ~640 MB ceiling) however many centroids the corpus implies (82k at the
+# 1024× derivation).
+SEM_CENT_TILE = 8192
 
 
 def semantic_dedup(
@@ -1396,16 +1409,20 @@ def semantic_dedup(
     Plan shape (the one that scales):
       1. ONE corpus scan assigns each vector to its nearest centroid
          (broadcast centroid matrix, fused Arrow kernel — same
-         argmax/tie-break recipe as ivf_topk; at huge k, tile the centroid
-         matrix block-by-block inside the same kernel).
+         argmax/tie-break recipe as ivf_topk; the centroid matrix is TILED
+         SEM_CENT_TILE columns at a time, so the per-batch working set is
+         bounded however many centroids the corpus implies).
       2. ONE shuffle co-locates each cluster (hash repartition on bucket —
-         the only exchange; clusters ≈ N/stride or √N so AQE absorbs skew,
-         and a pathological mega-cluster would be sub-divided by a second
-         stride level before the pairwise step).
+         the only exchange; clusters ≈ N/stride or √N so AQE absorbs skew).
       3. Per-partition Arrow kernel computes each cluster's member×member
          cosine block (sequential-fold matrix kernel, bit-identical to
          DuckDB's list_cosine_similarity) and keeps rows with no ≥tau
-         predecessor. No pair list is ever materialized or shuffled.
+         predecessor. No pair list is ever materialized or shuffled. A
+         cluster above SEM_MAX_CLUSTER members is first re-partitioned by a
+         deterministic spherical seed assignment (SemDeDup's own
+         recluster-oversized move) and pruned per sub-cluster — drops become
+         a SUBSET of the exact within-cluster drops; never triggered at
+         driver check scales, so the oracle stays exact.
 
     centroids="stride" is the oracle-parity quantizer (id % stride — a
     modulo sample DuckDB replicates exactly, same as sim_topk_ivf);
@@ -1448,7 +1465,20 @@ def semantic_dedup(
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf["embedding"].to_numpy())
-            buckets = cids_b[np.argmax(_seq_cosine_matrix(A, CMb), axis=1)]
+            # tile the centroid matrix (docstring's "at huge k" clause): a
+            # strict > update keeps the FIRST max across tiles — identical
+            # tie-break to one whole-matrix np.argmax (lowest c_id, since
+            # cent_ids is sorted ascending and tiles scan in order)
+            best_val = np.full(len(A), -np.inf)
+            best_idx = np.zeros(len(A), dtype=np.int64)
+            for t0 in range(0, len(CMb), SEM_CENT_TILE):
+                cos_t = _seq_cosine_matrix(A, CMb[t0 : t0 + SEM_CENT_TILE])
+                ti = np.argmax(cos_t, axis=1)
+                tv = cos_t[np.arange(len(A)), ti]
+                upd = tv > best_val
+                best_val[upd] = tv[upd]
+                best_idx[upd] = ti[upd] + t0
+            buckets = cids_b[best_idx]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -1461,6 +1491,26 @@ def semantic_dedup(
         id_col, F.col("embedding").cast("array<double>").alias("embedding")
     ).mapInPandas(assign, f"{id_col} bigint, bucket bigint, embedding array<double>")
 
+    def _prune_block(M):
+        # dropped[i] ⇔ ∃ j<i (id order) with cos ≥ tau — exact within a block
+        C = _seq_cosine_matrix(M, M)
+        lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)  # j < i ⇒ id_j < id_i
+        return ((C >= tau) & lower).any(axis=1)
+
+    def _subclusters(M, max_size):
+        # SemDeDup's recluster-oversized step, deterministic: single-pass
+        # spherical assignment to the first 2·⌈n/max_size⌉ members (id
+        # order), then a contiguous hard split of any still-oversized
+        # sub-cluster guarantees the bound.
+        k = max(2, -(-len(M) // max_size) * 2)
+        sub = np.argmax(_seq_cosine_matrix(M, M[:k]), axis=1)
+        for s in range(k):
+            idx = np.nonzero(sub == s)[0]
+            for off in range(0, len(idx), max_size):
+                block = idx[off : off + max_size]
+                if len(block):
+                    yield block
+
     def prune(batches):
         frames = [pdf for pdf in batches if len(pdf)]
         if not frames:
@@ -1469,9 +1519,13 @@ def semantic_dedup(
         for bucket, g in part.groupby("bucket", sort=False):
             g = g.sort_values(id_col)
             M = np.stack(g["embedding"].to_numpy())
-            C = _seq_cosine_matrix(M, M)
-            lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)  # j < i ⇒ id_j < id_i
-            dropped = ((C >= tau) & lower).any(axis=1)
+            if len(g) <= SEM_MAX_CLUSTER:
+                dropped = _prune_block(M)
+            else:
+                dropped = np.zeros(len(g), dtype=bool)
+                for idx in _subclusters(M, SEM_MAX_CLUSTER):
+                    # np.nonzero indices are ascending ⇒ id order preserved
+                    dropped[idx] = _prune_block(M[idx])
             yield pd.DataFrame(
                 {id_col: g[id_col].to_numpy(), "bucket": bucket, "kept": ~dropped}
             )

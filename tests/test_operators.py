@@ -1722,3 +1722,31 @@ def test_per_source_k_sample_shape_and_determinism(spark, sf_dir):
     for src, poss in by_src.items():
         assert sorted(poss) == list(range(1, min(7, sizes[src]) + 1))
     assert set(by_src) == {s for s, n in sizes.items() if n > 0}
+
+
+def test_semantic_dedup_centroid_tiling_equivalence(spark, sf_dir, monkeypatch):
+    """Assign must be tile-invariant: a tiny SEM_CENT_TILE (forcing many
+    tiles + the strict-> tie-break) yields the identical (bucket, kept)."""
+    import duckdb_ml_spark.operators.dedup as dd
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
+    monkeypatch.setattr(dd, "SEM_CENT_TILE", 3)
+    tiled = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
+    assert tiled == base
+
+
+def test_semantic_dedup_oversized_cluster_subdivision(spark, sf_dir, monkeypatch):
+    """Force the mega-cluster path (tiny SEM_MAX_CLUSTER): every row still
+    appears exactly once, and the subdivided drops are a SUBSET of the exact
+    within-cluster drops (subdivision only removes comparisons)."""
+    import duckdb_ml_spark.operators.dedup as dd
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {r.vec_id: r.kept for r in dd.semantic_dedup(emb).collect()}
+    monkeypatch.setattr(dd, "SEM_MAX_CLUSTER", 8)
+    sub = {r.vec_id: r.kept for r in dd.semantic_dedup(emb).collect()}
+    assert set(sub) == set(exact)
+    dropped_sub = {k for k, kept in sub.items() if not kept}
+    dropped_exact = {k for k, kept in exact.items() if not kept}
+    assert dropped_sub <= dropped_exact
