@@ -1487,9 +1487,18 @@ def semantic_dedup(
                 }
             )
 
-    assigned = emb.select(
-        id_col, F.col("embedding").cast("array<double>").alias("embedding")
-    ).mapInPandas(assign, f"{id_col} bigint, bucket bigint, embedding array<double>")
+    # single-file corpora scan as ONE partition locally (an N-row embeddings
+    # parquet is only N·d·4 bytes — under one 128 MB split far past the
+    # collect gates) — spread the stream so the accumulation-heavy assign
+    # kernel runs task-parallel, exactly like vec.py's pair kernel. The r9
+    # 64× probe measured the unspread form: ONE task ground the whole
+    # 128k×5k assign for 8+ min. No-op cost at scale: rows carry id+vector.
+    par = max(8, spark.sparkContext.defaultParallelism // 2)
+    assigned = (
+        emb.select(id_col, F.col("embedding").cast("array<double>").alias("embedding"))
+        .repartition(par)
+        .mapInPandas(assign, f"{id_col} bigint, bucket bigint, embedding array<double>")
+    )
 
     def _prune_block(M):
         # dropped[i] ⇔ ∃ j<i (id order) with cos ≥ tau — exact within a block
