@@ -121,7 +121,11 @@ DEFAULT_QUERIES = [
     "sim_topk_bruteforce",
     "sim_quantized_topk",
     "dedup_embedding_lsh_sigs",
-    "dedup_semantic",
+    # dedup_semantic is deliberately absent from the PAIRED list: Spark
+    # streams it (47.5 s at 64× after the r9 tiling/spread fixes,
+    # bench/SCALEUP_x64_r9_new.json notes) but its ORACLE replicates the
+    # centroid assignment as a 128k×5k cross join that DuckDB materializes —
+    # kernel-OOM-killed at 104 GB RSS at 64×. Probe it --skip-duck.
     # r9 second session additions with a data-bound scale story. The
     # candidate-pair consumers (dedup_clusters_distributed, editdist) stay
     # excluded: derived corpora make every doc a factor-way near-dup family,
