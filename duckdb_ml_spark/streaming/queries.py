@@ -187,7 +187,35 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY version_n)
 """
 
 
+def _countmin_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_ml_spark.streaming.stream import countmin_user_counters
+
+    return countmin_user_counters(load(spark, sf_dir, "events"))
+
+
+def _countmin_users_oracle() -> str:
+    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
+    from duckdb_ml_spark.operators.text import CM_WIDTH, _CM_SALTS
+
+    h0 = _hash_uint_sql("w", _CM_SALTS[0])
+    h1 = _hash_uint_sql("w", _CM_SALTS[1])
+    return f"""
+WITH u AS (SELECT user_id::VARCHAR AS w FROM events),
+h AS (SELECT {h0} % {CM_WIDTH} AS b0, {h1} % {CM_WIDTH} AS b1 FROM u)
+SELECT 0 AS r, b0 AS b, count(*)::BIGINT AS c FROM h GROUP BY b0
+UNION ALL
+SELECT 1 AS r, b1 AS b, count(*)::BIGINT AS c FROM h GROUP BY b1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_countmin_users": QuerySpec(
+        "stream_countmin_users", _countmin_users_q, _countmin_users_oracle(),
+        doc="Count-min counters over the user-id event stream: bounded "
+        "(d×1024-row) additive aggregation state at any user cardinality; "
+        "streaming twin pytest-equal in complete mode.",
+        tags=("streaming", "sketch", "approx"),
+    ),
     "stream_scd2_intervals": QuerySpec(
         "stream_scd2_intervals", _scd2_us_q, _SCD2_US_ORACLE,
         doc="Streaming CDC/SCD2 compaction (applyInPandasWithState twin; "

@@ -228,6 +228,21 @@ def hourly_topk_types(ev: DataFrame, k: int = 3, watermark: str | None = None) -
     return rank_topk_types(counts, k=k)
 
 
+def countmin_user_counters(ev: DataFrame) -> DataFrame:
+    """Count-min counters (operators/text.countmin_counters) over the user-id
+    stream: per-user event frequencies sketched into d×1024 additive
+    counters. THE streaming-sketch story: the aggregation state is bounded
+    at d·width rows NO MATTER how many distinct users the stream ever sees
+    (an exact per-user count grows state linearly and is eventually
+    evicted/OOM); counters are plain sums, so the identical plan runs
+    incrementally in complete mode and the final table equals the batch
+    form (tests/test_streaming.py). No watermark required — the sketch is
+    windowless and additive."""
+    from duckdb_ml_spark.operators.text import countmin_counters
+
+    return countmin_counters(ev.select(F.col("user_id").cast("string").alias("w")))
+
+
 def rank_topk_types(counts: DataFrame, k: int = 3) -> DataFrame:
     """Rank stage shared by the batch plan and the foreachBatch sink."""
     from pyspark.sql.window import Window

@@ -339,3 +339,18 @@ def test_stateful_scd2_stream_matches_batch(spark, sf_dir):
     got = _sorted_rows(last, cols)
     want = _sorted_rows(scd2_compact(load(spark, sf_dir, "events")), cols)
     assert got == want and len(got) > 0
+
+
+def test_stream_countmin_matches_batch(spark, sf_dir):
+    """The count-min counter table must be identical computed incrementally
+    (complete mode -- additive sums, bounded d x width state) and as a batch."""
+    from duckdb_ml_spark.operators.text import CM_WIDTH, _CM_SALTS
+    from duckdb_ml_spark.streaming.stream import countmin_user_counters
+
+    batch = countmin_user_counters(load(spark, sf_dir, "events"))
+    stream = countmin_user_counters(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    _run_stream_to_memory(stream, "t_countmin", output_mode="complete")
+    got = _sorted_rows(spark.table("t_countmin"), ["r", "b", "c"])
+    want = _sorted_rows(batch, ["r", "b", "c"])
+    assert got == want and 0 < len(got) <= len(_CM_SALTS) * CM_WIDTH
