@@ -15,90 +15,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-9 rotation (VERDICT r8 items 1/2/3/6), round 5 of the cycle:
-#  - slots 1-5: the ENVIRONMENT-CANARY battery (plans/canary.py — VERDICT r8
-#    item 1): five single-row pairs, each isolating one suspected divergence
-#    axis behind the r5-r8 driver hash-reds that no local configuration
-#    reproduces. The green/red pattern of THIS block in CORRECTNESS_r09 is
-#    the diagnostic readout (interpretation table: NOTES.md).
-#  - slots 6-10: the five r8 reds, re-engineered to be environment-proof by
-#    construction (VERDICT r8 items 2-3): sessionize/SCD2 emit epoch-µs
-#    BIGINTs instead of raw timestamps; BM25 emits exact INT64 rational
-#    num/den pairs (no float/DECIMAL literal on either engine); capped
-#    shards hash per-shard integer rows with integer-only `//` division in
-#    the oracle; winsorized bounds moved from interpolated quantile_cont to
-#    order statistics (exact data values). All five hashes CHANGED.
-#  - slots 11-12: queries this round's diffs touch — sink_token_shards
-#    (oracle n_seqs now integer division; same value, same hash) and
-#    orders_active_streaks (single-exchange sorted-month-array plan,
-#    VERDICT r8 item 8; oracle unchanged).
-#  - slots 13-16: the other r8 newcomers, second confirmation round.
-#  - slot 17: stream_scd2_intervals — the ONLY query never driver-checked
-#    (its oracle also got the µs-pinned rewrite).
-#  - slots 18-50: oldest driver row first: the text_*/pack tail last checked
-#    r4, then the r5 block in registration order (the rest of the r5 block —
-#    range_event_pairs … text_chunk_stride — rotates back next round).
+# Round-10 window (VERDICT r9 items 1-2) — the BISECTION round: the r9 canary
+# battery came back ALL GREEN while 4 of the 5 re-engineered reds stayed RED,
+# falsifying every environment theory; this window localizes the diverging
+# COLUMN(s) instead (plans/bisect.py module docstring has the readout table).
+#  - slots 1-5: the r9 environment-canary battery (kept: continuity + they
+#    anchor interpretation of the new probes).
+#  - slots 6-7: two NEW canaries for the axes r9 never probed — a one-row
+#    events-content fingerprint (canary_events_ts_sum) and a multi-row
+#    NULL-BIGINT + BOOLEAN hash (canary_null_bool).
+#  - slots 8-12: the five reds, UNCHANGED (their hashes must stay stable so
+#    the bisect readout is attributable).
+#  - slots 13-29: the 17 column-bisection probes (3 sessionize, 4 scd2,
+#    4 bm25, 6 winsorized).
+#  - slots 30-37: the 8 never-driver-checked r9 additions (VERDICT r9 item
+#    2). NOTE: text_countmin_freq and decontaminate_bloom enter with their
+#    r10 one-hash-split forms (countmin's hash CHANGED, oracle in lockstep;
+#    bloom's output is unchanged by construction — exact verify).
+#  - slots 38-50: the r5-tail rotation, registration order (first 13 of the
+#    18; the remaining 5 — source_text/orc/schema_evolution, sink_compaction,
+#    source_partitioned_pruned — rotate in r11; ml_pred_sql stays ceded,
+#    rows-only by design).
 # Everything outside the window stays green under tools/oracle_check.py (the
 # identical gate replica) run locally each round.
 _CHECK_PRIORITY = (
-    # environment-canary battery (5) — keep FIRST, in this order
+    # r9 environment-canary battery (5) — keep FIRST, in this order
     "canary_ts_raw",
     "canary_ts_epoch_us",
     "canary_quantile_interp",
     "canary_decimal_literal",
     "canary_float_repr",
-    # the five r8 reds, integerized / de-environmentalized (5)
+    # r10 canaries: the never-probed axes (2)
+    "canary_events_ts_sum",
+    "canary_null_bool",
+    # the five driver-red rows, unchanged (5)
     "orders_winsorized_stats",
     "events_sessionize",
     "events_scd2_intervals",
     "text_bm25_scores",
-    "sink_token_shards_capped",
-    # touched by this round's diffs (2)
-    "sink_token_shards",
-    "orders_active_streaks",
-    # r8 newcomers, second confirmation (4)
-    "skew_salted_join",
-    "dq_key_skew",
-    "dedup_editdist_verify",
-    "sample_group_split",
-    # never driver-checked (1)
     "stream_scd2_intervals",
-    # last driver row r4, oldest tail (9; ml_pred_sql stays ceded — rows-only
-    # by design, covered by pytest + the local replica)
-    "pack_sequences",
-    "stream_topk_types",
-    "text_keywords_topk",
-    "text_quality_score",
-    "text_repetition_signals",
-    "text_source_quality",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "text_vocab_topk",
-    # last driver row r5, registration order (24)
-    "bpe_merge_table",
-    "cube_status_priority",
-    "decontaminate_train",
-    "dedup_clusters",
-    "dedup_embedding_lsh_pairs",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_keep_docs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_span_fraction",
-    "dq_audit_orders",
-    "dq_drift_psi",
-    "dq_snapshot_diff",
-    "ml_eval_metrics",
-    "ml_feature_hash",
-    "ml_onehot_orders",
-    "mm_audio_energy",
-    "mm_decode_png",
-    "pack_greedy_nosplit",
-    "pack_manifest_spans",
-    "pack_sequences_bpe",
-    "pipeline_containment",
-    "pipeline_curate",
+    # column-bisection probes (17)
+    "bisect_sess_ids",
+    "bisect_sess_start_mod",
+    "bisect_sess_bounds",
+    "bisect_scd2_nonnull",
+    "bisect_scd2_validto_coalesce",
+    "bisect_scd2_validto",
+    "bisect_scd2_bool",
+    "bisect_bm25_dl",
+    "bisect_bm25_tf",
+    "bisect_bm25_numden",
+    "bisect_bm25_score",
+    "bisect_wins_counts",
+    "bisect_wins_means",
+    "bisect_wins_bounds",
+    "bisect_wins_bounds_cents",
+    "bisect_wins_cents",
+    "bisect_wins_mean_e4",
+    # never driver-checked r9 additions (8)
+    "sim_hybrid_rrf",
+    "decontaminate_bloom",
+    "sample_curriculum",
+    "sample_per_source_k",
+    "dq_distinct_sketch",
+    "dedup_clusters_distributed",
+    "text_countmin_freq",
+    "stream_countmin_users",
+    # r5-tail rotation, registration order (13 of 18)
+    "sim_tfidf_rescore",
+    "sim_knn_join",
+    "sim_topk_ivf",
+    "sim_topk_ivf_index",
+    "text_chunk_stride",
+    "text_bpe_counts_budget",
+    "range_event_pairs",
+    "sample_token_budget",
+    "sample_length_buckets",
+    "sample_importance",
+    "sim_topk_pq_rerank",
+    "sim_pq_recall_band",
+    "sim_topk_ivfpq",
 )
 
 
@@ -111,6 +107,7 @@ def _all_query_specs():
     specs.update(RELATIONAL_QUERIES)
     for modname in (
         "duckdb_ml_spark.plans.canary",
+        "duckdb_ml_spark.plans.bisect",
         "duckdb_ml_spark.operators.dedup",
         "duckdb_ml_spark.operators.similarity",
         "duckdb_ml_spark.operators.text",
@@ -217,6 +214,11 @@ _EXEC_AT_BUILD = frozenset(
         "dedup_semantic",
         # r8 late: sampled hot-key profile collect at build
         "skew_salted_join",
+        # r10 bisect probes that wrap collect-at-build originals
+        "bisect_wins_counts",
+        "bisect_wins_means",
+        "bisect_wins_bounds",  # value_range_bounds sketch collect
+        "bisect_wins_bounds_cents",
     }
 )
 

@@ -44,6 +44,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # r10 bisect probes are column-subset DIAGNOSTIC wrappers that re-execute
+    # their parent query's full plan; excluded from BOTH bench sides
+    # (tools/duck_bench.py mirrors this) so the headline pair times each
+    # computation once, not once per probe
+    try:
+        specs = entrymod._all_query_specs()
+        qs = {
+            k: v for k, v in qs.items()
+            if "bisect" not in getattr(specs.get(k), "tags", ())
+        }
+    except Exception:
+        pass
     only = os.environ.get("BENCH_ONLY")
     if only:
         keep = set(only.split(","))
