@@ -293,6 +293,50 @@ def test_decontaminate_bloom_equals_exact(spark, sf_dir):
     }
     bloom = {r.doc_id: r.n_shared for r in decontaminate_bloom(train, ev).collect()}
     assert bloom == exact and len(bloom) > 0
+    # r10 non-oracle fast path: one JVM xxhash64 instead of md5 — a different
+    # filter, the IDENTICAL output (exact verify removes all false positives)
+    fast = {
+        r.doc_id: r.n_shared
+        for r in decontaminate_bloom(train, ev, hash_fn="xxhash64").collect()
+    }
+    assert fast == exact
+
+
+def test_bloom_probes_one_hash_split_matches_python(spark):
+    """The r10 probe recipe must equal exact INTEGER floor division over the
+    two 30-bit halves of ONE 60-bit md5 hash (ADVICE r9 medium: the old
+    (h/63)::bigint double quotient exceeded 2^53 and diverged from floor for
+    many hashes) — recomputed independently in Python."""
+    import hashlib
+
+    from duckdb_ml_spark.operators.pipeline import (
+        BLOOM_BITS,
+        _BLOOM_SALT,
+        _bloom_probes,
+    )
+
+    n_words = 8192
+    vals = [f"gram {i} y" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "shingle string")
+    probes = _bloom_probes(F.col("shingle"), n_words)
+    got = {
+        r["shingle"]: (r["wi0"], r["m0"], r["wi1"], r["m1"])
+        for r in df.select(
+            "shingle",
+            probes[0][0].alias("wi0"),
+            probes[0][1].alias("m0"),
+            probes[1][0].alias("wi1"),
+            probes[1][1].alias("m1"),
+        ).collect()
+    }
+    for v in vals:
+        h = int(
+            hashlib.md5(f"{_BLOOM_SALT}:{v}".encode()).hexdigest()[:15], 16
+        )
+        exp = []
+        for sub in (h % (1 << 30), h >> 30):
+            exp += [(sub // BLOOM_BITS) % n_words, 1 << (sub % BLOOM_BITS)]
+        assert got[v] == tuple(exp), v
 
 
 def test_bloom_filter_is_bounded_and_complete(spark):
