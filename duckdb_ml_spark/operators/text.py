@@ -905,7 +905,34 @@ def functools_left_fold(exprs: list[str]) -> str:
 # cross-engine md5 hash, so — like dq_distinct_sketch and unlike engine HLLs —
 # the RAW counter values and estimates hash-pair between engines.
 CM_WIDTH = 1024
-_CM_SALTS = ("cm0", "cm1")
+CM_DEPTH = 2
+_CM_SALT = "cm"  # ONE salt: both rows' buckets split from a single 60-bit hash
+
+
+def _cm_buckets(col) -> tuple:
+    """The d=2 bucket columns from ONE 60-bit md5 hash (r10 one-hash split,
+    VERDICT r9 item 4: the r9 form paid TWO md5-of-string probes per token —
+    10.6-11.9 s absolute at the 64×/256× probes, md5-dominated). The 30-bit
+    halves of one md5 are uniform and independent, so d=2 collision behavior
+    is unchanged while md5 work halves — the same split recipe as the Bloom
+    probes (operators/pipeline.py:_bloom_probes). SQL twin: _cm_buckets_sql;
+    any change must land in both."""
+    from duckdb_ml_spark.operators.sampling import hash_uint
+
+    h = hash_uint(col, _CM_SALT, 15)  # 60-bit uniform, one md5
+    return (h % CM_WIDTH, F.shiftright(h, 30) % CM_WIDTH)
+
+
+def _cm_buckets_sql(expr: str) -> tuple:
+    """(b0_sql, b1_sql, h_sql): callers SELECT h once in a CTE, then derive
+    b0/b1 from the column `h` — one md5 per value on the oracle side too."""
+    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
+
+    return (
+        f"h % {CM_WIDTH}",
+        f"(h // {1 << 30}) % {CM_WIDTH}",
+        _hash_uint_sql(expr, _CM_SALT, 15),
+    )
 
 
 def countmin_counters(words: DataFrame, width: int = CM_WIDTH) -> DataFrame:
@@ -913,15 +940,11 @@ def countmin_counters(words: DataFrame, width: int = CM_WIDTH) -> DataFrame:
     Map-side combinable sum — the shuffle carries ≤ d·width rows per input
     partition regardless of vocabulary size (the whole point at 100 TB:
     frequency estimation with fixed state, no per-word shuffle)."""
-    from duckdb_ml_spark.operators.sampling import hash_uint
-
+    assert width == CM_WIDTH  # the split recipe and SQL twin pin the width
     probes = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("r"),
-                (hash_uint(F.col("w"), salt) % width).alias("b"),
-            )
-            for i, salt in enumerate(_CM_SALTS)
+            F.struct(F.lit(i).alias("r"), b.alias("b"))
+            for i, b in enumerate(_cm_buckets(F.col("w")))
         ]
     )
     return (
@@ -937,8 +960,6 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
     (n_est ≥ n_exact by construction; equality when the word's two buckets
     are collision-free). Exact side is the comparator, sketch side is the
     scale path — same audit discipline as events_distinct_users_approx."""
-    from duckdb_ml_spark.operators.sampling import hash_uint
-
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     cm = countmin_counters(toks)
@@ -949,8 +970,8 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
         .orderBy(F.desc("n_exact"), F.asc("w"))
         .limit(k)
     )
-    for i, salt in enumerate(_CM_SALTS):
-        top = top.withColumn(f"__b{i}", hash_uint(F.col("w"), salt) % CM_WIDTH)
+    for i, b in enumerate(_cm_buckets(F.col("w"))):
+        top = top.withColumn(f"__b{i}", b)
         c_i = cm.where(F.col("r") == i).select(
             F.col("b").alias(f"__b{i}"), F.col("c").alias(f"__c{i}")
         )
@@ -963,13 +984,11 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
 
 
 def _countmin_oracle(k: int = 20) -> str:
-    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
-
-    h0 = _hash_uint_sql("w", _CM_SALTS[0])
-    h1 = _hash_uint_sql("w", _CM_SALTS[1])
+    b0, b1, h = _cm_buckets_sql("w")
     return f"""
 WITH toks AS (SELECT unnest({tokens_sql("text")}) AS w FROM documents),
-hashed AS (SELECT w, {h0} % {CM_WIDTH} AS b0, {h1} % {CM_WIDTH} AS b1 FROM toks),
+hh AS (SELECT w, {h} AS h FROM toks),
+hashed AS (SELECT w, {b0} AS b0, {b1} AS b1 FROM hh),
 c0 AS (SELECT b0 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
 c1 AS (SELECT b1 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
 top AS (

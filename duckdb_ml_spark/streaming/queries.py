@@ -194,17 +194,16 @@ def _countmin_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _countmin_users_oracle() -> str:
-    from duckdb_ml_spark.operators.sampling import _hash_uint_sql
-    from duckdb_ml_spark.operators.text import CM_WIDTH, _CM_SALTS
+    from duckdb_ml_spark.operators.text import _cm_buckets_sql
 
-    h0 = _hash_uint_sql("w", _CM_SALTS[0])
-    h1 = _hash_uint_sql("w", _CM_SALTS[1])
+    b0, b1, h = _cm_buckets_sql("w")
     return f"""
 WITH u AS (SELECT user_id::VARCHAR AS w FROM events),
-h AS (SELECT {h0} % {CM_WIDTH} AS b0, {h1} % {CM_WIDTH} AS b1 FROM u)
-SELECT 0 AS r, b0 AS b, count(*)::BIGINT AS c FROM h GROUP BY b0
+hh AS (SELECT {h} AS h FROM u),
+b AS (SELECT {b0} AS b0, {b1} AS b1 FROM hh)
+SELECT 0 AS r, b0 AS b, count(*)::BIGINT AS c FROM b GROUP BY b0
 UNION ALL
-SELECT 1 AS r, b1 AS b, count(*)::BIGINT AS c FROM h GROUP BY b1
+SELECT 1 AS r, b1 AS b, count(*)::BIGINT AS c FROM b GROUP BY b1
 """
 
 

@@ -1685,8 +1685,8 @@ def test_countmin_overestimates_and_fixed_state(spark, sf_dir):
     counters sum to the total token count (every token lands in exactly one
     bucket per row); the counter table never exceeds d x width rows."""
     from duckdb_ml_spark.operators.text import (
+        CM_DEPTH,
         CM_WIDTH,
-        _CM_SALTS,
         countmin_counters,
         countmin_topk_audit,
     )
@@ -1699,10 +1699,10 @@ def test_countmin_overestimates_and_fixed_state(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     cm = countmin_counters(toks)
-    assert cm.count() <= len(_CM_SALTS) * CM_WIDTH
+    assert cm.count() <= CM_DEPTH * CM_WIDTH
     n_toks = toks.count()
     sums = {r.r: r.s for r in cm.groupBy("r").agg(F.sum("c").alias("s")).collect()}
-    assert sums == {i: n_toks for i in range(len(_CM_SALTS))}
+    assert sums == {i: n_toks for i in range(CM_DEPTH)}
 
 
 def test_per_source_k_sample_shape_and_determinism(spark, sf_dir):

@@ -344,7 +344,7 @@ def test_stateful_scd2_stream_matches_batch(spark, sf_dir):
 def test_stream_countmin_matches_batch(spark, sf_dir):
     """The count-min counter table must be identical computed incrementally
     (complete mode -- additive sums, bounded d x width state) and as a batch."""
-    from duckdb_ml_spark.operators.text import CM_WIDTH, _CM_SALTS
+    from duckdb_ml_spark.operators.text import CM_DEPTH, CM_WIDTH
     from duckdb_ml_spark.streaming.stream import countmin_user_counters
 
     batch = countmin_user_counters(load(spark, sf_dir, "events"))
@@ -353,4 +353,4 @@ def test_stream_countmin_matches_batch(spark, sf_dir):
     _run_stream_to_memory(stream, "t_countmin", output_mode="complete")
     got = _sorted_rows(spark.table("t_countmin"), ["r", "b", "c"])
     want = _sorted_rows(batch, ["r", "b", "c"])
-    assert got == want and 0 < len(got) <= len(_CM_SALTS) * CM_WIDTH
+    assert got == want and 0 < len(got) <= CM_DEPTH * CM_WIDTH
