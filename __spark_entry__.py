@@ -212,6 +212,7 @@ _EXEC_AT_BUILD = frozenset(
         "sample_per_source_k",  # same keyed_global_rank cached-count gate
         # r6 late: centroid-matrix collect (cached dataset artifact) at build
         "dedup_semantic",
+        "dedup_semantic_sampled",  # same collect on the sampled corpus
         # r8 late: sampled hot-key profile collect at build
         "skew_salted_join",
         # r10 bisect probes that wrap collect-at-build originals

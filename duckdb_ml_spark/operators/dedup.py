@@ -1548,6 +1548,24 @@ def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load(spark, sf_dir, "embeddings"), cache_key=sf_dir)
 
 
+# Deterministic corpus sample for the SCALE-SURVIVING oracle twin: the full
+# dedup_semantic oracle's assignment cross-join is unrunnable in DuckDB at
+# derived scale (kernel-OOM at 104 GB RSS on 128k vectors × 2.6k centroids at
+# 64×, commit b5694ae) — so above gate scale the full query had pytest
+# equivalence only (VERDICT r9 item 5). Sampling vec_id % 8 == 0 shrinks the
+# oracle's pair space 64× while exercising the IDENTICAL Spark kernel path
+# (tiled assign, spread scan, sub-cluster prune), giving a cross-engine VALUE
+# check that still runs at the 64×/256× probes.
+SEM_SAMPLE_MOD = 8
+
+
+def _semantic_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % SEM_SAMPLE_MOD == 0
+    )
+    return semantic_dedup(emb, cache_key=f"{sf_dir}#sem{SEM_SAMPLE_MOD}")
+
+
 _SEMANTIC_ORACLE = f"""
 WITH cent AS (
     SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % {SEM_STRIDE} = 0
@@ -1560,6 +1578,34 @@ assigned AS (
                         c.c_id ASC
            ) AS rn
     FROM embeddings e, cent c
+    QUALIFY rn = 1
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.bucket, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+_SEMANTIC_SAMPLED_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SEM_SAMPLE_MOD} = 0
+),
+cent AS (
+    SELECT vec_id AS c_id, embedding FROM base WHERE vec_id % {SEM_STRIDE} = 0
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.c_id AS bucket,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.c_id ASC
+           ) AS rn
+    FROM base e, cent c
     QUALIFY rn = 1
 ),
 dropped AS (
@@ -1696,6 +1742,17 @@ QUERIES: dict[str, QuerySpec] = {
         doc="SemDeDup: coarse-cluster embeddings, drop rows with a ≥tau-cosine "
         "lower-id member in the same cluster (cluster-bounded pair space — "
         "the semantic-redundancy reducer that scales past pairwise dedup).",
+        tags=("dedup", "embedding", "semantic", "pipeline"),
+    ),
+    "dedup_semantic_sampled": QuerySpec(
+        name="dedup_semantic_sampled",
+        builder=_semantic_sampled_q,
+        oracle=_SEMANTIC_SAMPLED_ORACLE,
+        doc="SemDeDup on the deterministic vec_id % 8 corpus sample — the "
+        "scale-surviving VALUE oracle (VERDICT r9 item 5): the full oracle's "
+        "assignment cross-join OOMs DuckDB at ≥64× derived scale, this twin "
+        "shrinks the oracle pair space 64× while running the identical "
+        "Spark kernel path (tiled assign, spread scan, sub-cluster prune).",
         tags=("dedup", "embedding", "semantic", "pipeline"),
     ),
     "emb_contrastive_pairs": QuerySpec(

@@ -136,6 +136,12 @@ DEFAULT_QUERIES = [
     "text_countmin_freq",
     "sample_per_source_k",
     "sample_curriculum",
+    # r10: the scale-surviving semantic-dedup VALUE oracle (VERDICT r9 item
+    # 5) — vec_id % 8 corpus sample shrinks the oracle's assignment cross
+    # join 64× (the full dedup_semantic oracle OOMs DuckDB at ≥64×, see the
+    # skip-duck note above) while the Spark side runs the identical tiled
+    # assign + sub-cluster prune kernels.
+    "dedup_semantic_sampled",
 ]
 
 
