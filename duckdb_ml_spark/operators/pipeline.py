@@ -212,14 +212,26 @@ def _bloom_probes(shingle, n_words: int, hash_fn: str = "portable"):
     masked to 60 bits. Output of decontaminate_bloom is IDENTICAL under
     either hash (exact verify removes all false positives); only the
     md5-portable form is what the shared DuckDB oracle can replicate."""
+    return _bloom_probes_from(_bloom_hash(shingle, hash_fn), n_words)
+
+
+def _bloom_hash(shingle, hash_fn: str = "portable"):
+    """The ONE 60-bit hash both probes split from. Hot paths MUST materialize
+    it as its own projection column (`.withColumn("__h", _bloom_hash(...))`)
+    before deriving probes: Spark re-evaluates an inlined expression once per
+    REFERENCE (4 here — two words + two masks), not once per value (measured
+    on the count-min twin at 64×: inline 13.3 s vs materialized 7.6 s)."""
     from duckdb_ml_spark.operators.sampling import hash_uint
 
     if hash_fn == "xxhash64":
-        h = F.xxhash64(F.lit(_BLOOM_SALT), shingle).bitwiseAND(
+        return F.xxhash64(F.lit(_BLOOM_SALT), shingle).bitwiseAND(
             F.lit((1 << 60) - 1)
         )
-    else:
-        h = hash_uint(shingle, _BLOOM_SALT, 15)  # 60-bit uniform, one md5
+    return hash_uint(shingle, _BLOOM_SALT, 15)  # 60-bit uniform, one md5
+
+
+def _bloom_probes_from(h, n_words: int):
+    """k=2 (word_idx, mask) pairs from a (materialized) 60-bit hash column."""
     out = []
     for sub in (h % _BLOOM_SPLIT, F.shiftright(h, 30)):
         bit = sub % BLOOM_BITS
@@ -241,8 +253,11 @@ def bloom_filter_words(
     """(wi, word) rows of a Bloom filter over the member shingle set: each
     member sets k=2 bits via bit_or aggregation. Map-side combinable; the
     result relation is at most `n_words` rows regardless of member count."""
-    probes = _bloom_probes(F.col("shingle"), n_words, hash_fn)
-    rows = member_shingles.select(
+    hh = member_shingles.select(
+        _bloom_hash(F.col("shingle"), hash_fn).alias("__h")
+    )
+    probes = _bloom_probes_from(F.col("__h"), n_words)
+    rows = hh.select(
         F.explode(
             F.array(*[F.struct(wi.alias("wi"), m.alias("mask")) for wi, m in probes])
         ).alias("p")
@@ -281,10 +296,10 @@ def decontaminate_bloom(
     ev_sh = eval_shingles.select("shingle").distinct()
     filt = bloom_filter_words(ev_sh, n_words, hash_fn)
 
-    probed = train_shingles
-    for i, (wi, mask) in enumerate(
-        _bloom_probes(F.col("shingle"), n_words, hash_fn)
-    ):
+    probed = train_shingles.withColumn(
+        "__h", _bloom_hash(F.col("shingle"), hash_fn)
+    )
+    for i, (wi, mask) in enumerate(_bloom_probes_from(F.col("__h"), n_words)):
         probed = probed.withColumn(f"__wi{i}", wi).withColumn(f"__mask{i}", mask)
         f_i = filt.withColumnRenamed("wi", f"__wi{i}").withColumnRenamed(
             "word", f"__word{i}"

@@ -909,17 +909,26 @@ CM_DEPTH = 2
 _CM_SALT = "cm"  # ONE salt: both rows' buckets split from a single 60-bit hash
 
 
-def _cm_buckets(col) -> tuple:
-    """The d=2 bucket columns from ONE 60-bit md5 hash (r10 one-hash split,
-    VERDICT r9 item 4: the r9 form paid TWO md5-of-string probes per token —
-    10.6-11.9 s absolute at the 64×/256× probes, md5-dominated). The 30-bit
-    halves of one md5 are uniform and independent, so d=2 collision behavior
-    is unchanged while md5 work halves — the same split recipe as the Bloom
-    probes (operators/pipeline.py:_bloom_probes). SQL twin: _cm_buckets_sql;
-    any change must land in both."""
+def _cm_hash(col):
+    """The ONE 60-bit md5 hash both count-min rows split from (r10 one-hash
+    split, VERDICT r9 item 4: the r9 form paid TWO md5-of-string probes per
+    token — 10.6-11.9 s absolute at the 64×/256× probes, md5-dominated).
+    MUST be materialized as its own projection column before fan-out:
+    Spark's Generate (explode) re-evaluates the generator expression per
+    reference — an inlined hash is computed once per PROBE, not once per
+    value (measured at 64×: inline split 13.3 s vs materialized 7.6 s vs
+    the old two-salt form 11.0 s). SQL twin: _cm_buckets_sql (callers
+    SELECT h once in a CTE for the same reason)."""
     from duckdb_ml_spark.operators.sampling import hash_uint
 
-    h = hash_uint(col, _CM_SALT, 15)  # 60-bit uniform, one md5
+    return hash_uint(col, _CM_SALT, 15)  # 60-bit uniform, one md5
+
+
+def _cm_buckets(h) -> tuple:
+    """The d=2 bucket columns from a MATERIALIZED _cm_hash column: 30-bit
+    halves of one md5 are uniform and independent, so d=2 collision behavior
+    matches two independent hashes while md5 work halves — the same split
+    recipe as the Bloom probes (operators/pipeline.py:_bloom_probes)."""
     return (h % CM_WIDTH, F.shiftright(h, 30) % CM_WIDTH)
 
 
@@ -941,14 +950,15 @@ def countmin_counters(words: DataFrame, width: int = CM_WIDTH) -> DataFrame:
     partition regardless of vocabulary size (the whole point at 100 TB:
     frequency estimation with fixed state, no per-word shuffle)."""
     assert width == CM_WIDTH  # the split recipe and SQL twin pin the width
+    hh = words.select(_cm_hash(F.col("w")).alias("__h"))  # ONE md5 per value
     probes = F.array(
         *[
             F.struct(F.lit(i).alias("r"), b.alias("b"))
-            for i, b in enumerate(_cm_buckets(F.col("w")))
+            for i, b in enumerate(_cm_buckets(F.col("__h")))
         ]
     )
     return (
-        words.select(F.explode(probes).alias("p"))
+        hh.select(F.explode(probes).alias("p"))
         .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -970,7 +980,8 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
         .orderBy(F.desc("n_exact"), F.asc("w"))
         .limit(k)
     )
-    for i, b in enumerate(_cm_buckets(F.col("w"))):
+    top = top.withColumn("__h", _cm_hash(F.col("w")))
+    for i, b in enumerate(_cm_buckets(F.col("__h"))):
         top = top.withColumn(f"__b{i}", b)
         c_i = cm.where(F.col("r") == i).select(
             F.col("b").alias(f"__b{i}"), F.col("c").alias(f"__c{i}")
