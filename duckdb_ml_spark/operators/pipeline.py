@@ -276,39 +276,50 @@ def decontaminate_bloom(
 ) -> DataFrame:
     """contaminated_from_shingles semantics through a Bloom pre-filter:
     (1) build a ≤n_words-row Bloom filter over the DISTINCT eval shingles,
-    (2) probe every train shingle with two broadcast hash joins against the
-    filter (map-side, no shuffle of the train stream), (3) exact-verify the
-    survivors against the real eval shingle set, (4) the same one-shuffle
+    (2) collect it to ONE 64 KB bigint array and probe every train shingle
+    with a pure array-literal projection — the probe stage has NO join and
+    no shuffle of the train stream at all, (3) exact-verify the survivors
+    against the real eval shingle set, (4) the same one-shuffle
     groupBy/countDistinct as the exact path.
 
     Bloom filters have no false negatives and step (3) removes the false
     positives, so the output is row-for-row IDENTICAL to the exact
     decontamination — the registered query shares _DECONTAM_ORACLE verbatim.
 
+    r10 PROBE-AS-LITERAL (the r9 form probed via two broadcast hash JOINS
+    against the 8192-row word relation; the 64× re-probe showed the joins,
+    not md5, dominating the remaining gap — a Bloom filter IS a broadcast
+    bitset, not a join relation): the filter collects to a fixed
+    n_words-element array (64 KB — bounded by CONSTRUCTION at any corpus
+    size, the one driver collect this operator is allowed) embedded as a
+    single array Literal; each probe is element_at + bitwiseAND inside
+    whole-stage codegen.
+
     Scale rationale: the exact path broadcasts the full eval shingle STRINGS
     (~50-100 B/gram). The filter is ~1 byte per member at a 2% FP rate — at a
-    10⁸-gram eval corpus that is ~100 MB of strings vs ~12 MB of filter words,
-    and only ~2% of non-contaminated train shingles (plus all true matches)
-    reach the verify join, whose probe side shrinks from the whole corpus
-    stream to near-contaminated rows only. The verify join itself is left
-    unhinted: AQE picks broadcast while the eval set fits and a shuffle join
-    beyond — by then its train side is the reduced survivor stream."""
+    10⁸-gram eval corpus that is ~100 MB of strings vs 64 KB of filter words
+    (n_words then scales with the eval corpus, still KB-MB), and only ~2% of
+    non-contaminated train shingles (plus all true matches) reach the verify
+    join, whose probe side shrinks from the whole corpus stream to
+    near-contaminated rows only. The verify join itself is left unhinted:
+    AQE picks broadcast while the eval set fits and a shuffle join beyond —
+    by then its train side is the reduced survivor stream."""
     ev_sh = eval_shingles.select("shingle").distinct()
     filt = bloom_filter_words(ev_sh, n_words, hash_fn)
+    # ≤ n_words rows by construction (64 KB at the default) — bounded at ANY
+    # corpus scale, unlike every other driver collect in the repo which needs
+    # a row-count gate
+    words = {r["wi"]: r["word"] for r in filt.collect()}
+    lit_words = F.lit([words.get(i, 0) for i in range(n_words)])
 
     probed = train_shingles.withColumn(
         "__h", _bloom_hash(F.col("shingle"), hash_fn)
     )
-    for i, (wi, mask) in enumerate(_bloom_probes_from(F.col("__h"), n_words)):
-        probed = probed.withColumn(f"__wi{i}", wi).withColumn(f"__mask{i}", mask)
-        f_i = filt.withColumnRenamed("wi", f"__wi{i}").withColumnRenamed(
-            "word", f"__word{i}"
-        )
-        probed = probed.join(F.broadcast(f_i), f"__wi{i}", "left")
-    survivors = probed.where(
-        (F.coalesce(F.col("__word0"), F.lit(0)).bitwiseAND(F.col("__mask0")) != 0)
-        & (F.coalesce(F.col("__word1"), F.lit(0)).bitwiseAND(F.col("__mask1")) != 0)
-    ).select(id_col, "shingle")
+    hits = [
+        F.element_at(lit_words, (wi + 1).cast("int")).bitwiseAND(mask) != 0
+        for wi, mask in _bloom_probes_from(F.col("__h"), n_words)
+    ]
+    survivors = probed.where(hits[0] & hits[1]).select(id_col, "shingle")
     return (
         survivors.join(ev_sh, "shingle")
         .groupBy(id_col)

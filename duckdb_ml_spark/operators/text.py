@@ -761,10 +761,12 @@ def bm25_scores(
 
     r9 INTEGER-RATIONAL contract (VERDICT r8 item 2: the r8 form emitted a
     raw DOUBLE score assembled with 0.5/2.2/… literals — green locally,
-    driver hash-red, suspected DECIMAL-literal arithmetic drift in the
-    oracle engine; canary_decimal_literal isolates the axis): each term's
-    score is now an exact INT64 RATIONAL pair. With k1 = 6/5, b = 3/4
-    (asserted), clearing denominators gives
+    driver hash-red). R9 READOUT: still red, canary_decimal_literal GREEN —
+    the DECIMAL-literal theory is FALSIFIED; round 10 bisects the columns
+    (bisect_bm25_dl / _tf / _numden / _score, plans/bisect.py) to find
+    whether the ints or the derived double diverge. The rational contract
+    itself stays: each term's score is an exact INT64 RATIONAL pair. With
+    k1 = 6/5, b = 3/4 (asserted), clearing denominators gives
 
         score_t = num_t / den_t
         num_t   = 22·sum_dl·tf·(2N − 2df + 1)
@@ -833,8 +835,25 @@ def bm25_scores(
         ],
     )
     matched = sum(F.col(f"tf_{t}") for t in terms) > 0
+    # ADVICE r9 low: Spark wraps bigint multiplication silently (non-ANSI)
+    # while DuckDB raises — past the docstring bound the engines would
+    # diverge QUIETLY. Turn the documented limit into an explicit runtime
+    # error: 44·sum_dl·N·dl (dl ≥ tf, so this dominates every num_t; den_t
+    # is smaller — see docstring bound) checked in DOUBLE against 2^62 (a
+    # 2× safety margin absorbs the double approximation). assert_true is
+    # evaluated in-plan per surviving row — no extra job, fails the task
+    # with an actionable message instead of wrapping.
+    guard = F.assert_true(
+        F.lit(44.0) * sd.cast("double") * n.cast("double") * dl.cast("double")
+        < F.lit(float(1 << 62)),
+        F.lit(
+            "text_bm25_scores: INT64 rational bound exceeded "
+            "(44*sum_dl*N*tf approaches 2^63) - score per-shard/per-source "
+            "partitions instead (see docstring)"
+        ),
+    )
     return (
-        j.where(matched)
+        j.where(matched & guard.isNull())
         .select("doc_id", "dl", *[f"tf_{t}" for t in terms], *[c for pair in rat for c in pair])
         .select("*", score.alias("score"))
     )

@@ -1,12 +1,19 @@
 """Environment-canary battery (VERDICT r8 item 1).
 
-Five driver rows went hash-red in r5-r8 while EVERY local configuration
-(gate replica at two SFs, vanilla driver-like session) passes — the
-divergence lives in the driver's environment (its DuckDB version / testdata
-timestamp encoding / result-normalization path), which this repo cannot
-observe directly. These five single-row query/oracle pairs each isolate ONE
-suspected divergence axis, so the green/red PATTERN of the canary block in
-CORRECTNESS_r09+ is itself the diagnostic readout (interpretation table:
+R9 READOUT — ALL FIVE GREEN (CORRECTNESS_r09) while 4 of the 5 fixed rows
+stayed red: every axis below is FALSIFIED as the red mechanism. The battery
+stays in the window as a guard (a future red here would still be
+meaningful), but round 10's diagnosis moved to COLUMN BISECTION
+(plans/bisect.py) plus two new canaries for the axes this battery never
+probed (multi-row outputs, NULL BIGINT, BOOLEAN, large-magnitude ints).
+
+Original rationale: five driver rows went hash-red in r5-r8 while EVERY
+local configuration (gate replica at two SFs, vanilla driver-like session)
+passes — the divergence lives in the driver's environment (its DuckDB
+version / testdata timestamp encoding / result-normalization path), which
+this repo cannot observe directly. These five single-row query/oracle pairs
+each isolate ONE suspected divergence axis, so the green/red PATTERN of the
+canary block is itself the diagnostic readout (interpretation table:
 NOTES.md "Canary battery readout").
 
 Axes, one per canary:

@@ -716,9 +716,11 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
     "STATISTICS: p05 = the ⌈n/20⌉-th smallest, p95 = the ⌈19n/20⌉-th "
     "smallest — exact 2-dp DATA VALUES both engines agree on bitwise "
     "(disc_fracs, exact integer positions; the oracle's row_number form is "
-    "the same statistic). canary_quantile_interp carries the old "
-    "interpolated bound, so if THIS rows reds again the canary says why. "
-    "Hash changes (bounds semantics moved from cont to disc).",
+    "the same statistic). R9 READOUT: still red, canary_quantile_interp "
+    "GREEN — the interpolation theory is FALSIFIED too (round 6 of this "
+    "row). Round 10 bisects the output instead: bisect_wins_counts / "
+    "_means / _bounds / _bounds_cents / _cents / _mean_e4 (plans/bisect.py) "
+    "separate integer inputs, bound values, and the float assembly stage.",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )
 def orders_winsorized_stats(

@@ -366,15 +366,17 @@ def test_bloom_filter_is_bounded_and_complete(spark):
 
 
 def test_decontaminate_bloom_probe_side_has_no_pre_verify_shuffle(spark, sf_dir):
-    """The Bloom probes must be broadcast joins: the only Exchange hashing on
-    shingle/doc should come from the final verify+agg, not the probe stage."""
+    """r10: the probe stage is a pure array-literal projection — NO join at
+    all before the exact verify (the r9 form paid two broadcast hash joins
+    over the full train stream). The only join left is the verify itself."""
     from duckdb_ml_spark.operators.pipeline import _decontam_bloom_q
 
     plan = (
         _decontam_bloom_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
-    # two probe joins + (possibly) the verify join ride broadcast
-    assert plan.count("BroadcastHashJoin") >= 2
+    # exactly the verify join remains (broadcast at test scale via AQE)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "element_at" in plan
 
 
 def test_decontam_nonbroadcast_branch_equals_broadcast(spark, sf_dir):

@@ -665,26 +665,35 @@ def test_winsorized_fixed_scale_deterministic_across_modes_and_partitionings(spa
     ]
     df = spark.createDataFrame(rows, "k string, v double")
 
-    def run(d, mode):
+    def run(d, mode, disc_fracs=None):
         return {
             r["k"]: (r["__n"], r["__mean_raw"], r["__mean_wins"],
                      r["__n_lo"], r["__n_hi"])
             for r in winsorized_stats(
-                d, "k", "v", 0.05, 0.95, mode=mode, fixed_scale=100
+                d, "k", "v", 0.05, 0.95, mode=mode, fixed_scale=100,
+                disc_fracs=disc_fracs,
             ).collect()
         }
 
+    disc = ((1, 20), (19, 20))
     ref = run(df, "kernel")
+    ref_disc = run(df, "kernel", disc)
     for nparts in (1, 7, 32):
         d = df.repartition(nparts)
         assert run(d, "kernel") == ref, nparts
         assert run(d, "distributed") == ref, nparts
+        assert run(d, "kernel", disc) == ref_disc, nparts
+        assert run(d, "distributed", disc) == ref_disc, nparts
     # lazy branch (cell collect above the gate) — force it by shrinking the
-    # gate; must hit the fixed-scale Spark-expression path and stay bitwise
+    # gate; must hit the fixed-scale Spark-expression path and stay bitwise.
+    # ADVICE r9 low: also exercise the disc_fracs all-lazy branch
+    # (exact_group_order_stats_lazy — the >gate scale path of the
+    # re-engineered orders_winsorized_stats), not just the cont one.
     old = orderstats.CELL_COLLECT_GATE
     orderstats.CELL_COLLECT_GATE = 2
     try:
         assert run(df.repartition(13), "distributed") == ref
+        assert run(df.repartition(13), "distributed", disc) == ref_disc
     finally:
         orderstats.CELL_COLLECT_GATE = old
 
