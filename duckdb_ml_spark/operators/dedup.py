@@ -353,7 +353,7 @@ def _collect_signatures(spark: SparkSession, sf_dir: str):
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     docs = load(spark, sf_dir, "documents")
-    if _cached_count(docs, (sf_dir, "documents")) > MAX_COLLECT_DOCS:
+    if _cached_count(docs, (sf_dir, "documents", "rowcount")) > MAX_COLLECT_DOCS:
         _SIG_CACHE[key] = None
         return None
     rows = minhash_signatures(docs).collect()

@@ -72,7 +72,7 @@ def corpus_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     if df is None:
         docs = load(spark, sf_dir, "documents")
         df = exploded_shingles(docs, n=n)
-        if _cached_count(docs, (sf_dir, "documents")) <= SHINGLE_CHECKPOINT_DOC_GATE:
+        if _cached_count(docs, (sf_dir, "documents", "rowcount")) <= SHINGLE_CHECKPOINT_DOC_GATE:
             df = df.localCheckpoint(eager=True)
         _SHINGLE_CACHE[key] = df
     return df
@@ -141,7 +141,7 @@ def _broadcast_eval_ok(spark: SparkSession, sf_dir: str) -> bool:
     (corpus ≤ DECONTAM_BROADCAST_DOC_GATE docs; memoized count)."""
     from duckdb_ml_spark.operators.dedup import _cached_count
 
-    n = _cached_count(load(spark, sf_dir, "documents"), (sf_dir, "documents"))
+    n = _cached_count(load(spark, sf_dir, "documents"), (sf_dir, "documents", "rowcount"))
     return n <= DECONTAM_BROADCAST_DOC_GATE
 
 

@@ -59,7 +59,11 @@ def _sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # every ts use pinned to µs (tsu) — the r9 environment-proof contract
-# (VERDICT r8 item 2 / plans/canary.py); 30 min = 1 800 000 000 µs
+# (VERDICT r8 item 2 / plans/canary.py); 30 min = 1 800 000 000 µs.
+# Boundary is >= (ADVICE r9 low): F.session_window merges [start, last+gap)
+# — an event exactly gap after the previous one starts a NEW session, so the
+# oracle must break at >= gap too (no exact-gap pair exists in the generated
+# µs testdata, so this is hash-neutral today and correct if one ever does).
 _SESSIONS_ORACLE = """
 WITH e AS (
     SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events
@@ -68,7 +72,7 @@ o AS (
     SELECT user_id, tsu, value,
            CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, value) IS NULL
                   OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, value)
-                     > 1800000000
+                     >= 1800000000
                 THEN 1 ELSE 0 END AS brk
     FROM e
 ),
