@@ -286,14 +286,19 @@ def decontaminate_bloom(
     positives, so the output is row-for-row IDENTICAL to the exact
     decontamination — the registered query shares _DECONTAM_ORACLE verbatim.
 
-    r10 PROBE-AS-LITERAL (the r9 form probed via two broadcast hash JOINS
-    against the 8192-row word relation; the 64× re-probe showed the joins,
-    not md5, dominating the remaining gap — a Bloom filter IS a broadcast
-    bitset, not a join relation): the filter collects to a fixed
+    r10 PROBE-AS-BROADCAST-ARRAY (the r9 form probed via two broadcast hash
+    JOINS against the 8192-row word relation; the 64× re-probe showed the
+    joins, not md5, dominating the remaining gap — a Bloom filter IS a
+    broadcast bitset, not a join relation): the filter collects to a fixed
     n_words-element array (64 KB — bounded by CONSTRUCTION at any corpus
-    size, the one driver collect this operator is allowed) embedded as a
-    single array Literal; each probe is element_at + bitwiseAND inside
-    whole-stage codegen.
+    size, the one driver collect this operator is allowed) shipped as a
+    1-row broadcast relation appended by an ON-true cross join (the repo's
+    BNLJ scalar-broadcast pattern); each probe is element_at + bitwiseAND
+    inside whole-stage codegen. Measured at 64× (probe stage, min-of-2):
+    broadcast-row 9.9 s vs join form 14.9 s vs a 27 s trap worth recording —
+    F.lit(list) expands to CreateArray with n_words CHILD EXPRESSIONS, which
+    blows up the generated code instead of folding to one constant; never
+    embed a large array as a literal.
 
     Scale rationale: the exact path broadcasts the full eval shingle STRINGS
     (~50-100 B/gram). The filter is ~1 byte per member at a 2% FP rate — at a
@@ -310,13 +315,17 @@ def decontaminate_bloom(
     # corpus scale, unlike every other driver collect in the repo which needs
     # a row-count gate
     words = {r["wi"]: r["word"] for r in filt.collect()}
-    lit_words = F.lit([words.get(i, 0) for i in range(n_words)])
+    arr = [words.get(i, 0) for i in range(n_words)]
+    words_row = train_shingles.sparkSession.createDataFrame(
+        [(arr,)], "words array<bigint>"
+    )
 
     probed = train_shingles.withColumn(
         "__h", _bloom_hash(F.col("shingle"), hash_fn)
-    )
+    ).crossJoin(F.broadcast(words_row))
     hits = [
-        F.element_at(lit_words, (wi + 1).cast("int")).bitwiseAND(mask) != 0
+        F.element_at(F.col("words"), (wi + 1).cast("int")).bitwiseAND(mask)
+        != 0
         for wi, mask in _bloom_probes_from(F.col("__h"), n_words)
     ]
     survivors = probed.where(hits[0] & hits[1]).select(id_col, "shingle")

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Bloom-vs-exact decontamination on a REALISTIC eval set (NOTES r10 item 4 /
+VERDICT r9 item 3 follow-through).
+
+The standard scale probes derive the corpus by replication, so the mod-17
+pseudo-benchmark's gram set GROWS with the corpus and contaminates
+essentially every train doc — a shape where a prefilter cannot help by
+construction (it removes nothing) and the r9 4.1×@256× reading measured
+exactly that. Real benchmark decontamination is the opposite shape: the eval
+set is CORPUS-INDEPENDENT (~10⁴-10⁶ grams) while the train side scales.
+
+This probe pins the eval side to the BASE replica's mod-17 docs only
+(doc_id % 17 == 0 AND doc_id < 1_000_000 — replica 0 of the derivation), so
+at factor F the train stream is F× while the eval gram set is fixed: the
+shape where the Bloom prefilter's ~1 byte/gram filter and join-free probe
+should beat broadcasting the full gram strings.
+
+Prints one JSON line: {"factor": F, "exact_sec": ..., "bloom_sec": ...,
+"bloom_fast_sec": ... (xxhash64 path), "rows": n, "rows_equal": bool}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+BASE_REPLICA_MAX_ID = 1_000_000  # doc_id stride of the derivation's replicas
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=256)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.operators.pipeline import (
+        EVAL_MOD,
+        contaminated_from_shingles,
+        corpus_shingles,
+        decontaminate_bloom,
+    )
+    from duckdb_ml_spark.session import get_spark
+    from tools.scaleup_bench import build_derived, scale_embeddings
+
+    out_dir = REPO / ".tmp" / f"sfx{args.factor}"
+    build_derived(out_dir, args.factor)
+    spark = get_spark("bloom_probe", sf_dir=str(out_dir))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sh = corpus_shingles(spark, str(out_dir))
+    is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (
+        F.col("doc_id") < BASE_REPLICA_MAX_ID
+    )
+    train, ev = sh.where(~is_eval), sh.where(is_eval)
+
+    def timed(df):
+        best = -1.0
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        return round(best, 3)
+
+    # exact: broadcast the full eval gram STRINGS (the fixed-size eval set is
+    # exactly the regime the broadcast plan is right for — the comparison is
+    # plan-vs-plan at identical semantics, not a strawman)
+    exact_df = contaminated_from_shingles(train, ev, broadcast_eval=True)
+    exact_sec = timed(exact_df)
+    print(f"exact: {exact_sec}", file=sys.stderr)
+
+    bloom_df = decontaminate_bloom(train, ev)
+    bloom_sec = timed(bloom_df)
+    print(f"bloom(md5): {bloom_sec}", file=sys.stderr)
+
+    fast_df = decontaminate_bloom(train, ev, hash_fn="xxhash64")
+    fast_sec = timed(fast_df)
+    print(f"bloom(xxhash64): {fast_sec}", file=sys.stderr)
+
+    n_exact = exact_df.count()
+    rows_equal = (
+        exact_df.exceptAll(bloom_df).limit(1).count() == 0
+        and bloom_df.exceptAll(exact_df).limit(1).count() == 0
+    )
+    print(
+        json.dumps(
+            {
+                "factor": args.factor,
+                "exact_sec": exact_sec,
+                "bloom_sec": bloom_sec,
+                "bloom_fast_sec": fast_sec,
+                "rows": n_exact,
+                "rows_equal": rows_equal,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
