@@ -48,14 +48,11 @@ def main() -> int:
     # their parent query's full plan; excluded from BOTH bench sides
     # (tools/duck_bench.py mirrors this) so the headline pair times each
     # computation once, not once per probe
-    try:
-        specs = entrymod._all_query_specs()
-        qs = {
-            k: v for k, v in qs.items()
-            if "bisect" not in getattr(specs.get(k), "tags", ())
-        }
-    except Exception:
-        pass
+    specs = entrymod._all_query_specs()
+    qs = {
+        k: v for k, v in qs.items()
+        if "bisect" not in (getattr(specs.get(k), "tags", ()) or ())
+    }
     only = os.environ.get("BENCH_ONLY")
     if only:
         keep = set(only.split(","))

@@ -1752,7 +1752,13 @@ QUERIES: dict[str, QuerySpec] = {
         "scale-surviving VALUE oracle (VERDICT r9 item 5): the full oracle's "
         "assignment cross-join OOMs DuckDB at ≥64× derived scale, this twin "
         "shrinks the oracle pair space 64× while running the identical "
-        "Spark kernel path (tiled assign, spread scan, sub-cluster prune).",
+        "Spark kernel path (tiled assign, spread scan, sub-cluster prune). "
+        "Value-parity bound at DERIVED scale: exact while the largest "
+        "cluster ≤ SEM_MAX_CLUSTER (4096) — replica vectors are "
+        "scale-perturbed (cosine-invariant) copies, so derived clusters "
+        "grow ≈ stride·factor and the sub-cluster APPROXIMATION engages "
+        "above ~64× (50·64 = 3200 < 4096 < 50·256); pair values at ≤64×, "
+        "time-only beyond.",
         tags=("dedup", "embedding", "semantic", "pipeline"),
     ),
     "emb_contrastive_pairs": QuerySpec(

@@ -838,13 +838,19 @@ def bm25_scores(
     # ADVICE r9 low: Spark wraps bigint multiplication silently (non-ANSI)
     # while DuckDB raises — past the docstring bound the engines would
     # diverge QUIETLY. Turn the documented limit into an explicit runtime
-    # error: 44·sum_dl·N·dl (dl ≥ tf, so this dominates every num_t; den_t
-    # is smaller — see docstring bound) checked in DOUBLE against 2^62 (a
-    # 2× safety margin absorbs the double approximation). assert_true is
-    # evaluated in-plan per surviving row — no extra job, fails the task
-    # with an actionable message instead of wrapping.
+    # error: 44·sum_dl·N·max(tf) — the actual per-row num_t dominator (a dl
+    # proxy would abort up to dl/tf ≈ 10³× early on long docs with rare
+    # terms; den_t is smaller, see docstring bound) — checked in DOUBLE
+    # against 2^62 (a 2× safety margin absorbs the double approximation).
+    # assert_true is evaluated in-plan per surviving row — no extra job,
+    # fails the task with an actionable message instead of wrapping.
+    max_tf = (
+        F.col(f"tf_{terms[0]}")
+        if len(terms) == 1
+        else F.greatest(*[F.col(f"tf_{t}") for t in terms])
+    )
     guard = F.assert_true(
-        F.lit(44.0) * sd.cast("double") * n.cast("double") * dl.cast("double")
+        F.lit(44.0) * sd.cast("double") * n.cast("double") * max_tf.cast("double")
         < F.lit(float(1 << 62)),
         F.lit(
             "text_bm25_scores: INT64 rational bound exceeded "
@@ -963,12 +969,15 @@ def _cm_buckets_sql(expr: str) -> tuple:
     )
 
 
-def countmin_counters(words: DataFrame, width: int = CM_WIDTH) -> DataFrame:
-    """(r, b, c): the d×width counter table over a one-column word stream.
-    Map-side combinable sum — the shuffle carries ≤ d·width rows per input
-    partition regardless of vocabulary size (the whole point at 100 TB:
-    frequency estimation with fixed state, no per-word shuffle)."""
-    assert width == CM_WIDTH  # the split recipe and SQL twin pin the width
+def countmin_counters(words: DataFrame) -> DataFrame:
+    """(r, b, c): the d×CM_WIDTH counter table over a one-column word
+    stream. Map-side combinable sum — the shuffle carries ≤ d·width rows per
+    input partition regardless of vocabulary size (the whole point at
+    100 TB: frequency estimation with fixed state, no per-word shuffle).
+    Width is pinned to CM_WIDTH: the one-hash split recipe and its SQL twin
+    (_cm_buckets/_cm_buckets_sql) encode it — a configurable width would
+    silently decouple from the oracle (review finding r10: the old `width`
+    parameter was dead under -O once the assert stripped)."""
     hh = words.select(_cm_hash(F.col("w")).alias("__h"))  # ONE md5 per value
     probes = F.array(
         *[

@@ -39,14 +39,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     # mirror bench.py: diagnostic bisect probes excluded from the pair
-    try:
-        specs = entrymod._all_query_specs()
-        oracles = {
-            k: v for k, v in oracles.items()
-            if "bisect" not in getattr(specs.get(k), "tags", ())
-        }
-    except Exception:
-        pass
+    specs = entrymod._all_query_specs()
+    oracles = {
+        k: v for k, v in oracles.items()
+        if "bisect" not in (getattr(specs.get(k), "tags", ()) or ())
+    }
     for name in ("source_csv_roundtrip", "source_jsonl_roundtrip"):
         if name in qs:
             try:

@@ -140,7 +140,10 @@ DEFAULT_QUERIES = [
     # 5) — vec_id % 8 corpus sample shrinks the oracle's assignment cross
     # join 64× (the full dedup_semantic oracle OOMs DuckDB at ≥64×, see the
     # skip-duck note above) while the Spark side runs the identical tiled
-    # assign + sub-cluster prune kernels.
+    # assign + sub-cluster prune kernels. VALUE parity holds while the
+    # largest derived cluster ≤ SEM_MAX_CLUSTER (≈ stride·factor ≤ 4096 ⇒
+    # factors ≤ 64×); at 256×+ the run is TIME-only (Spark's sub-cluster
+    # approximation engages; the oracle stays exact) — see the QuerySpec doc.
     "dedup_semantic_sampled",
 ]
 
