@@ -997,17 +997,35 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
     estimate joined against ground truth — the sketch-validation table
     (n_est ≥ n_exact by construction; equality when the word's two buckets
     are collision-free). Exact side is the comparator, sketch side is the
-    scale path — same audit discipline as events_distinct_users_approx."""
+    scale path — same audit discipline as events_distinct_users_approx.
+
+    r10 one-pass plan: the audit needs the exact per-word counts ANYWAY, so
+    the counter table is derived from the vocabulary relation (sum of n over
+    words per bucket) — algebraically IDENTICAL to counting per occurrence
+    (Σ_occurrences 1 = Σ_vocab n) but it tokenizes the corpus ONCE instead
+    of twice and hashes |vocab| words instead of |tokens| (the r9 form paid
+    both full passes; 8.4 s → the tokenize+count pass alone at 256×). The
+    raw-stream fixed-state sketch path (countmin_counters — the production
+    form that never materializes a vocabulary) stays exercised by
+    stream_countmin_users and the pytest invariants."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-    cm = countmin_counters(toks)
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_exact"))
 
-    top = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("w"))
-        .limit(k)
+    hh = wc.select("n_exact", _cm_hash(F.col("w")).alias("__h"))
+    probes = F.array(
+        *[
+            F.struct(F.lit(i).alias("r"), b.alias("b"))
+            for i, b in enumerate(_cm_buckets(F.col("__h")))
+        ]
     )
+    cm = (
+        hh.select("n_exact", F.explode(probes).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+        .agg(F.sum("n_exact").alias("c"))
+    )
+
+    top = wc.orderBy(F.desc("n_exact"), F.asc("w")).limit(k)
     top = top.withColumn("__h", _cm_hash(F.col("w")))
     for i, b in enumerate(_cm_buckets(F.col("__h"))):
         top = top.withColumn(f"__b{i}", b)
@@ -1023,16 +1041,19 @@ def countmin_topk_audit(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFr
 
 
 def _countmin_oracle(k: int = 20) -> str:
+    # vocab-derived counters, mirroring the Spark one-pass plan (sum of n
+    # over words per bucket == count over occurrences — identical values)
     b0, b1, h = _cm_buckets_sql("w")
     return f"""
 WITH toks AS (SELECT unnest({tokens_sql("text")}) AS w FROM documents),
-hh AS (SELECT w, {h} AS h FROM toks),
-hashed AS (SELECT w, {b0} AS b0, {b1} AS b1 FROM hh),
-c0 AS (SELECT b0 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
-c1 AS (SELECT b1 AS b, count(*)::BIGINT AS c FROM hashed GROUP BY 1),
+vocab AS (SELECT w, count(*)::BIGINT AS n_exact FROM toks GROUP BY w),
+hh AS (SELECT w, n_exact, {h} AS h FROM vocab),
+hashed AS (SELECT w, n_exact, {b0} AS b0, {b1} AS b1 FROM hh),
+c0 AS (SELECT b0 AS b, sum(n_exact)::BIGINT AS c FROM hashed GROUP BY 1),
+c1 AS (SELECT b1 AS b, sum(n_exact)::BIGINT AS c FROM hashed GROUP BY 1),
 top AS (
-    SELECT w, b0, b1, count(*)::BIGINT AS n_exact
-    FROM hashed GROUP BY w, b0, b1
+    SELECT w, b0, b1, n_exact
+    FROM hashed
     ORDER BY n_exact DESC, w ASC LIMIT {k}
 )
 SELECT t.w AS word, t.n_exact, least(c0.c, c1.c)::BIGINT AS n_est

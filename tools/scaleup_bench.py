@@ -147,6 +147,13 @@ DEFAULT_QUERIES = [
     "dedup_semantic_sampled",
 ]
 
+# Per-query factor ceiling for the ORACLE side: beyond it the DuckDB twin is
+# structurally unrunnable and recording -1 every probe is just noise.
+# dedup_semantic_sampled: value parity is documented ≤64× anyway (cluster
+# bound), and at 256× the oracle's within-cluster join spilled until the
+# DISK filled (r10 probe: "No space left on device" after ~40 GB of temp).
+DUCK_MAX_FACTOR = {"dedup_semantic_sampled": 64}
+
 
 def build_derived(out_dir: Path, factor: int) -> None:
     import duckdb
@@ -253,6 +260,13 @@ def main() -> int:
         con = duckdb_connection(str(out_dir))
         for name in names:
             if name not in oracles:
+                continue
+            if args.factor > DUCK_MAX_FACTOR.get(name, 10**9):
+                print(
+                    f"duck {name}: skipped (oracle unrunnable above "
+                    f"{DUCK_MAX_FACTOR[name]}x)",
+                    file=sys.stderr,
+                )
                 continue
             best = -1.0
             try:
