@@ -336,15 +336,14 @@ def sessionize(
 
     Output: (user_id, session_id, session_start_us, session_end_us,
     n_events, duration_us). session_id is 1-based per user in time order;
-    ALL time columns are exact integer epoch-microseconds BIGINTs (the r9
-    environment-proof contract). DRIVER-RED STATUS (r8, r9): the r9
-    ns-vs-µs encoding theory is FALSIFIED — canary_ts_raw AND
-    canary_ts_epoch_us both came back GREEN in CORRECTNESS_r09 while this
-    row stayed red with driver-identical row counts; the mechanism is on an
-    axis the single-row canaries never probed (this output is all-BIGINT
-    multi-row). Round 10 bisects the columns instead: bisect_sess_ids /
-    _start_mod / _bounds in plans/bisect.py localize island structure vs
-    µs values vs large-magnitude normalization.
+    ALL time columns are exact integer epoch-microseconds BIGINTs.
+    RESOLVED r11 (after the r10 column-bisection battery): the r8-r10
+    driver-reds were the oracle's fault, not this plan's — DuckDB's
+    `sum(brk) OVER …` returns HUGEINT (int128), which any typed
+    serialization hashes differently from Spark's LONG while the local
+    fetchall() replica normalized both; `::BIGINT`-casting the emitted
+    session_id fixed it. tests/test_oracle_types.py now DESCRIBEs every
+    oracle to keep the class out.
 
     Scale shape: ONE shuffle on user_id whose sort (ts, tiebreak) feeds both
     window passes (lag, then running sum — same spec → one Exchange+Sort,
@@ -398,8 +397,8 @@ o AS (
 ),
 s AS (
     SELECT user_id, tsu,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+           (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
     FROM o
 )
 SELECT user_id, session_id,
@@ -429,13 +428,11 @@ def scd2_intervals(
 
     Output: (user_id, event_type, version_n, valid_from_us, valid_to_us,
     n_events, is_current) — valid_to_us NULL on the open (current) interval.
-    Validity bounds are exact integer epoch-microseconds BIGINTs. DRIVER-RED
-    STATUS (r8, r9): the encoding theory is falsified (see sessionize);
-    this output additionally carries a NULL BIGINT and a BOOLEAN — axes no
-    r9 canary probed. Round-10 bisection: bisect_scd2_nonnull /
-    _validto_coalesce / _validto / _bool plus canary_null_bool
-    (plans/bisect.py) separate NULL normalization, BOOLEAN normalization,
-    and the underlying integer values.
+    Validity bounds are exact integer epoch-microseconds BIGINTs.
+    RESOLVED r11: same HUGEINT oracle bug as events_sessionize — the
+    emitted version_n was an uncast `sum(brk) OVER …`; `::BIGINT` fixed
+    the r8-r10 driver-reds (the NULL-BIGINT / BOOLEAN axes the r10 bisects
+    probed were all green).
 
     Scale shape: one shuffle on user_id; the change-detection lag and the
     running-sum version number share the (ts, tiebreak) sort; the interval
@@ -495,8 +492,8 @@ o AS (
 ),
 r AS (
     SELECT user_id, event_type, tsu,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                          ROWS UNBOUNDED PRECEDING) AS version_n
+           (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS version_n
     FROM o
 ),
 g AS (

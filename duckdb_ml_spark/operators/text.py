@@ -759,13 +759,13 @@ def bm25_scores(
     (N−df+0.5)/(df+0.5) — the argument of the Robertson log, monotone in
     it, so ranking-equivalent.
 
-    r9 INTEGER-RATIONAL contract (VERDICT r8 item 2: the r8 form emitted a
-    raw DOUBLE score assembled with 0.5/2.2/… literals — green locally,
-    driver hash-red). R9 READOUT: still red, canary_decimal_literal GREEN —
-    the DECIMAL-literal theory is FALSIFIED; round 10 bisects the columns
-    (bisect_bm25_dl / _tf / _numden / _score, plans/bisect.py) to find
-    whether the ints or the derived double diverge. The rational contract
-    itself stays: each term's score is an exact INT64 RATIONAL pair. With
+    r9 INTEGER-RATIONAL contract (VERDICT r8 item 2). RESOLVED r11: the
+    r8-r10 driver-reds were the oracle's uncast `sum(CASE…) AS tf_{t}` —
+    DuckDB HUGEINT vs Spark LONG under typed serialization (the r10
+    bisects proved it: tf RED while num/den/score, exact functions of tf
+    but `::BIGINT`/`::DOUBLE`-cast, were GREEN); `::BIGINT` on tf fixed
+    it. The rational contract itself stays: each term's score is an exact
+    INT64 RATIONAL pair. With
     k1 = 6/5, b = 3/4 (asserted), clearing denominators gives
 
         score_t = num_t / den_t
@@ -871,7 +871,7 @@ def _bm25_oracle(terms: tuple[str, ...] = BM25_TERMS) -> str:
     double score via explicit ::DOUBLE casts."""
     assert (BM25_K1, BM25_B) == (1.2, 0.75)
     tf_cols = ",\n           ".join(
-        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END)::BIGINT AS tf_{t}" for t in terms
     )
     df_cols = ",\n           ".join(
         f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{t}"

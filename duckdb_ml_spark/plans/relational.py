@@ -678,8 +678,8 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
                sum(CASE WHEN o_totalprice >= b.p05 AND o_totalprice <= b.p95
                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
                         ELSE 0 END) AS scm,
-               sum(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END) AS n_lo,
-               sum(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END) AS n_hi,
+               sum(CASE WHEN o_totalprice < b.p05 THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+               sum(CASE WHEN o_totalprice > b.p95 THEN 1 ELSE 0 END)::BIGINT AS n_hi,
                max(b.p05) AS p05,
                max(b.p95) AS p95
         FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
@@ -706,21 +706,15 @@ def orders_rank_distribution_single_window(spark: SparkSession, sf_dir: str) -> 
     "engines sum exact integer cents (order-free int64 partials) and "
     "assemble the two means with ONE pinned IEEE expression over those "
     "exact integers (orderstats._pinned_means == the oracle's "
-    "round(sc/100.0/n, 4) form). r9 ROUND 5 of the driver-red row (VERDICT "
-    "r8 item 3): the r8 de-flake did not change the local hash and the "
-    "driver flipped it anyway, which leaves exactly ONE "
-    "environment-coupled input — the quantile_cont-INTERPOLATED bounds "
-    "(quantile_cont_sorted pins THIS host's DuckDB 1.0.0 lerp; a different "
-    "oracle-engine version can move p05/p95 by ulps, flipping n_lo/n_hi "
-    "and the 4-dp means). Bounds are now interpolation-free ORDER "
+    "round(sc/100.0/n, 4) form). Bounds are interpolation-free ORDER "
     "STATISTICS: p05 = the ⌈n/20⌉-th smallest, p95 = the ⌈19n/20⌉-th "
     "smallest — exact 2-dp DATA VALUES both engines agree on bitwise "
     "(disc_fracs, exact integer positions; the oracle's row_number form is "
-    "the same statistic). R9 READOUT: still red, canary_quantile_interp "
-    "GREEN — the interpolation theory is FALSIFIED too (round 6 of this "
-    "row). Round 10 bisects the output instead: bisect_wins_counts / "
-    "_means / _bounds / _bounds_cents / _cents / _mean_e4 (plans/bisect.py) "
-    "separate integer inputs, bound values, and the float assembly stage.",
+    "the same statistic). RESOLVED r11: the r4-r10 driver-reds were the "
+    "oracle's uncast `sum(CASE…) AS n_lo/n_hi` — DuckDB HUGEINT vs Spark "
+    "LONG under typed serialization (r10 bisects: wins_cents with "
+    "count(*)::BIGINT GREEN, wins_counts with the uncast sums RED); "
+    "`::BIGINT` on n_lo/n_hi fixed it.",
     tags=("aggregate", "percentile", "robust", "ml-prep"),
 )
 def orders_winsorized_stats(

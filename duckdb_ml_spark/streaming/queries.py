@@ -172,8 +172,8 @@ o AS (
 ),
 r AS (
     SELECT user_id, event_type, tsu,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                          ROWS UNBOUNDED PRECEDING) AS version_n
+           (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS version_n
     FROM o
 ),
 g AS (

@@ -46,6 +46,20 @@ def main() -> int:
                 print(f"ROWS  {name}: rows={n} (no oracle) [{time.time() - t0:.1f}s]")
                 n_rows_only += 1
                 continue
+            # Type gate (VERDICT r10 item 2): DuckDB sum() over ints returns
+            # HUGEINT, which hashes differently from Spark LONG in any typed
+            # serialization while fetchall() hides it locally. Fail fast at
+            # authoring time instead of going driver-red.
+            bad_types = [
+                (c, t)
+                for c, t, *_ in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                if any(k in t.upper() for k in ("HUGEINT", "DECIMAL"))
+            ]
+            if bad_types:
+                print(f"FAIL  {name}: oracle emits unstable types {bad_types} "
+                      "(cast to ::BIGINT / ::DOUBLE)")
+                n_fail += 1
+                continue
             sf_tag = Path(args.sf_dir).name
             report = compare_to_oracle(
                 sdf, oracles[name], con,
