@@ -79,6 +79,46 @@ def _ml_pred_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("id", "size(pred) AS pred_dim", "element_at(pred, 1) AS p1")
 
 
+def _ml_pred_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First hash-checkable row touching the pandas_udf inference path
+    (VERDICT r10 item 4): deterministic lineitem features through the
+    SQL-registered ml_pred, reduced to engine-stable integers. The reference
+    scores exactly one output row per input row with width = the spec's last
+    layer `out` (src/lib.rs:204-238), so n_rows and out_dim are
+    DuckDB-computable from the input table + the spec literal; n_bad = 0
+    additionally proves the Arrow kernel returned a well-formed finite
+    vector for every row (float VALUES stay rows-only per FIXTURES §F7)."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.tables import load
+
+    fn.ml_create("q_shape_mlp", SPEC_2_8_1)
+    fn.register_all(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.array(
+            (F.col("l_quantity") / 50.0).cast("float"),
+            F.col("l_discount").cast("float"),
+        ).alias("features"),
+    )
+    li.createOrReplaceTempView("__ml_pred_shape_in")
+    pred = spark.sql(
+        "SELECT ml_pred('q_shape_mlp', features) AS pred FROM __ml_pred_shape_in"
+    )
+    p1 = F.element_at("pred", 1)
+    bad = (
+        F.col("pred").isNull()
+        | (F.size("pred") != 1)
+        | F.isnan(p1)
+        | (F.abs(p1) > F.lit(float("1e30")))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.size("pred")).cast("long").alias("out_dim_min"),
+        F.max(F.size("pred")).cast("long").alias("out_dim_max"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+    )
+
+
 def _ml_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed training path (per-partition training + sample-weighted
     averaging via mapInPandas) — the 100 TB alternative to driver collect.
@@ -182,6 +222,21 @@ QUERIES: dict[str, QuerySpec] = {
         oracle=None,  # float32 training output — rows-only (FIXTURES §F7)
         doc="End-to-end train→predict on scaled lineitem (autompg pipeline shape).",
         tags=("ml",),
+    ),
+    "ml_pred_shape": QuerySpec(
+        name="ml_pred_shape",
+        builder=_ml_pred_shape,
+        oracle="""
+        SELECT count(*)::BIGINT AS n_rows,
+               1::BIGINT AS out_dim_min,
+               1::BIGINT AS out_dim_max,
+               0::BIGINT AS n_bad
+        FROM lineitem
+        """,
+        doc="Structural twin of ml_pred: row preservation + last-layer width "
+        "+ zero malformed outputs, hash-checkable (reference output shape "
+        "semantics src/lib.rs:204-238).",
+        tags=("ml", "sql"),
     ),
     "ml_pred_sql": QuerySpec(
         name="ml_pred_sql",

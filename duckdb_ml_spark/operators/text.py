@@ -838,24 +838,32 @@ def bm25_scores(
     # ADVICE r9 low: Spark wraps bigint multiplication silently (non-ANSI)
     # while DuckDB raises — past the docstring bound the engines would
     # diverge QUIETLY. Turn the documented limit into an explicit runtime
-    # error: 44·sum_dl·N·max(tf) — the actual per-row num_t dominator (a dl
-    # proxy would abort up to dl/tf ≈ 10³× early on long docs with rare
-    # terms; den_t is smaller, see docstring bound) — checked in DOUBLE
-    # against 2^62 (a 2× safety margin absorbs the double approximation).
-    # assert_true is evaluated in-plan per surviving row — no extra job,
-    # fails the task with an actionable message instead of wrapping.
+    # error, guarding BOTH dominators (ADVICE r10 low: den_t's 9·dl·N term
+    # is NOT dominated by the num guard when dl > ~2.4·avg_dl·max_tf — a
+    # long doc of common terms could wrap den_t alone):
+    #   num_t ≤ 44·sum_dl·max_tf·N           (2N−2df+1 ≤ 2N)
+    #   den_t ≤ (2N+1)·(10·max_tf·sum_dl + 3·sum_dl + 9·dl·N)   (df ≤ N)
+    # both checked in DOUBLE against 2^62 (a 2× safety margin absorbs the
+    # double approximation). assert_true is evaluated in-plan per surviving
+    # row — no extra job, fails the task with an actionable message instead
+    # of wrapping.
     max_tf = (
         F.col(f"tf_{terms[0]}")
         if len(terms) == 1
         else F.greatest(*[F.col(f"tf_{t}") for t in terms])
     )
+    sd_d, n_d, tf_d = sd.cast("double"), n.cast("double"), max_tf.cast("double")
+    dl_d = dl.cast("double")
+    den_bound = (F.lit(2.0) * n_d + F.lit(1.0)) * (
+        F.lit(10.0) * tf_d * sd_d + F.lit(3.0) * sd_d + F.lit(9.0) * dl_d * n_d
+    )
     guard = F.assert_true(
-        F.lit(44.0) * sd.cast("double") * n.cast("double") * max_tf.cast("double")
-        < F.lit(float(1 << 62)),
+        (F.lit(44.0) * sd_d * n_d * tf_d < F.lit(float(1 << 62)))
+        & (den_bound < F.lit(float(1 << 62))),
         F.lit(
             "text_bm25_scores: INT64 rational bound exceeded "
-            "(44*sum_dl*N*tf approaches 2^63) - score per-shard/per-source "
-            "partitions instead (see docstring)"
+            "(num or den dominator approaches 2^63) - score per-shard/"
+            "per-source partitions instead (see docstring)"
         ),
     )
     return (

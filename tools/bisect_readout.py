@@ -1,11 +1,20 @@
 #!/usr/bin/env python
-"""Interpret CORRECTNESS_r10+'s bisect/canary block (round-11 item 1).
+"""Interpret CORRECTNESS_r10's bisect/canary block (historical decoder).
 
-Encodes the decision table from NOTES.md / plans/bisect.py: given the
+Encodes the decision table from NOTES.md / plans/bisect.py@r10: given the
 driver's CORRECTNESS_r{N}.json, prints per-red-query the localized column
-set and the prescribed r11 contract fix. Run:
+set and the prescribed contract fix. Run:
 
     python tools/bisect_readout.py CORRECTNESS_r10.json
+
+RESOLVED r11: the readout (tf RED + numden GREEN, counts RED + cents GREEN,
+all-sessionize/scd2 RED) decoded to uncast DuckDB integer `sum()` columns —
+HUGEINT under typed serialization vs Spark LONG. The probes are retired from
+the registry; this tool remains to decode the archived r10 artifact. ADVICE
+r10 low: value-contradictory patterns (a probe RED while an exact function
+of the same values is GREEN) now flag the SERIALIZATION axis instead of
+printing a single-axis value prescription — which is precisely the pattern
+the real root cause produced.
 """
 
 from __future__ import annotations
@@ -99,6 +108,14 @@ def diagnose(d: dict) -> list[str]:
                        "axis. Next: a 1-row sum-of-row-md5 canary over this "
                        "output on both engines.")
             continue
+        if reds and len(reds) == len(probes):
+            out.append("   -> ALL bisects red with driver-equal row counts: "
+                       "no single column axis — suspect a type/serialization "
+                       "property every probe shares with the original (e.g. "
+                       "an uncast integer sum() → HUGEINT in the oracle); "
+                       "DESCRIBE the oracle and compare result types, don't "
+                       "re-engineer values.")
+            continue
         if orig == "events_sessionize" and "bisect_sess_bounds" in reds and \
                 states["bisect_sess_ids"] == "GREEN" and states["bisect_sess_start_mod"] == "GREEN":
             out.append("   -> large-magnitude BIGINT axis (epoch-µs > 1e15): "
@@ -122,7 +139,17 @@ def diagnose(d: dict) -> list[str]:
                 out.append("   -> rational assembly diverges on identical tf/df: "
                            "suspect BIGINT-vs-HUGEINT product normalization; "
                            "probe num mod 2^30 next.")
-            if states["bisect_bm25_dl"] == "RED" or states["bisect_bm25_tf"] == "RED":
+            if states["bisect_bm25_tf"] == "RED" and states["bisect_bm25_numden"] == "GREEN":
+                # num/den are exact functions of tf/df: if tf VALUES diverged,
+                # num/den must too. tf-RED + numden-GREEN is value-contradictory
+                # — the divergence is in how tf is TYPED/serialized, not what
+                # it equals (the r10 real-world case: uncast sum() → HUGEINT).
+                out.append("   -> INCONSISTENT readout: tf RED but num/den "
+                           "(exact functions of tf/df) GREEN — values cannot "
+                           "differ; suspect the tf column's oracle TYPE "
+                           "(uncast sum() → HUGEINT) or the harness, not "
+                           "tokenization.")
+            elif states["bisect_bm25_dl"] == "RED" or states["bisect_bm25_tf"] == "RED":
                 out.append("   -> tokenization itself diverges in the driver "
                            "oracle engine: pin the oracle tokenizer (compare "
                            "tokens_sql output vs Spark tokens on one doc).")
@@ -135,7 +162,18 @@ def diagnose(d: dict) -> list[str]:
             if states["bisect_wins_bounds"] == "RED" and states["bisect_wins_bounds_cents"] == "GREEN":
                 out.append("   -> bound VALUES agree, double normalization of "
                            "2-dp data differs: emit bounds as cents BIGINTs.")
-            if states["bisect_wins_counts"] == "RED":
+            if states["bisect_wins_counts"] == "RED" and \
+                    states["bisect_wins_means"] == "GREEN" and \
+                    states["bisect_wins_bounds_cents"] == "GREEN":
+                # mean_winsorized is an exact function of the counts and
+                # bounds: counts-RED + means-GREEN is value-contradictory —
+                # the counts' oracle TYPE diverges, not the bound compares.
+                out.append("   -> INCONSISTENT readout: counts RED but means "
+                           "(exact functions of the counts+bounds) and bounds "
+                           "GREEN — values cannot differ; suspect the count "
+                           "columns' oracle TYPE (uncast sum(CASE) → HUGEINT "
+                           "vs the cents probe's count(*)::BIGINT).")
+            elif states["bisect_wins_counts"] == "RED":
                 out.append("   -> clip counts diverge -> the bounds themselves "
                            "differ: order-statistic position semantics in the "
                            "driver's DuckDB; compare bounds_cents row.")
