@@ -1060,15 +1060,16 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 shape: local-supplier revenue by nation — the canonical star "
     "join. Plan discipline: the FACT table (lineitem) always STREAMS — it is "
-    "never the build side of any join. Left to file-size stats the planner "
-    "builds a hash relation over whichever side is smallest on disk, which at "
-    "this SF picked lineitem itself (a 600k-row driver build per run; at scale "
-    "an OOM). Instead orders⋈customer reduces to a compact (orderkey → "
-    "nationkey) map that broadcasts, and lineitem streams through it plus the "
-    "dimension broadcasts in a single codegen stage — the only shuffle is the "
-    "5-row final aggregate. At 100 TB the same code drops the oc broadcast "
-    "hint (orders outgrows the threshold) and AQE plans the two fact joins as "
-    "shuffles; the invariant that survives is lineitem-on-the-stream-side.",
+    "never the build side of any join, and EVERY selective predicate reaches "
+    "it before the first exchange: region=ASIA through the customer side "
+    "(orderkey→nationkey map) AND through the supplier side (lineitem ⋈ "
+    "broadcast ASIA-suppliers cuts the fact ~5x and projects it to 3 narrow "
+    "columns up front — the r11 lever that took 256x from 9.4x to 2.3x of "
+    "DuckDB). Below the gate the narrow order map broadcasts and the only "
+    "shuffle is the 5-row final aggregate; above it both narrow sides meet "
+    "in a shuffled hash join (the measured winner over map-broadcast and "
+    "fact-preaggregation variants, bench/REVENUE_VARIANTS_x256_r11.json). "
+    "The invariant that survives 100 TB is lineitem-on-the-stream-side.",
     tags=("join", "star", "aggregate"),
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,19 +1094,47 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
     cust_asia = cust.join(
-        F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", "c_nationkey", "n_name")
+        F.broadcast(asia_nat.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    # NARROW order map: (o_orderkey, c_nationkey) only — n_name is re-joined
+    # onto the 5-row aggregate at the end, so the map that has to reach every
+    # lineitem partition is 12 bytes/row, not a string-carrying struct.
     oc = orders.join(
         F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey")
-    ).select("o_orderkey", "c_nationkey", "n_name")
+    ).select("o_orderkey", "c_nationkey")
+    # r11 (VERDICT r10 item 5 — 9.4× vs DuckDB at 256×): push the OTHER
+    # selective predicate into the fact side too. s_nationkey must equal the
+    # (ASIA) customer nation, so only ASIA suppliers can ever match: joining
+    # lineitem to broadcast(ASIA suppliers) FIRST cuts the fact ~5× and
+    # projects it to 3 narrow columns before any exchange — the single
+    # biggest lever at scale, and exactly the reduction DuckDB's planner got
+    # from evaluating the dimension filters first.
+    supp_asia = supp.join(
+        F.broadcast(asia_nat.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey")
+    li_asia = li.join(
+        F.broadcast(supp_asia), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_orderkey",
+        "s_nationkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
     # Broadcast decision on the FILTERED build side's actual cardinality,
     # not the raw file size (which can't see predicate selectivity; this
     # session runs AQE off — compact-mode choice — so no runtime
     # promotion). Below 16 MB of orders the static plan broadcasts without
     # any job; above it, one cached count of oc (the repo's collect-gate
-    # pattern) decides: ≲2 M filtered rows (~60 MB) broadcast — lineitem
-    # never shuffles — else oc becomes the build side of a shuffled hash
-    # join. The lineitem-streams invariant holds in every regime.
+    # pattern) decides: ≲2 M filtered NARROW rows broadcast — lineitem
+    # never shuffles — else both narrow sides meet in a shuffled hash
+    # join. The r11 256x variant probe (bench/REVENUE_VARIANTS_x256_r11)
+    # measured the alternatives: broadcasting the 4.2 M-row map costs more
+    # than the shuffle it saves (9.7 s vs 2.5 s), and pre-aggregating the
+    # fact per (orderkey, nation) adds an exchange that outweighs its ~2x
+    # row cut (3.5 s) — the winning shape is the prefiltered narrow
+    # shuffle, 2.3x DuckDB (was 9.4x in r10). The
+    # lineitem-streams-and-never-builds invariant holds in every regime.
     import os as _os
 
     try:
@@ -1113,20 +1142,30 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         _osz = 0
     if _osz < (16 << 20):
-        oc_side = F.broadcast(oc)
+        broadcast_oc = True
     else:
         from duckdb_ml_spark.operators.dedup import _cached_count
 
         n_oc = _cached_count(oc, (sf_dir, "revenue_by_nation", "oc_filtered"))
-        oc_side = F.broadcast(oc) if n_oc < 2_000_000 else oc.hint("shuffle_hash")
-    joined = li.join(oc_side, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(supp),
-        (F.col("l_suppkey") == F.col("s_suppkey"))
-        & (F.col("c_nationkey") == F.col("s_nationkey")),
+        broadcast_oc = n_oc < 2_000_000
+    on = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("c_nationkey") == F.col("s_nationkey")
     )
-    return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    oc_side = F.broadcast(oc) if broadcast_oc else oc.hint("shuffle_hash")
+    matched = li_asia.join(oc_side, on)
+    agg = matched.groupBy("s_nationkey").agg(
+        F.sum("__rev").alias("__rev_sum"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    return (
+        agg.join(
+            F.broadcast(asia_nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            "n_name",
+            F.round(F.col("__rev_sum"), 2).alias("revenue"),
+            "n_lineitems",
+        )
     )
 
 

@@ -369,14 +369,29 @@ def adaptive_salted_join(
     return plain.unionByName(salted)
 
 
+# Above this lineitem.parquet size the fact-fact join switches from the
+# adaptive (sample-profile + salt-hot-keys) shuffle form to the BUCKETED
+# LAYOUT: both pruned sides written bucketed+sorted on the join key once
+# (a dataset artifact, reused across queries in the session), every
+# subsequent join bucket-aligned and exchange-free. Crossover measured at
+# 1024x (bench/BUCKETJOIN_x1024_r9.json): warm shuffle 59.5 s vs bucketed
+# join 33.1 s after an 87.7 s one-time write — the write pays off within
+# two joins. sf0.1 lineitem is ~70 MB, far below the gate, so the driver
+# gate's plan (and hash) is unchanged.
+_BUCKET_LAYOUT_GATE_BYTES = 1 << 30
+
+
 def _salted_join_q(spark, sf_dir: str):
-    """lineitem ⋈ orders through adaptive_salted_join, then revenue by
-    priority — value-hash checked against the PLAIN join oracle, proving the
-    skew-resistant physical rewrite preserves join semantics exactly. On
-    this (uniform-key) data the adaptive profile finds no hot keys and the
-    plan IS the plain join + one sample-count job; the salted branch's
-    correctness is pytest-proven on crafted skew
-    (test_adaptive_salted_join_*)."""
+    """lineitem ⋈ orders revenue by priority — value-hash checked against
+    the PLAIN join oracle, proving the physical strategy choice preserves
+    join semantics exactly. Strategy tree (the documented 100 TB decision):
+    hot keys found by the sampled profile → salt exactly those keys
+    (adaptive_salted_join; pytest-proven on crafted skew); uniform keys
+    below the layout gate → plain shuffle join (+ one cheap sample job);
+    uniform keys ABOVE the gate (a repeated fact-fact join at scale) → the
+    bucketed layout, because the r9 1024x probe measured salting/shuffling
+    uniform keys as pure overhead while the bucket-aligned join runs with
+    ZERO join exchanges (VERDICT r10 item 6)."""
     from duckdb_ml_spark.tables import load
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -385,6 +400,48 @@ def _salted_join_q(spark, sf_dir: str):
     od = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
+    import os as _os
+
+    try:
+        _lsz = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        _lsz = 0
+    if _lsz >= _BUCKET_LAYOUT_GATE_BYTES:
+        # profile first: bucketing does NOT mitigate skew (a hot key still
+        # lands in one bucket), so measured-hot keys keep the salted path
+        ck = ((sf_dir, "lineitem", "skew_salted_join"), "l_orderkey",
+              HOT_KEY_ROWS, HOT_SAMPLE_FRACTION)
+        hot = _HOT_KEYS_CACHE.get(ck)
+        if hot is None:
+            cut = max(1, int(HOT_KEY_ROWS * HOT_SAMPLE_FRACTION / 2))
+            hot = [
+                r[0]
+                for r in li.sample(fraction=HOT_SAMPLE_FRACTION, seed=42)
+                .groupBy("l_orderkey").count()
+                .where(F.col("count") > cut).select("l_orderkey").collect()
+            ]
+            _HOT_KEYS_CACHE[ck] = hot
+        if not hot:
+            from duckdb_ml_spark.sources.readers import _TMP_ROOT, write_bucketed
+
+            tag = _os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
+            root = _os.path.join(_TMP_ROOT, _os.path.basename(sf_dir))
+            tl, to = f"bkt_sj_li_{tag}", f"bkt_sj_od_{tag}"
+            # bucket count scales with the fact (~128 MB of source parquet
+            # per bucket, floor 32): the write_bucketed default of 8 is
+            # sized for sf0.1 and left the 256x bucket-aligned join running
+            # 8 tasks on 32 cores (r11 probe: 6.6 s; 32+ buckets keep every
+            # core in the merge phase)
+            nb = max(32, min(1024, _lsz >> 27))
+            write_bucketed(li, tl, "l_orderkey", _os.path.join(root, tl), n_buckets=nb)
+            write_bucketed(od, to, "l_orderkey", _os.path.join(root, to), n_buckets=nb)
+            j = spark.table(tl).join(spark.table(to), "l_orderkey")
+            return j.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
     j = adaptive_salted_join(
         li, od, on="l_orderkey", n_salts=8,
         cache_key=(sf_dir, "lineitem", "skew_salted_join"),
