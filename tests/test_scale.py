@@ -196,3 +196,34 @@ def test_key_skew_profile_deterministic_under_ties(spark):
     b = [tuple(r) for r in key_skew_profile(df.repartition(7), "k", top=5).collect()]
     assert a == b
     assert [r[0] for r in a] == [1, 2, 3, 4, 5]  # key-ascending tiebreak
+
+
+def test_skew_join_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
+    """Force the above-gate bucketed-layout branch of skew_salted_join (the
+    real gate is 1 GB of lineitem parquet, unreachable at test SFs) and
+    assert (a) value equality with the plain-join form the oracle encodes,
+    (b) the bucket-aligned join itself plans with zero Exchange nodes before
+    the 5-group aggregate (the one exchange the aggregate is allowed)."""
+    import duckdb_ml_spark.plans.scale as scale
+
+    monkeypatch.setattr(scale, "_BUCKET_LAYOUT_GATE_BYTES", 0)
+    # fresh hot-key cache entry irrelevant: uniform data -> no hot keys
+    out = scale._salted_join_q(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange: the final groupBy(o_orderpriority); the join
+    # itself must be bucket-aligned (no "Exchange hashpartitioning(l_orderkey")
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    got = {tuple(r) for r in out.collect()}
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(od, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+    assert got == {tuple(r) for r in plain.collect()}
