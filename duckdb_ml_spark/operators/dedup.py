@@ -1381,11 +1381,9 @@ SEM_TAU = 0.4  # within-cluster cosine at/above which the higher id is dropped
 # ≈ stride members), so the oracle stays exact; above it the within-cluster
 # prune is computed per sub-cluster — a documented approximation.
 SEM_MAX_CLUSTER = 4096
-# Centroid-matrix tile width for the assign kernel: bounds the per-batch
-# dot-product working set to batch×tile (an Arrow batch is ~10k rows →
-# ~640 MB ceiling) however many centroids the corpus implies (82k at the
-# 1024× derivation).
-SEM_CENT_TILE = 8192
+# (r11) the assign kernel's working-set bound moved into
+# vec.exact_argmax_cosine's row_block x col_block tiling — however many
+# centroids the corpus implies (82k at the 1024x derivation).
 
 
 def semantic_dedup(
@@ -1409,9 +1407,10 @@ def semantic_dedup(
     Plan shape (the one that scales):
       1. ONE corpus scan assigns each vector to its nearest centroid
          (broadcast centroid matrix, fused Arrow kernel — same
-         argmax/tie-break recipe as ivf_topk; the centroid matrix is TILED
-         SEM_CENT_TILE columns at a time, so the per-batch working set is
-         bounded however many centroids the corpus implies).
+         argmax/tie-break recipe as ivf_topk; r11: the argmax runs at BLAS
+         speed with an exact-fold rescore of the eps-band candidates —
+         bit-identical by construction, see vec.exact_argmax_cosine — after
+         the d-pass fold was measured as 216 s of the 336 s 1024× run).
       2. ONE shuffle co-locates each cluster (hash repartition on bucket —
          the only exchange; clusters ≈ N/stride or √N so AQE absorbs skew).
       3. Per-partition Arrow kernel computes each cluster's member×member
@@ -1431,7 +1430,7 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix, collect_matrix
+    from duckdb_ml_spark.operators.vec import collect_matrix
     from duckdb_ml_spark.session import ensure_shipped
 
     if centroids == "kmeans":
@@ -1460,24 +1459,20 @@ def semantic_dedup(
     bc = spark.sparkContext.broadcast((cent_ids, CM))
 
     def assign(batches):
+        from duckdb_ml_spark.operators.vec import exact_argmax_cosine
+
         cids_b, CMb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             A = np.stack(pdf["embedding"].to_numpy())
-            # tile the centroid matrix (docstring's "at huge k" clause): a
-            # strict > update keeps the FIRST max across tiles — identical
-            # tie-break to one whole-matrix np.argmax (lowest c_id, since
-            # cent_ids is sorted ascending and tiles scan in order)
-            best_val = np.full(len(A), -np.inf)
-            best_idx = np.zeros(len(A), dtype=np.int64)
-            for t0 in range(0, len(CMb), SEM_CENT_TILE):
-                cos_t = _seq_cosine_matrix(A, CMb[t0 : t0 + SEM_CENT_TILE])
-                ti = np.argmax(cos_t, axis=1)
-                tv = cos_t[np.arange(len(A)), ti]
-                upd = tv > best_val
-                best_val[upd] = tv[upd]
-                best_idx[upd] = ti[upd] + t0
+            # exact fold argmax at BLAS speed (r11: the d-pass fold over the
+            # full (n, k) accumulator was the measured 1024x bottleneck —
+            # 216 s of the 336 s run for 256k x 10k; the banded rescore is
+            # bit-identical by construction, see exact_argmax_cosine). The
+            # first-max rule == lowest c_id on ties, since cent_ids is
+            # sorted ascending.
+            best_idx, _ = exact_argmax_cosine(A, CMb)
             buckets = cids_b[best_idx]
             yield pd.DataFrame(
                 {
@@ -1501,18 +1496,22 @@ def semantic_dedup(
     )
 
     def _prune_block(M):
-        # dropped[i] ⇔ ∃ j<i (id order) with cos ≥ tau — exact within a block
-        C = _seq_cosine_matrix(M, M)
-        lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)  # j < i ⇒ id_j < id_i
-        return ((C >= tau) & lower).any(axis=1)
+        # dropped[i] ⇔ ∃ j<i (id order) with cos ≥ tau — exact within a
+        # block; r11: BLAS threshold with eps-band exact rescore
+        # (vec.exact_tril_any_ge), bit-identical to the fold matrix form
+        from duckdb_ml_spark.operators.vec import exact_tril_any_ge
+
+        return exact_tril_any_ge(M, tau)
 
     def _subclusters(M, max_size):
         # SemDeDup's recluster-oversized step, deterministic: single-pass
         # spherical assignment to the first 2·⌈n/max_size⌉ members (id
         # order), then a contiguous hard split of any still-oversized
         # sub-cluster guarantees the bound.
+        from duckdb_ml_spark.operators.vec import exact_argmax_cosine
+
         k = max(2, -(-len(M) // max_size) * 2)
-        sub = np.argmax(_seq_cosine_matrix(M, M[:k]), axis=1)
+        sub, _ = exact_argmax_cosine(M, M[:k])
         for s in range(k):
             idx = np.nonzero(sub == s)[0]
             for off in range(0, len(idx), max_size):

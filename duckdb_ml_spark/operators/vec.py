@@ -107,6 +107,147 @@ def _seq_cosine_matrix(A, B):  # (n,d) x (m,d) -> (n,m) cosine, sequential-fold 
     return dot / np.multiply.outer(np.sqrt(na), np.sqrt(nb))
 
 
+def _seq_cosine_pairs(A, B, I, J):
+    """Exact fold cosine for the listed (I[p], J[p]) pairs — the SAME
+    floating-point operation sequence per pair as _seq_cosine_matrix
+    (k-ascending adds for dot and both norms, multiply-then-divide), so
+    values are bit-identical to the full matrix's [i, j] entries."""
+    import numpy as np
+
+    AI, BJ = A[I], B[J]
+    dot = np.zeros(len(I))
+    na = np.zeros(len(I))
+    nb = np.zeros(len(I))
+    for k in range(A.shape[1]):
+        dot += AI[:, k] * BJ[:, k]
+        na += AI[:, k] * AI[:, k]
+        nb += BJ[:, k] * BJ[:, k]
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
+# |blas_cosine - fold_cosine| is bounded by ~4·d·u (u = 2^-53): each dot is
+# within gamma_d·Σ|a_k·b_k| <= gamma_d·|a||b| of the true value (standard
+# dot-product rounding bound), norms/sqrt/divide add a few ulp. At d = 4096
+# that is < 2e-12; EPS carries >100x margin on top while still banding only
+# genuine near-ties.
+_ARGMAX_EPS = 1e-9
+
+
+def exact_argmax_cosine(
+    A, B, eps: float = _ARGMAX_EPS, row_block: int = 2048, col_block: int = 8192
+):
+    """(argmax_j fold-cosine(A_i, B_j), that exact max) per row of A —
+    bit-identical to `np.argmax(_seq_cosine_matrix(A, B), axis=1)` with
+    numpy's first-max tie-break, computed at BLAS speed.
+
+    The d-pass outer-product fold is memory-bandwidth-bound: it touches the
+    full (n, m) accumulator d times (216 s for 256k x 10k x 64 at the 1024x
+    probe — the whole semantic-dedup assign stage). But the ARGMAX of the
+    fold matrix is recoverable from BLAS matmuls: approximate cosines via
+    A @ B.T, then re-score ONLY the columns within `eps` of each row's
+    approximate max with the exact pair fold and argmax over those. Since
+    |blas - fold| <= eps/2 per entry, the true fold-argmax is always inside
+    the band, and ties resolve identically because the final comparison
+    uses exact fold values over ascending j (numpy first-max). Any row with
+    a non-finite approximate score (zero vector, NaN) exact-rescores its
+    full row — behavior identical to the fold matrix (numpy's NaN-wins
+    argmax included, since the exact row then contains the same NaNs).
+
+    Working set is bounded at row_block x col_block doubles (134 MB
+    default) however large m grows (82k centroids at the 1024x derivation):
+    pass 1 streams column tiles keeping only each row's approximate max,
+    pass 2 streams them again collecting band candidates — 2x the matmul
+    flops, still ~20x under the fold's d passes.
+
+    Returns (best_idx int64[n], best_val float64[n]) — best_val is the
+    EXACT fold cosine (what callers previously read out of the matrix)."""
+    import numpy as np
+
+    n, m = A.shape[0], B.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    nb = np.sqrt(np.einsum("md,md->m", B, B))
+    best_idx = np.zeros(n, dtype=np.int64)
+    best_val = np.zeros(n)
+    for r0 in range(0, n, row_block):
+        Ab = A[r0 : r0 + row_block]
+        nr = Ab.shape[0]
+        na = np.sqrt(np.einsum("nd,nd->n", Ab, Ab))
+        # pass 1: approximate row max + non-finite detection, tile by tile
+        row_max = np.full(nr, -np.inf)
+        bad = np.zeros(nr, dtype=bool)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c0 in range(0, m, col_block):
+                Bc = B[c0 : c0 + col_block]
+                C = (Ab @ Bc.T) / np.multiply.outer(na, nb[c0 : c0 + col_block])
+                finite = np.isfinite(C)
+                bad |= ~finite.all(axis=1)
+                np.maximum(
+                    row_max,
+                    np.max(np.where(finite, C, -np.inf), axis=1),
+                    out=row_max,
+                )
+            bad |= ~np.isfinite(row_max)
+            # pass 2: collect band candidates (ascending j per row)
+            I_parts, J_parts = [], []
+            for c0 in range(0, m, col_block):
+                Bc = B[c0 : c0 + col_block]
+                C = (Ab @ Bc.T) / np.multiply.outer(na, nb[c0 : c0 + col_block])
+                band = C >= (row_max - eps)[:, None]
+                band[bad, :] = True  # non-finite rows: every column
+                I, J = np.nonzero(band)
+                I_parts.append(I)
+                J_parts.append(J + c0)
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
+        # re-establish row-major (i asc, j asc) order across tiles
+        order = np.lexsort((J, I))
+        I, J = I[order], J[order]
+        s = _seq_cosine_pairs(Ab, B, I, J)
+        starts = np.searchsorted(I, np.arange(nr))
+        ends = np.append(starts[1:], len(I))
+        for i in range(nr):
+            seg = slice(starts[i], ends[i])
+            k = int(np.argmax(s[seg]))  # first max; J ascending within row
+            best_idx[r0 + i] = J[seg][k]
+            best_val[r0 + i] = s[seg][k]
+    return best_idx, best_val
+
+
+def exact_tril_any_ge(M, tau: float, eps: float = _ARGMAX_EPS):
+    """Per row i: does any j < i have fold-cosine(M_i, M_j) >= tau? —
+    bit-identical to `((_seq_cosine_matrix(M, M) >= tau) & tril(-1)).any(1)`
+    (the SemDeDup within-cluster drop rule), at BLAS speed.
+
+    Same construction as exact_argmax_cosine, specialized to a THRESHOLD
+    decision: |blas - fold| <= eps/2, so blas >= tau + eps is definitely a
+    drop, blas < tau - eps definitely not, and only the eps-band (plus any
+    non-finite entries — zero vectors, where fold yields NaN and NaN >= tau
+    is False) is re-scored with the exact pair fold. On real clusters the
+    band is empty unless a pair's cosine sits within 1e-9 of tau itself."""
+    import numpy as np
+
+    n = M.shape[0]
+    if n <= 1:
+        return np.zeros(n, dtype=bool)
+    nm = np.sqrt(np.einsum("nd,nd->n", M, M))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        C = (M @ M.T) / np.multiply.outer(nm, nm)
+    lower = np.tril(np.ones((n, n), dtype=bool), k=-1)
+    finite = np.isfinite(C)
+    dropped = ((C >= tau + eps) & lower & finite).any(axis=1)
+    band = (
+        (C >= tau - eps) & ~(C >= tau + eps) & finite | ~finite
+    ) & lower & ~dropped[:, None]
+    I, J = np.nonzero(band)
+    if len(I):
+        s = _seq_cosine_pairs(M, M, I, J)
+        hit = s >= tau  # NaN >= tau is False — matches the fold matrix
+        if hit.any():
+            np.logical_or.at(dropped, I[hit], True)
+    return dropped
+
+
 _MATRIX_CACHE: dict = {}
 
 # (cache_key, id_col, pos_threshold) -> collected positive-pair rows of

@@ -1724,16 +1724,56 @@ def test_per_source_k_sample_shape_and_determinism(spark, sf_dir):
     assert set(by_src) == {s for s, n in sizes.items() if n > 0}
 
 
-def test_semantic_dedup_centroid_tiling_equivalence(spark, sf_dir, monkeypatch):
-    """Assign must be tile-invariant: a tiny SEM_CENT_TILE (forcing many
-    tiles + the strict-> tie-break) yields the identical (bucket, kept)."""
+def test_exact_argmax_cosine_bit_identical_to_fold_matrix():
+    """The BLAS-prefilter + exact-band-rescore argmax (r11 assign kernel)
+    must be BIT-identical to np.argmax over the sequential-fold matrix —
+    including exact ties (duplicated rows), sub-eps near-ties (1e-15
+    perturbations, where BLAS ordering can differ from fold ordering), and
+    non-finite rows (zero vectors -> NaN cosine, numpy's NaN-wins argmax)."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.vec import (
+        _seq_cosine_matrix,
+        exact_argmax_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(64, 16))
+    B = rng.normal(size=(40, 16))
+    B[11] = B[3]  # exact tie: first-max must pick j=3
+    B[17] = B[3] * (1 + 1e-15)  # sub-eps near-tie (cosine-equal direction)
+    B[23] = 0.0  # zero vector -> NaN column for every row
+    A[5] = 0.0  # zero row -> all-NaN row (fallback path)
+    A[9] = B[3] * 2.5  # cosine-1 hit with both tie columns in the band
+    C = _seq_cosine_matrix(A, B)
+    want_idx = np.argmax(C, axis=1)
+    got_idx, got_val = exact_argmax_cosine(A, B, row_block=17)
+    assert (got_idx == want_idx).all()
+    want_val = C[np.arange(len(A)), want_idx]
+    # bit-identical, NaN-aware
+    assert np.array_equal(got_val, want_val, equal_nan=True)
+
+
+def test_semantic_dedup_assign_matches_fold_reference(spark, sf_dir):
+    """End-to-end: semantic_dedup's bucket assignment (BLAS+band kernel)
+    equals the brute-force fold-matrix argmax reference on the real corpus."""
+    import numpy as np
+
     import duckdb_ml_spark.operators.dedup as dd
+    from duckdb_ml_spark.operators.vec import _seq_cosine_matrix
 
     emb = load(spark, sf_dir, "embeddings")
-    base = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
-    monkeypatch.setattr(dd, "SEM_CENT_TILE", 3)
-    tiled = sorted(map(tuple, dd.semantic_dedup(emb).collect()))
-    assert tiled == base
+    got = {r.vec_id: r.bucket for r in dd.semantic_dedup(emb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    cmask = ids % dd.SEM_STRIDE == 0
+    cids, CM = ids[cmask], M[cmask]
+    order = np.argsort(cids)
+    cids, CM = cids[order], CM[order]
+    ref_idx = np.argmax(_seq_cosine_matrix(M, CM), axis=1)
+    ref = {int(i): int(cids[j]) for i, j in zip(ids, ref_idx)}
+    assert got == ref
 
 
 def test_semantic_dedup_oversized_cluster_subdivision(spark, sf_dir, monkeypatch):
@@ -1750,3 +1790,26 @@ def test_semantic_dedup_oversized_cluster_subdivision(spark, sf_dir, monkeypatch
     dropped_sub = {k for k, kept in sub.items() if not kept}
     dropped_exact = {k for k, kept in exact.items() if not kept}
     assert dropped_sub <= dropped_exact
+
+
+def test_exact_tril_any_ge_bit_identical_to_fold_matrix():
+    """The BLAS-threshold + eps-band rescore drop rule (r11 prune kernel)
+    must be bit-identical to ((fold >= tau) & tril(-1)).any(1), including
+    cosine-1 duplicate pairs, sub-eps perturbations, and NaN rows."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.vec import (
+        _seq_cosine_matrix,
+        exact_tril_any_ge,
+    )
+
+    rng = np.random.default_rng(3)
+    for tau in (-0.2, 0.4, 0.999999, 1.0):
+        M = rng.normal(size=(70, 24))
+        M[9] = M[2]
+        M[11] = M[2] * (1 + 1e-15)
+        M[13] = 0.0
+        C = _seq_cosine_matrix(M, M)
+        lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)
+        want = ((C >= tau) & lower).any(axis=1)
+        assert (exact_tril_any_ge(M, tau) == want).all(), tau
