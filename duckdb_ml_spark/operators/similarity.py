@@ -195,7 +195,11 @@ def ivf_topk(
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids_a = pdf[id_col].to_numpy()
-            buckets = cids_b[np.argmax(_seq_cosine_matrix(A, CMb), axis=1)]
+            # r11: BLAS-banded exact argmax (bit-identical to the fold
+            # matrix argmax — vec.exact_argmax_cosine)
+            from duckdb_ml_spark.operators.vec import exact_argmax_cosine
+
+            buckets = cids_b[exact_argmax_cosine(A, CMb)[0]]
             out_q, out_n, out_c = [], [], []
             for bucket in np.unique(buckets):
                 plist = pmap.get(int(bucket))
@@ -442,14 +446,24 @@ def knn_join(
                 for b in range(n_bands):
                     hit |= np.equal.outer((sig_a >> (b * band_bits)) & mask_v, bands_b[b])
                 hit &= np.not_equal.outer(ids_a, ids_b)
-                cos = _seq_cosine_matrix(A, Mb)
+                # r11: exact fold cosine ONLY at hit positions (the full
+                # n x m fold matrix was computed then read at the sparse
+                # LSH-hit cells — _seq_cosine_pairs replays the identical
+                # per-pair FP sequence, so values are bit-unchanged)
+                from duckdb_ml_spark.operators.vec import _seq_cosine_pairs
+
+                I, J = np.nonzero(hit)
+                s = _seq_cosine_pairs(A, Mb, I, J)
+                starts = np.searchsorted(I, np.arange(len(A)))
+                ends = np.append(starts[1:], len(I))
                 out_v, out_n, out_r = [], [], []
                 for r in range(len(A)):
-                    cidx = np.nonzero(hit[r])[0]
-                    if len(cidx) == 0:
+                    seg = slice(starts[r], ends[r])
+                    if seg.start == seg.stop:
                         continue
+                    cidx, cs = J[seg], s[seg]
                     # cos DESC, neighbor_id ASC — lexsort is stable, last key primary
-                    top = cidx[np.lexsort((ids_b[cidx], -cos[r, cidx]))][:k]
+                    top = cidx[np.lexsort((ids_b[cidx], -cs))][:k]
                     out_v.extend([ids_a[r]] * len(top))
                     out_n.extend(ids_b[top])
                     out_r.extend(range(1, len(top) + 1))
