@@ -184,6 +184,8 @@ _EXEC_AT_BUILD = frozenset(
         "ml_list_models",
         "ml_pred_sql",
         "ml_pred_shape",  # ml_create + register_all registry effects at build
+        "ml_train_shape",  # training at build (structural twin)
+        "ml_train_distributed_shape",
         "ml_train_predict",
         "ml_train_distributed",
         "ml_quality_filter",

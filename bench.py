@@ -44,14 +44,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # r10 bisect probes are column-subset DIAGNOSTIC wrappers that re-execute
-    # their parent query's full plan; excluded from BOTH bench sides
-    # (tools/duck_bench.py mirrors this) so the headline pair times each
-    # computation once, not once per probe
+    # Diagnostic/structural wrappers that RE-EXECUTE another benched query's
+    # full computation (bisect canaries re-run parent plans; the ml_*_shape
+    # twins re-run the training ml_train_predict/_distributed already pay)
+    # are excluded from BOTH bench sides (tools/duck_bench.py mirrors this)
+    # so the headline pair times each computation once, not once per wrapper
     specs = entrymod._all_query_specs()
+    _NOBENCH = {"bisect", "nobench"}
     qs = {
         k: v for k, v in qs.items()
-        if "bisect" not in (getattr(specs.get(k), "tags", ()) or ())
+        if not _NOBENCH & set(getattr(specs.get(k), "tags", ()) or ())
     }
     only = os.environ.get("BENCH_ONLY")
     if only:

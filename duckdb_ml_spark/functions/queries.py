@@ -119,6 +119,79 @@ def _ml_pred_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shape_of(pred: DataFrame, value_col) -> DataFrame:
+    """Reduce a prediction DataFrame to engine-stable structural integers:
+    row count, constant output width (min==max==last-layer `out`), and a
+    zero malformed/non-finite count."""
+    bad = (
+        value_col.isNull()
+        | F.isnan(value_col)
+        | (F.abs(value_col) > F.lit(float("1e30")))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+    )
+
+
+_TRAIN_SHAPE_ORACLE = """
+SELECT count(*)::BIGINT AS n_rows, 0::BIGINT AS n_bad FROM lineitem
+"""
+
+
+def _ml_train_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable structural twin of the ml_train→predict path (the
+    inference twin is ml_pred_shape): output rows == input rows with a
+    finite prediction on every row — reference semantics src/lib.rs:128-176
+    (train consumes all rows, then scores each). Trains 1 epoch (shape is
+    epoch-invariant). Bench-excluded (tags) — it re-executes the SAME
+    training ml_train_predict already pays in the bench, so timing it
+    would double-count the trainer, exactly the bisect-probe rationale."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.flagship import FEATURES, TARGET, scaled_lineitem
+
+    df = scaled_lineitem(spark, sf_dir)
+    xy = df.select(
+        F.array(*[F.col(f"scaled_{c}").cast("float") for c in FEATURES]).alias("features"),
+        F.array(F.col(f"scaled_{TARGET}").cast("float")).alias("targets"),
+    )
+    fn.ml_create("q_tshape_mlp", SPEC_3_16_1)
+    pred = fn.ml_train(
+        spark,
+        "q_tshape_mlp",
+        xy,
+        config='{"epochs": 1, "batch_size": 512, "seed": 42, "learning_rate": 0.01}',
+        save=False,
+    )
+    return _shape_of(pred, F.element_at("prediction", 1))
+
+
+def _ml_train_distributed_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same structural contract through the DISTRIBUTED trainer
+    (per-partition training + weight averaging, functions/distributed.py) —
+    proves the mapInPandas train/score plumbing preserves rows and emits
+    finite vectors at the driver gate. Bench-excluded like ml_train_shape."""
+    from duckdb_ml_spark import functions as fn
+    from duckdb_ml_spark.flagship import FEATURES, TARGET, scaled_lineitem
+    from duckdb_ml_spark.functions.distributed import ml_train_distributed
+
+    df = scaled_lineitem(spark, sf_dir)
+    xy = df.select(
+        F.array(*[F.col(f"scaled_{c}").cast("float") for c in FEATURES]).alias("features"),
+        F.array(F.col(f"scaled_{TARGET}").cast("float")).alias("targets"),
+    )
+    fn.ml_create("q_dshape_mlp", SPEC_3_16_1)
+    pred = ml_train_distributed(
+        spark,
+        "q_dshape_mlp",
+        xy,
+        config='{"epochs": 1, "batch_size": 512, "seed": 42, "learning_rate": 0.01}',
+        mode="avg",
+        save=False,
+    )
+    return _shape_of(pred, F.element_at("prediction", 1))
+
+
 def _ml_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed training path (per-partition training + sample-weighted
     averaging via mapInPandas) — the 100 TB alternative to driver collect.
@@ -237,6 +310,25 @@ QUERIES: dict[str, QuerySpec] = {
         "+ zero malformed outputs, hash-checkable (reference output shape "
         "semantics src/lib.rs:204-238).",
         tags=("ml", "sql"),
+    ),
+    "ml_train_shape": QuerySpec(
+        name="ml_train_shape",
+        builder=_ml_train_shape,
+        oracle=_TRAIN_SHAPE_ORACLE,
+        doc="Structural twin of ml_train→predict: row preservation + finite "
+        "predictions, hash-checkable (reference src/lib.rs:128-176). "
+        "Bench-excluded: re-executes the training ml_train_predict already "
+        "pays (the bisect-probe double-count rationale).",
+        tags=("ml", "nobench"),
+    ),
+    "ml_train_distributed_shape": QuerySpec(
+        name="ml_train_distributed_shape",
+        builder=_ml_train_distributed_shape,
+        oracle=_TRAIN_SHAPE_ORACLE,
+        doc="Structural twin of the distributed trainer: row preservation + "
+        "finite predictions through the mapInPandas train/score path. "
+        "Bench-excluded like ml_train_shape.",
+        tags=("ml", "distributed", "nobench"),
     ),
     "ml_pred_sql": QuerySpec(
         name="ml_pred_sql",

@@ -38,11 +38,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # mirror bench.py: diagnostic bisect probes excluded from the pair
+    # mirror bench.py: diagnostic/structural re-execution wrappers excluded
     specs = entrymod._all_query_specs()
+    _NOBENCH = {"bisect", "nobench"}
     oracles = {
         k: v for k, v in oracles.items()
-        if "bisect" not in (getattr(specs.get(k), "tags", ()) or ())
+        if not _NOBENCH & set(getattr(specs.get(k), "tags", ()) or ())
     }
     for name in ("source_csv_roundtrip", "source_jsonl_roundtrip"):
         if name in qs:
