@@ -248,23 +248,36 @@ VOCAB_TOP_K = 100
 
 def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
     """Corpus vocabulary: top-k tokens by document+total frequency — the
-    tokenizer-training / stopword-mining primitive. One explode + one groupBy
-    (map-side partial agg) + a k-row ordered limit: at 100 TB the shuffle
-    carries (token, partial counts), never documents."""
+    tokenizer-training / stopword-mining primitive.
+
+    Two independent branches, each a map-side-combinable count whose exchange
+    is VOCAB-sized: n_total from exploding the full token array, n_docs from
+    exploding `array_distinct` of the same array (per-doc distinctness is a
+    row-local property — each document is one row, so no (tok, doc_id)
+    aggregate is ever needed). The former single-pass form grouped by
+    (tok, doc_id) first, which shuffled every distinct (token, doc) pair —
+    ~150M rows at the 256× probe vs thousands here; paying a second
+    scan+tokenize is measured 1.7× cheaper than that exchange (5.97 → 3.50 s,
+    bench/VOCAB_VARIANTS_x256_r11.json; a marked single-scan variant with an
+    interpreted `transform` lambda lost to BOTH, 6.74 s — the HOF rule). At
+    100 TB both branch shuffles stay vocab-sized; the extra scan is the
+    standard column-store trade."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # two-level rollup instead of count+count_distinct in one aggregate: the
-    # mixed form plans an Expand (every input row doubled); per-(tok, doc)
-    # counts reduce the stream first and n_docs falls out as a plain count
-    per_doc = tok.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    tot = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    nd = (
+        docs.select(F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     return (
-        per_doc.groupBy("tok")
-        .agg(
-            F.sum("c").alias("n_total"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+        tot.join(nd, "tok")
         .orderBy(F.desc("n_total"), F.asc("tok"))
         .limit(k)
+        .select("tok", "n_total", "n_docs")
     )
 
 

@@ -227,3 +227,19 @@ def test_skew_join_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
         )
     )
     assert got == {tuple(r) for r in plain.collect()}
+
+
+def test_vocab_topk_never_shuffles_doc_keyed_rows(spark, sf_dir):
+    """Regression lock for the r11 vocab_topk restructure: per-doc token
+    distinctness is row-local (each document is one row), so NO exchange may
+    carry doc_id — the old (tok, doc_id) groupBy shuffled every distinct
+    (token, doc) pair (~150M rows at the 256x probe; the two-branch form is
+    measured 1.7x faster there, bench/VOCAB_VARIANTS_x256_r11.json). Both
+    remaining exchanges must be token-keyed partial-agg outputs."""
+    from duckdb_ml_spark.operators.text import vocab_topk
+
+    plan = vocab_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), plan
