@@ -97,6 +97,15 @@ def get_spark(
         # 2 MB floor keeps the original small-suite shave (single-file
         # tables at sf0.1 otherwise scan as ONE serial task — events JSON
         # agg 403→299 ms), the 128 MB cap is Spark's cluster default.
+        # Non-compact keeps the 128 MB cluster default ON PURPOSE (r11
+        # falsification, tools/scansplit_probe.py + bench/SCANSPLIT_x256_r11):
+        # data-scaling the split to ~total/128 (49 MB at 256×) wins ONLY on
+        # the single widest pure-scan agg (pricing_summary 2.26→1.84 s, the
+        # one query whose dominant fact otherwise gets 22 tasks on 32 cores)
+        # and gives it straight back in task overhead on Arrow-kernel ops
+        # (sample_token_budget 7.13→7.73 s) — 7-query subset total 22.58 vs
+        # 22.90 s, a wash. Scan parallelism is not the mid-scale bottleneck;
+        # shuffle and kernel batch shape are.
         .config(
             "spark.sql.files.maxPartitionBytes",
             str(min(max(total_bytes // 64, 2 << 20), 128 << 20))
