@@ -197,6 +197,33 @@ def keyed_global_rank(
     )
 
 
+def ntile_from_rank(tiles: int, rn_col: str = "__rn", n_col: str = "__n"):
+    """SQL NTILE(tiles) reconstructed from a 1-based UNIQUE rank and the
+    per-key total — lets ntile ride `keyed_global_rank`'s two-pass rank
+    instead of a per-key single-task window sort.
+
+    Both engines implement the standard tile rule (Spark
+    catalyst.expressions.NTile, DuckDB ntile): q = n div t, r = n % t; the
+    first r tiles get q+1 rows, the rest get q. With a total order (unique
+    tiebreak ⇒ rank == row_number) the tile of a row is a pure function of
+    (rn, n) — computed here with BIGINT `div` arithmetic, exact at any
+    scale (a double floor(x/y) reconstruction can misround once quotients
+    pass ~2^33; integer div cannot). The q = 0 branch (n < tiles) divides
+    by zero in the ELSE arm, but the WHEN arm covers all rows there
+    (r == n ⇒ the first block is the whole key). Cast to INT to match the
+    window NTile's output type."""
+    t = int(tiles)
+    rn, n = rn_col, n_col
+    q = f"({n} div {t})"
+    r = f"({n} % {t})"
+    first_block = f"({r} * ({q} + 1))"
+    return F.expr(
+        f"CASE WHEN {rn} <= {first_block} "
+        f"THEN ({rn} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + (({rn} - 1) - {first_block}) div {q} + 1 END"
+    ).cast("int")
+
+
 def keyed_prefix_sum(
     df: DataFrame,
     key: str,

@@ -1179,14 +1179,48 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
-    doc="Distribution-rank window suite: ntile/percent_rank/cume_dist sharing one "
-    "window frame — one shuffle on the partition key, one sort reused by all "
-    "three. The o_orderkey tiebreak makes ntile deterministic (ntile splits tied "
-    "rows by physical order; an ambiguous sort would be nondeterministic on BOTH "
-    "engines).",
+    doc="Distribution-rank window suite: ntile/percent_rank/cume_dist. The "
+    "o_orderkey tiebreak makes the order TOTAL (ntile splits tied rows by "
+    "physical order — ambiguous sorts are nondeterministic on BOTH engines), "
+    "which also means rank == row_number, so all three functions are pure "
+    "functions of (rn, n) and ride keyed_global_rank's size-gated two-pass "
+    "range-bucket rank above RANK_WINDOW_GATE instead of sorting each of the "
+    "5 priority partitions on ONE task (r11 same-window 256× probe: 26.84 → "
+    "10.08 s, bench/RANKMETRICS_x256_r11.json — 38M orders / 5 single-task "
+    "sorts before; ntile reconstructed with exact BIGINT div arithmetic, "
+    "orderstats.ntile_from_rank; pytest-equivalent to the single-window twin "
+    "on both gate sides).",
     tags=("window", "rank"),
 )
-def orders_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def orders_rank_metrics(
+    spark: SparkSession, sf_dir: str, mode: str = "auto"
+) -> DataFrame:
+    from duckdb_ml_spark.plans.orderstats import keyed_global_rank, ntile_from_rank
+
+    orders = load(spark, sf_dir, "orders")
+    ranked = keyed_global_rank(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        key="o_orderpriority",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        cache_key=(sf_dir, "orders", "o_totalprice"),
+        mode=mode,
+    )
+    rn, n = F.col("__rn"), F.col("__n")
+    return ranked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        ntile_from_rank(4).alias("price_quartile"),
+        F.round(
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(rn.cast("double") / n, 6).alias("cume"),
+    )
+
+
+def orders_rank_metrics_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference single-window form (the pre-r11 plan): pytest equivalence
+    anchor for the two-pass rank — identical output, anti-scale plan."""
     from pyspark.sql.window import Window
 
     orders = load(spark, sf_dir, "orders")

@@ -864,3 +864,50 @@ def test_token_shards_all_oov_source_skipped(spark, tmp_path):
     assert not any("dead" in f for f in files)
     back = read_token_shards_manifest(spark, out, seq_len=4).collect()
     assert [r["source"] for r in back] == ["live"]
+
+
+def test_rank_metrics_two_pass_equals_single_window(spark, sf_dir):
+    """orders_rank_metrics rides keyed_global_rank (r11): ntile/percent_rank/
+    cume_dist reconstructed from (rn, n) must match the window-function forms
+    row-for-row on BOTH gate sides — in particular ntile_from_rank's BIGINT
+    div tile rule against catalyst's NTile, including the n % tiles != 0
+    uneven-tile boundaries."""
+    from duckdb_ml_spark.plans.relational import (
+        orders_rank_metrics,
+        orders_rank_metrics_single_window,
+    )
+
+    one = {
+        r.o_orderkey: (r.price_quartile, r.pct_rank, r.cume)
+        for r in orders_rank_metrics_single_window(spark, sf_dir).collect()
+    }
+    for mode in ("window", "two_pass"):
+        got = {
+            r.o_orderkey: (r.price_quartile, r.pct_rank, r.cume)
+            for r in orders_rank_metrics(spark, sf_dir, mode=mode).collect()
+        }
+        assert got == one, mode
+
+
+def test_ntile_from_rank_matches_window_ntile_small_groups(spark):
+    """Adversarial ntile boundaries: group sizes below, at, and just above the
+    tile count (q = 0 and q = 1 arms), plus an uneven 4k+r size — the exact
+    cases where the div/mod tile rule has branch seams."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from duckdb_ml_spark.plans.orderstats import ntile_from_rank
+
+    rows = [
+        (g, i) for g, size in enumerate((1, 2, 3, 4, 5, 7, 8, 11))
+        for i in range(size)
+    ]
+    df = spark.createDataFrame(rows, "g INT, v INT")
+    w = Window.partitionBy("g").orderBy("v")
+    expected = df.select("g", "v", F.ntile(4).over(w).alias("t"))
+    got = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .select("g", "v", ntile_from_rank(4).alias("t"))
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
