@@ -911,3 +911,33 @@ def test_ntile_from_rank_matches_window_ntile_small_groups(spark):
         .select("g", "v", ntile_from_rank(4).alias("t"))
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_ntile_from_rank_exhaustive_small_n(spark):
+    """Exhaustive check of the (rn, n) tile rule for every group size n in
+    1..200 at t=4 (~20k pairs, one Spark job) against an independent Python
+    reference built from the definition (sizes = [q+1]*r + [q]*(t-r)) — the
+    full boundary space below, at, and far above the tile count, not just
+    the sampled seams."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.plans.orderstats import ntile_from_rank
+
+    def ref_ntile(rn, n, t=4):
+        q, r = divmod(n, t)
+        sizes = [q + 1] * r + [q] * (t - r)
+        acc = 0
+        for tile, s in enumerate(sizes, start=1):
+            acc += s
+            if rn <= acc:
+                return tile
+        raise AssertionError("rn out of range")
+
+    pairs = [(rn, n) for n in range(1, 201) for rn in range(1, n + 1)]
+    df = spark.createDataFrame(pairs, "__rn INT, __n INT")
+    got = {
+        (r["__rn"], r["__n"]): r["t"]
+        for r in df.select("__rn", "__n", ntile_from_rank(4).alias("t")).collect()
+    }
+    for rn, n in pairs:
+        assert got[(rn, n)] == ref_ntile(rn, n), (rn, n)
