@@ -200,6 +200,7 @@ _EXEC_AT_BUILD = frozenset(
         # r5 two-pass order statistics: range-bounds collect (cold path) at
         # build — a cacheable dataset artifact (orderstats._BOUNDS_CACHE)
         "orders_rank_distribution",
+        "orders_rank_metrics",  # r11b: same keyed_global_rank gate/bounds
         "orders_winsorized_stats",
         "price_quantiles_by_flag",
         "price_quantiles_approx_band",
