@@ -208,6 +208,8 @@ _EXEC_AT_BUILD = frozenset(
         "revenue_by_nation",
         # r6: z-order rewrite + min/max collects at build
         "layout_zorder_scan",
+        # r11b: bloom-layout write + probe-key aggregates at build
+        "layout_bloom_scan",
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
         "sample_per_source_k",  # same keyed_global_rank cached-count gate

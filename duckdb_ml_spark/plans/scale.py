@@ -259,6 +259,117 @@ GROUP BY l_returnflag
 """
 
 
+def bloom_write(df: DataFrame, key_col: str, out_dir: str, n_files: int = 32,
+                ndv: int | None = None) -> None:
+    """Rewrite df as n_files parquet files with a PARQUET BLOOM FILTER on
+    `key_col` — the point-lookup pruning layout for keys the table is NOT
+    sorted or partitioned by (z-order serves range boxes via min/max stats;
+    bloom filters serve EQUALITY probes where every row group spans the full
+    key range and min/max prune nothing). Round-robin repartition models the
+    realistic lake shape (each file spans ~the whole keyspace). At 100 TB
+    this is the standard secondary-lookup answer on plain parquet: ~1 byte
+    per distinct key per row group buys skipping every row group the probed
+    key cannot be in — no index table, no sort, no rewrite on ingest order.
+
+    Verified on this build (pyspark 4.1.2): the vectorized reader consumes
+    the filters for IN/= pushdown — the scan's numOutputRows drops to the
+    row groups whose filter MIGHT contain a probed key (pytest asserts the
+    contract; neither pyarrow 17 nor DuckDB 1.0 exposes the filter offsets,
+    so the reader-side metric IS the observable)."""
+    w = (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+    )
+    if ndv is not None:
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{key_col}", str(ndv))
+    w.parquet(out_dir)
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Sum of numOutputRows over the executed plan's parquet scan nodes —
+    rows surviving row-group/page pruning BEFORE the post-scan Filter (the
+    audit metric for layout-pruning contracts). Executes the plan."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(plan)
+    return total
+
+
+# probe-key fractions for the bloom point-lookup query (the keys themselves
+# are data-derived EXISTING o_orderkey values: global min, global max, and
+# the smallest key in the upper half — exact aggregates both engines compute
+# identically; TPC-H orderkeys are sparse, so "midpoint" alone might not
+# exist)
+def _bloom_keys(spark, sf_dir: str):
+    from duckdb_ml_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    mm = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    mid = (mm[0] + mm[1]) // 2
+    k2 = orders.where(F.col("o_orderkey") >= mid).agg(F.min("o_orderkey")).head()[0]
+    return orders, [mm[0], k2, mm[1]]
+
+
+def _bloom_q(spark, sf_dir: str):
+    """Point lookups on a bloom-filter parquet layout of orders: 3
+    data-derived existing keys probed with IN over a layout where every file
+    spans the whole keyspace (round-robin write — min/max stats prune
+    NOTHING; only the bloom filters skip). Results must equal the same
+    probe on the ORIGINAL table (oracle) — layout never changes results.
+    The pruning contract lives in tests/test_scale.py (scan_output_rows
+    under 40% of the table on a 16-file layout at sf0.01)."""
+    import os as _os
+
+    orders, keys = _bloom_keys(spark, sf_dir)
+    out = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        ".tmp", _os.path.basename(sf_dir), "orders_bloom",
+    )
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        bloom_write(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+            "o_orderkey", out,
+        )
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("o_orderkey").isin(*[int(k) for k in keys]))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+_BLOOM_ORACLE = """
+WITH mm AS (
+    SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders
+),
+ks AS (
+    SELECT lo AS k FROM mm
+    UNION ALL
+    SELECT min(o_orderkey) FROM orders, mm WHERE o_orderkey >= (lo + hi) // 2
+    UNION ALL
+    SELECT hi FROM mm
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey IN (SELECT k FROM ks)
+ORDER BY o_orderkey
+"""
+
+
 def _salted_agg_q(spark, sf_dir: str):
     """Two-phase salted aggregate over events by event_type — value-hash
     checked against the PLAIN GROUP BY oracle, proving the skew-safe plan is
@@ -504,6 +615,14 @@ QUERIES = {
         "balanced-pruning contract (every predicate shape prunes, vs a "
         "single-column sort's 1.0 on the other column) pytest-asserted.",
         tags=("scale", "layout", "zorder"),
+    ),
+    "layout_bloom_scan": QuerySpec(
+        "layout_bloom_scan", _bloom_q, _BLOOM_ORACLE,
+        doc="Parquet bloom-filter layout probed with point lookups — "
+        "equality pruning where min/max stats are useless (key scattered "
+        "across every file); results layout-invariant vs the oracle; "
+        "scan-metric pruning contract pytest-asserted.",
+        tags=("scale", "layout", "bloom"),
     ),
     "skew_salted_join": QuerySpec(
         "skew_salted_join", _salted_join_q, _SALTED_JOIN_ORACLE,

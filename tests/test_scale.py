@@ -243,3 +243,39 @@ def test_vocab_topk_never_shuffles_doc_keyed_rows(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" not in m.group(1), plan
+
+
+def test_bloom_layout_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """The bloom-filter layout contract: with the key round-robin-scattered
+    (every file spans the whole keyspace, min/max stats prune NOTHING), a
+    3-key IN probe must still read well under half the table — only the
+    bloom filters can be doing the skipping. And layout never changes
+    results: the probe on the bloom layout equals the probe on the original
+    table."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.plans.scale import bloom_write, scan_output_rows
+    from duckdb_ml_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n = orders.count()
+    mm = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    keys = [int(mm[0]), int((mm[0] + mm[1]) // 2) | 1, int(mm[1])]
+    out = str(tmp_path / "orders_bloom")
+    bloom_write(orders, "o_orderkey", out, n_files=16, ndv=n)
+    back = spark.read.parquet(out)
+    probe = back.where(F.col("o_orderkey").isin(keys))
+    scanned = scan_output_rows(probe)
+    assert scanned < 0.4 * n, (scanned, n)
+    expect = {tuple(r) for r in orders.where(F.col("o_orderkey").isin(keys)).collect()}
+    assert {tuple(r) for r in probe.collect()} == expect
+    # falsification guard: the same probe on a bloom-less copy of the same
+    # layout must NOT prune (otherwise the assert above proves nothing)
+    plain = str(tmp_path / "orders_plain")
+    orders.repartition(16).write.mode("overwrite").parquet(plain)
+    scanned_plain = scan_output_rows(
+        spark.read.parquet(plain).where(F.col("o_orderkey").isin(keys))
+    )
+    assert scanned_plain > 0.9 * n, (scanned_plain, n)
