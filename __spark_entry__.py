@@ -15,83 +15,131 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-11 window (VERDICT r10 items 1-4) — the CONFIRMATION round: the r10
-# bisection readout identified the five persistent reds' root cause (uncast
-# DuckDB integer sum() → HUGEINT vs Spark LONG under typed serialization);
-# their oracles are now ::BIGINT-cast (Spark plans unchanged) and the class
-# is structurally blocked by tests/test_oracle_types.py. The 17 bisect
-# probes are retired from the registry (diagnostic job done; they re-ran
-# their parents' full plans). Window:
-#  - slots 1-5: the five cast-fixed reds — green here validates six rounds
-#    of instrumentation.
-#  - slot 6: ml_pred_shape (NEW) — first hash-checkable row on the
-#    pandas_udf inference path (structural twin: rows/width/finiteness).
-#  - slot 7: dedup_semantic_sampled — the one registry entry never
-#    driver-checked.
-#  - slots 8-12: the r5-tail remainder (last driver-green r5).
-#  - slots 13-50: 38 of the 45-entry r7 block, registration order, skipping
-#    the 3 no-oracle ML rows (rows-only — no hash signal to spend a slot
-#    on) and 4 goldens covered elsewhere (autompg_scaled + scan_filter_
-#    project ride the flagship/entry smoke; ml_create_ok/ml_list_models are
-#    pytest goldens) — those 7 rotate in r12.
-# Everything outside the window stays green under tools/oracle_check.py (the
-# identical gate replica) run locally each round.
+# Round-12 window (VERDICT r11 item 1) — the FRESHNESS round: CORRECTNESS_r11
+# was 50/50 green, so every slot goes to signal staleness, ordered by the
+# committed ledger (tools/check_ledger.py → CHECKLEDGER.md; a query is stale
+# when its registering module was committed to after its last driver-green
+# round — i.e. the driver has never hashed the current plan). Window:
+#  - slots 1-3: never driver-checked — layout_bloom_scan (added r11b after
+#    the window froze), ml_train_shape / ml_train_distributed_shape (the
+#    training-path structural twins whose whole point is a driver hash row).
+#  - slots 4-5: sf0.1 plans restructured in r11b (vocab two-branch shuffle,
+#    two-pass rank ride) but last driver-green r9/r8 — the driver has never
+#    hashed the new plans.
+#  - slots 6-13: the seven r11-deferred rotations (autompg_scaled,
+#    scan_filter_project, ml_create_ok, ml_list_models + the rows-only ML
+#    rows) plus ml_pred_sql (rows-only, never driver-checked).
+#  - slot 14: bpe_merge_table — its oracle is rewritten SF-independent this
+#    round (VERDICT item 3); the driver should hash the new pair.
+#  - slots 15-50: the stalest hash-checked rows by last-green round (all r8),
+#    registration order within a round, per the ledger.
+# Stale rows that do not fit rotate next round via _WINDOW_CARRYOVER below —
+# tests/test_check_ledger.py asserts stale ⊆ window ∪ carryover, so nothing
+# can silently postdate its last green. Everything outside the window stays
+# green under tools/oracle_check.py (the identical gate replica) run locally
+# each round.
 _CHECK_PRIORITY = (
-    # the five cast-fixed reds (5)
-    "orders_winsorized_stats",
-    "events_sessionize",
-    "events_scd2_intervals",
-    "text_bm25_scores",
-    "stream_scd2_intervals",
-    # new: pandas_udf inference path, structural hash (1)
-    "ml_pred_shape",
-    # never driver-checked (1)
-    "dedup_semantic_sampled",
-    # r5-tail remainder (5)
-    "source_text_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_compaction",
-    "source_partitioned_pruned",
-    # r7 block, registration order (38)
-    "price_quantiles_approx_band",
-    "emb_contrastive_pairs",
-    "dedup_minhash_signatures",
-    "emb_normalize_quantize",
-    "text_pii_redact",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "text_bpe_real",
-    "mm_image_resize",
-    "mm_metadata",
-    "mm_type_stats",
-    "mm_decode_features",
-    "mm_sample_frames",
-    "asof_last_order",
-    "asof_next_order_tol",
-    "events_funnel",
-    "events_retention",
-    "events_gap_fill",
-    "events_anomaly_robust",
-    "sample_epoch_shuffle",
-    "sample_temperature",
-    "sample_split_train_test",
-    "sample_stratified",
-    "dq_profile_orders",
-    "pack_manifest",
-    "pack_stats",
-    "skew_salted_agg",
-    "source_bucketed_join",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "sink_merge_upsert",
-    "stream_interval_join",
-    "stream_dedup_events",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h",
-    "stream_sessions",
-    "stream_user_state",
+    # never driver-checked (3)
+    "layout_bloom_scan",
+    "ml_train_shape",
+    "ml_train_distributed_shape",
+    # r11b-restructured sf0.1 plans, driver has never hashed them (2)
+    "text_vocab_topk",
+    "orders_rank_metrics",
+    # r11-deferred rotations + never-checked rows-only (8)
+    "autompg_scaled",
+    "scan_filter_project",
+    "ml_create_ok",
+    "ml_list_models",
+    "ml_quality_filter",
+    "ml_train_predict",
+    "ml_train_distributed",
+    "ml_pred_sql",
+    # oracle rewritten SF-independent this round (1)
+    "bpe_merge_table",
+    # stalest hash rows, last green r8, registration order (36)
+    "pricing_summary",
+    "scaling_params",
+    "minmax_scaled",
+    "array_features",
+    "range_ids",
+    "customers_by_region",
+    "segment_order_stats",
+    "customers_without_orders",
+    "parts_in_large_lineitems",
+    "top_orders_per_segment",
+    "price_quantiles_by_flag",
+    "orders_rank_distribution",
+    "set_ops_names",
+    "rollup_region_nation",
+    "distinct_segments",
+    "conditional_agg_status",
+    "orders_by_month",
+    "orders_status_pivot",
+    "events_hourly",
+    "events_json_extract",
+    "grouping_sets_customers",
+    "orders_top_global",
+    "customer_order_gaps",
+    "revenue_by_nation",
+    "unpivot_part_measures",
+    "customers_above_nation_avg",
+    "events_distinct_users_approx",
+    "dedup_semantic",
+    "dedup_exact_keys",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "dedup_embedding_lsh_sigs",
+    "sim_quantized_topk",
+    "sim_topk_bruteforce",
+    "sample_mixture_resample",
+    "layout_zorder_scan",
+)
+
+# Ledger-stale rows that do not fit the 50-slot r12 window, in rotation order
+# for r13+ (oldest last-green first). Staleness here is the module-touch
+# over-approximation (any commit to e.g. operators/dedup.py marks all its
+# queries), and every row below is green in the r12 local gate replica at
+# HEAD — the carryover declares the rotation plan, it does not mark doubt.
+_WINDOW_CARRYOVER = (
+    "source_parquet_roundtrip",
+    "source_xml_roundtrip",
+    "cube_status_priority",
+    "dedup_editdist_verify",
+    "dedup_span_fraction",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_keep_docs",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_embedding_lsh_pairs",
+    "text_unigram_logprob",
+    "text_repetition_signals",
+    "text_source_quality",
+    "text_keywords_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "orders_active_streaks",
+    "pipeline_curate",
+    "pipeline_containment",
+    "decontaminate_train",
+    "pack_sequences",
+    "pack_sequences_bpe",
+    "pack_greedy_nosplit",
+    "pack_manifest_spans",
+    "skew_salted_join",
+    "dq_key_skew",
+    "stream_topk_types",
+    "dedup_clusters_distributed",
+    "sim_tfidf_rescore",
+    "sim_hybrid_rrf",
+    "sim_knn_join",
+    "sim_topk_ivf",
+    "sim_topk_ivf_index",
+    "text_countmin_freq",
+    "text_chunk_stride",
+    "stream_countmin_users",
 )
 
 

@@ -12,17 +12,15 @@ plans, so with their diagnostic job done they are retired from the registry
 (this file at tag/commit 'round 10' has the full battery + readout table;
 NOTES.md keeps the narrative).
 
-What remains registered: the two content/normalization canaries — cheap,
-single-purpose, and permanently useful as first-row sentinels for driver-env
-drift:
-
-  canary_events_ts_sum   one-row content fingerprint of the whole events
-                         table (count + column sums). RED means the events
-                         CONTENT reaches the two engines differently — a
-                         testdata/env problem, never a query-contract one.
-  canary_null_bool       multi-row output hashing a NULL BIGINT and a
-                         BOOLEAN — the normalization axes (GREEN r10).
-"""
+Round 12 (VERDICT r11 item 7): the last two canaries — canary_events_ts_sum
+(content fingerprint of the events table) and canary_null_bool (NULL-BIGINT /
+BOOLEAN normalization axes) — are retired from the registry too, both
+driver-green in r10/r11 with their diagnostic job done. Their assertions now
+run as a pytest gate (tests/test_canary_gate.py executes both Spark plans
+against the DuckDB oracles at sf0.001 via the same compare_to_oracle path the
+local gate replica uses), so the axes stay pinned without spending registry
+entries or bench denominator. The builders and oracles below are kept solely
+for that gate."""
 
 from __future__ import annotations
 
@@ -82,7 +80,8 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
-QUERIES: dict[str, QuerySpec] = {
+# Retired from the driver registry r12 (kept for tests/test_canary_gate.py).
+GATE_SPECS: dict[str, QuerySpec] = {
     "canary_events_ts_sum": QuerySpec(
         name="canary_events_ts_sum",
         builder=_events_ts_sum_q,
@@ -101,3 +100,6 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("bisect",),
     ),
 }
+
+# Empty: nothing from this module is driver-registered anymore.
+QUERIES: dict[str, QuerySpec] = {}

@@ -49,7 +49,11 @@ Axes, one per canary:
                          than repr(round(v, 9)) — the last axis left.
 
 All five scan `orders`/`events` (driver-registered views) and return ONE
-row, so they cost ~nothing in the 50-slot window and in bench.
+row, so they cost ~nothing in the 50-slot window. Since r12 they are tagged
+`nobench` (VERDICT r11 item 7): they stay registered as permanent env-drift
+sentinels for the driver gate, but the bench denominator now counts engine
+queries only (the two r10 bisect-era canaries are retired outright —
+plans/bisect.py → tests/test_canary_gate.py).
 """
 
 from __future__ import annotations
@@ -127,31 +131,31 @@ QUERIES: dict[str, QuerySpec] = {
         "canary_ts_raw", _ts_raw_q, _TS_RAW_ORACLE,
         doc="ENV CANARY: raw TIMESTAMP passthrough — red iff the testdata "
         "ts encoding (ns vs µs) reaches the two engines differently.",
-        tags=("canary",),
+        tags=("canary", "nobench"),
     ),
     "canary_ts_epoch_us": QuerySpec(
         "canary_ts_epoch_us", _ts_epoch_us_q, _TS_EPOCH_US_ORACLE,
         doc="ENV CANARY: the same instant as epoch-µs BIGINT — must be "
         "green under any encoding (the sessionize/SCD2 output contract).",
-        tags=("canary",),
+        tags=("canary", "nobench"),
     ),
     "canary_quantile_interp": QuerySpec(
         "canary_quantile_interp", _quantile_interp_q, _QUANTILE_INTERP_ORACLE,
         doc="ENV CANARY: quantile_cont interpolated bound emitted raw — red "
         "iff the oracle-side DuckDB interpolation differs by ulps.",
-        tags=("canary",),
+        tags=("canary", "nobench"),
     ),
     "canary_decimal_literal": QuerySpec(
         "canary_decimal_literal", _decimal_literal_q, _DECIMAL_LITERAL_ORACLE,
         doc="ENV CANARY: bare DECIMAL-literal arithmetic in the oracle vs "
         "pure doubles in Spark — red iff DECIMAL division/promotion or its "
         "result type differs in the driver's DuckDB.",
-        tags=("canary",),
+        tags=("canary", "nobench"),
     ),
     "canary_float_repr": QuerySpec(
         "canary_float_repr", _float_repr_q, _FLOAT_REPR_ORACLE,
         doc="ENV CANARY: one bit-identical IEEE double with >9 significant "
         "digits — red iff the harness float normalization differs.",
-        tags=("canary",),
+        tags=("canary", "nobench"),
     ),
 }
