@@ -199,9 +199,12 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Golden merge table of the sf0.01 documents corpus (the driver's correctness
 # scale), generated by train_bpe_merges — the loop exhausts all pairs after 106
-# merges on this vocabulary. The ALGORITHM is independently pytest-golden
-# against hand-computed merges (tests/test_operators.py::test_bpe_*); this
-# literal seals the corpus-scale output against regressions. Regenerate with:
+# merges on this vocabulary. Since r12 this literal is NOT the driver oracle
+# (bpe_merge_table pairs with a corpus-derived recursive-CTE oracle, see
+# _merge_table_oracle); it remains (a) the source of the FIXED packing
+# tokenizer (packing_merges = first 30 rows), (b) full_lexicon's derivation
+# input, and (c) the pytest seal of the sf0.01 output
+# (tests/test_operators.py::test_bpe_merge_table_matches_golden). Regenerate with:
 #   python -c "from duckdb_ml_spark.session import get_spark; \
 #     from duckdb_ml_spark.tables import load; \
 #     from duckdb_ml_spark.operators.bpe import train_bpe_merges; \
@@ -295,13 +298,90 @@ def _bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _merge_table_oracle() -> str:
-    vals = ", ".join(
-        f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(_SF001_GOLDEN_MERGES)
+    """SF-independent merge-table oracle (VERDICT r11 item 3): the Sennrich
+    loop expressed as a DuckDB recursive CTE over the CORPUS, replacing the
+    sf0.01-pinned golden VALUES list (the one row that went red at any other
+    SF for a non-correctness reason).
+
+    Construction mirrors train_bpe_merges/_merge_loop exactly:
+    - words come from the same tokens_sql tokenizer; a word's symbol state is
+      one string with each symbol bracket-wrapped ('low' → '[l][o][w][</w>]').
+      Brackets can't appear inside symbols ([a-z0-9] + the '</w>' marker).
+    - the whole loop state is ONE row: (iteration, merges so far, vocab as a
+      LIST of {word-string, count}); each recursive step unnests the vocab,
+      counts adjacent pairs, and picks the best one.
+    - best-pair selection = min over a composite sort key encoded as one
+      sortable VARCHAR: printf('%019d', INT64_MAX - count) || '!l!r'.
+      Fixed-width count field ⇒ numeric order; '!' (0x21) sorts below every
+      symbol char ([a-z0-9</>], min 0x2F) ⇒ the tail compares exactly like
+      Python's (lhs, rhs) tuple — the same (count desc, pair asc) tie-break
+      _merge_loop uses.
+    - the merge applies via replace(w, '[l][r]', '[lr]'): replace() rewrites
+      left-to-right non-overlapping, which IS greedy BPE pair application
+      ('[a][a][a]' + (a,a) → '[aa][a]', matching the i+=2 loop).
+    - termination: the GROUP BY over zero remaining pairs yields no rows, so
+      the WHERE mk IS NOT NULL lateral stops recursion naturally; it < 200
+      caps at N_MERGES. No LIMIT (disallowed in recursive CTEs) and no
+      aggregate-over-empty row (would recurse forever).
+    max_vocab truncation is omitted: it binds only past 200k distinct words
+    (tests pin the generator's 31-word vocabulary).
+    Verified identical to train_bpe_merges at sf0.001 (105 merges) and
+    sf0.01 (106) — tests/test_operators.py::test_bpe_merge_table_oracle_sf_independent.
+    """
+    from duckdb_ml_spark.operators.textnorm import tokens_sql
+
+    return f"""
+WITH RECURSIVE wc AS (
+  SELECT word, count(*)::BIGINT AS n
+  FROM (SELECT unnest({tokens_sql("text")}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+init(it, merges, vocab) AS (
+  SELECT 0, []::VARCHAR[],
+         list({{'w': regexp_replace(word, '(.)', '[\\1]', 'g') || '[{END_OF_WORD}]',
+               'n': n}})
+  FROM wc
+),
+state(it, merges, vocab) AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT s.it + 1,
+         list_append(s.merges, b.l || '!' || b.r),
+         list_transform(s.vocab,
+           x -> {{'w': replace(x.w, '[' || b.l || '][' || b.r || ']',
+                              '[' || b.l || b.r || ']'),
+                 'n': x.n}})
+  FROM state s, LATERAL (
+    SELECT split_part(mk, '!', 2) AS l, split_part(mk, '!', 3) AS r
+    FROM (
+      SELECT min(printf('%019d', 9223372036854775807 - cnt) || '!' || pl || '!' || pr) AS mk
+      FROM (
+        SELECT pl, pr, sum(wn)::BIGINT AS cnt
+        FROM (
+          SELECT sy[i] AS pl, sy[i+1] AS pr, wn
+          FROM (
+            SELECT string_split(trim(u.w, '[]'), '][') AS sy, u.n AS wn
+            FROM unnest(s.vocab) AS t(u)
+          ), LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i) g(i)
+          WHERE len(sy) > 1
+        )
+        GROUP BY pl, pr
+      )
     )
-    return (
-        f"SELECT merge_rank, lhs, rhs FROM (VALUES {vals}) "
-        "AS t(merge_rank, lhs, rhs)"
-    )
+    WHERE mk IS NOT NULL
+  ) b(l, r)
+  WHERE s.it < {N_MERGES}
+),
+final AS (
+  SELECT merges FROM state
+  WHERE it = (SELECT max(it) FROM state)
+)
+SELECT (i - 1)::INT AS merge_rank,
+       split_part(merges[i], '!', 1) AS lhs,
+       split_part(merges[i], '!', 2) AS rhs
+FROM final, LATERAL (SELECT unnest(generate_series(1, len(merges))) AS i) g(i)
+"""
 
 
 def _bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,9 +483,10 @@ QUERIES: dict[str, QuerySpec] = {
         name="bpe_merge_table",
         builder=_bpe_merge_table_q,
         oracle=_merge_table_oracle(),
-        doc="Learned BPE merge table (rank, lhs, rhs) vs the sf0.01 golden — "
-        "the deterministic, oracle-paired face of BPE training (sf0.01 only; "
-        "the golden literal is that corpus's merge list).",
+        doc="Learned BPE merge table (rank, lhs, rhs) vs a corpus-derived "
+        "recursive-CTE oracle running the same Sennrich loop in DuckDB — "
+        "SF-independent since r12 (was the registry's one sf0.01-pinned "
+        "golden-VALUES row).",
         tags=("text", "bpe", "tokenizer"),
     ),
     "text_bpe_real": QuerySpec(

@@ -703,13 +703,35 @@ def test_gather_indices_raises_on_missing_id():
 
 
 def test_bpe_merge_table_matches_golden(spark):
-    """The sf0.01 merge-table query must reproduce the committed golden (the
-    VALUES oracle the driver checks against)."""
+    """The sf0.01 merge-table query must reproduce the committed golden (which
+    still seeds the fixed packing tokenizer and full_lexicon)."""
     from duckdb_ml_spark.operators.bpe import _SF001_GOLDEN_MERGES, bpe_merge_table
 
     rows = bpe_merge_table(spark, "/root/testdata/sf0.01").collect()
     got = [(r.lhs, r.rhs) for r in sorted(rows, key=lambda r: r.merge_rank)]
     assert got == list(_SF001_GOLDEN_MERGES)
+
+
+@pytest.mark.parametrize("sf_path", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bpe_merge_table_oracle_sf_independent(spark, sf_path):
+    """VERDICT r11 item 3: the recursive-CTE oracle must reproduce the Python
+    trainer's merge table AT ANY SF — the r11 golden-VALUES oracle was the one
+    registry row that went red at sf0.001 for a non-correctness reason. Runs
+    the DuckDB SQL and the Spark-side trainer on the same corpus and compares
+    the ordered (rank, lhs, rhs) lists exactly (105 merges at sf0.001, 106 at
+    sf0.01 — the differing lengths are the sf-dependence the oracle now
+    tracks instead of pinning)."""
+    from duckdb_ml_spark.operators.bpe import _merge_table_oracle, train_bpe_merges
+    from duckdb_ml_spark.tables import load
+    from duckdb_ml_spark.testing import duckdb_connection
+
+    con = duckdb_connection(sf_path)
+    try:
+        sql_rows = sorted(con.execute(_merge_table_oracle()).fetchall())
+    finally:
+        con.close()
+    merges = train_bpe_merges(load(spark, sf_path, "documents"))
+    assert sql_rows == [(i, l, r) for i, (l, r) in enumerate(merges)]
 
 
 def test_dedup_keep_best_picks_highest_quality(spark):
