@@ -185,6 +185,37 @@ def rowgroup_overlap_fraction(path: str, col_a: str, box_a: tuple,
 _Z_FRAC = (0.45, 0.55)
 
 
+def layout_cache_dir(sf_dir: str, table_file: str, name: str) -> str:
+    """Content-fingerprinted cache dir for derived parquet LAYOUTS (z-order,
+    bloom) — ADVICE r11: the previous `.tmp/<basename(sf_dir)>/<name>` key
+    guarded only by _SUCCESS meant a regenerated sf_dir with the same
+    basename (the driver rewrites testdata between rounds) or a concurrent
+    half-written layout could be probed silently. The fingerprint of the
+    SOURCE table (every file's path, size, mtime_ns) is part of the dir name,
+    so changed source content gets a fresh dir automatically and a stale
+    layout can never satisfy the marker check; abandoned half-writes land in
+    a dir whose _SUCCESS never appears and are rewritten on next use."""
+    import hashlib
+    import os as _os
+
+    src = _os.path.join(sf_dir, table_file)
+    h = hashlib.sha1()
+    paths = []
+    if _os.path.isdir(src):
+        for root, _, files in _os.walk(src):
+            paths += [_os.path.join(root, f) for f in files]
+    elif _os.path.exists(src):
+        paths = [src]
+    for p in sorted(paths):
+        st = _os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    fp = h.hexdigest()[:10]
+    return _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        ".tmp", _os.path.basename(sf_dir), f"{name}-{fp}",
+    )
+
+
 def _zorder_box(spark, sf_dir: str):
     from duckdb_ml_spark.tables import load
 
@@ -218,10 +249,7 @@ def _zorder_q(spark, sf_dir: str):
     import os as _os
 
     li, (a_lo, a_hi), (b_lo, b_hi) = _zorder_box(spark, sf_dir)
-    out = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        ".tmp", _os.path.basename(sf_dir), "lineitem_zorder",
-    )
+    out = layout_cache_dir(sf_dir, "lineitem.parquet", "lineitem_zorder")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         zorder_write(li, "l_orderkey", "l_partkey", out)
     back = spark.read.parquet(out)
@@ -293,10 +321,21 @@ def scan_output_rows(df: DataFrame) -> int:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan()
     total = 0
+    saw_scan = False
 
     def walk(node):
-        nonlocal total
+        nonlocal total, saw_scan
+        # AdaptiveSparkPlanExec is a LEAF in children() terms (ADVICE r11):
+        # without unwrapping, an AQE-executed plan would silently return 0
+        # and trivially satisfy any `scanned < fraction` assertion.
+        if node.nodeName().startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in node.nodeName():  # AQE stage wrappers are leaves too
+            walk(node.plan())
+            return
         if "Scan" in node.nodeName():
+            saw_scan = True
             it = node.metrics().iterator()
             while it.hasNext():
                 kv = it.next()
@@ -307,6 +346,12 @@ def scan_output_rows(df: DataFrame) -> int:
             walk(ch.next())
 
     walk(plan)
+    if not saw_scan:
+        raise AssertionError(
+            "scan_output_rows found no scan node — plan shape changed "
+            f"(root: {plan.nodeName()}); a 0 here must fail loudly, not "
+            "trivially pass a pruning assertion"
+        )
     return total
 
 
@@ -336,10 +381,7 @@ def _bloom_q(spark, sf_dir: str):
     import os as _os
 
     orders, keys = _bloom_keys(spark, sf_dir)
-    out = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        ".tmp", _os.path.basename(sf_dir), "orders_bloom",
-    )
+    out = layout_cache_dir(sf_dir, "orders.parquet", "orders_bloom")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         bloom_write(
             orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),

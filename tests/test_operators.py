@@ -1835,3 +1835,14 @@ def test_exact_tril_any_ge_bit_identical_to_fold_matrix():
         lower = np.tril(np.ones(C.shape, dtype=bool), k=-1)
         want = ((C >= tau) & lower).any(axis=1)
         assert (exact_tril_any_ge(M, tau) == want).all(), tau
+
+
+def test_documents_doc_id_unique_per_row(spark, sf_dir):
+    """ADVICE r11: text_vocab_topk's n_docs branch counts rows containing a
+    token via explode(array_distinct(tokens)), which equals the oracle's
+    count(DISTINCT doc_id) ONLY if doc_id is unique per row. That holds for
+    the generator (stride-shifted unique key) — this pins the row-atomicity
+    invariant the plan relies on, so a future duplicated doc_id fails here
+    instead of surfacing as a silent overcount."""
+    docs = load(spark, sf_dir, "documents")
+    assert docs.count() == docs.select("doc_id").distinct().count()

@@ -279,3 +279,28 @@ def test_bloom_layout_prunes_point_lookups(spark, sf_dir, tmp_path):
         spark.read.parquet(plain).where(F.col("o_orderkey").isin(keys))
     )
     assert scanned_plain > 0.9 * n, (scanned_plain, n)
+
+
+def test_scan_output_rows_sees_through_aqe(spark, sf_dir):
+    """ADVICE r11: AdaptiveSparkPlanExec is a children()-leaf, so the metric
+    walk must unwrap it (and QueryStage wrappers) — otherwise an AQE-executed
+    plan returns 0 scanned rows and any pruning assertion trivially passes.
+    With the unwrap, an aggregation under AQE must report every source row;
+    a plan with no scan at all must fail loudly instead of returning 0."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_ml_spark.plans.scale import scan_output_rows
+    from duckdb_ml_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    n = orders.count()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        agg = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        assert scan_output_rows(agg) == n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    with _pytest.raises(AssertionError, match="no scan node"):
+        scan_output_rows(spark.range(10).agg(F.sum("id").alias("s")))

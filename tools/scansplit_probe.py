@@ -1,13 +1,20 @@
 #!/usr/bin/env python
 """Same-window A/B of spark.sql.files.maxPartitionBytes at a derived scale.
 
-r11: the non-compact (>=2 GB input) session previously pinned the 128 MB
-cluster default, which leaves the dominant fact table UNDER one task wave at
-the mid-scale probes (256x: lineitem 2.8 GB / 128 MB = 22 tasks on 32 cores).
-session.get_spark now scales the split to ~total/128 (clamped [16 MB, 128 MB],
-converging back to 128 MB at >=16 GB). This probe runs a scan-bound subset
-twice in ONE JVM - once at the session formula, once forced back to 128 MB -
-so the comparison is same-window and page-cache-equal.
+OUTCOME (r11, bench/SCANSPLIT_x256_r11.json): FALSIFIED — the data-scaled
+split (~total/128, clamped [16 MB, 128 MB]) wins only on the widest pure-scan
+aggregate (pricing_summary 2.26 → 1.84 s, whose fact otherwise gets 22 tasks
+on 32 cores) and pays it back in task overhead on Arrow-kernel queries
+(sample_token_budget 7.13 → 7.73 s); the 7-query total was a wash (22.58 vs
+22.90 s). session.get_spark therefore KEEPS the 128 MB default for
+non-compact sessions (justification inline in session.py) — the hypothesis
+is recorded here, not shipped.
+
+The probe remains runnable for re-measurement on other hosts/scales: the A
+side sets the scaled split EXPLICITLY (same formula, applied by this script —
+ADVICE r11: it must not rely on the session doing it, since the session no
+longer does), the B side forces 128 MB, both in ONE JVM so the comparison is
+same-window and page-cache-equal.
 
 Usage: python tools/scansplit_probe.py [--factor 256] [--runs 3]
 """
@@ -49,6 +56,13 @@ def main() -> int:
     qs = entrymod.queries()
     spark = get_spark("scansplit_probe", sf_dir=sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
+    # A side: apply the (falsified, unshipped) data-scaled formula explicitly
+    # — total input / 128 target tasks, clamped to [16 MB, 128 MB]
+    total_bytes = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("**/*") if f.is_file()
+    )
+    scaled = max(16 << 20, min(128 << 20, total_bytes // 128))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(scaled))
     formula_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
 
     def run_all() -> dict[str, float]:
