@@ -185,7 +185,7 @@ def rowgroup_overlap_fraction(path: str, col_a: str, box_a: tuple,
 _Z_FRAC = (0.45, 0.55)
 
 
-def layout_cache_dir(sf_dir: str, table_file: str, name: str) -> str:
+def layout_cache_dir(sf_dir: str, table_file: str, name: str, params: str = "") -> str:
     """Content-fingerprinted cache dir for derived parquet LAYOUTS (z-order,
     bloom) — ADVICE r11: the previous `.tmp/<basename(sf_dir)>/<name>` key
     guarded only by _SUCCESS meant a regenerated sf_dir with the same
@@ -209,6 +209,7 @@ def layout_cache_dir(sf_dir: str, table_file: str, name: str) -> str:
     for p in sorted(paths):
         st = _os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    h.update(params.encode())  # layout parameters invalidate the cache too
     fp = h.hexdigest()[:10]
     return _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
@@ -381,11 +382,17 @@ def _bloom_q(spark, sf_dir: str):
     import os as _os
 
     orders, keys = _bloom_keys(spark, sf_dir)
-    out = layout_cache_dir(sf_dir, "orders.parquet", "orders_bloom")
+    # Size the blooms to the per-file key count (expected.ndv is per bloom,
+    # i.e. per row group): unsized blooms measured a ~30% row-group
+    # false-positive rate at 256× (bench/BLOOMCOLD_x256_r12.json probes the
+    # sizing), which triples the bytes a cold point-lookup requests.
+    n_rows = orders.count()
+    ndv = max(1024, n_rows // 32)
+    out = layout_cache_dir(sf_dir, "orders.parquet", "orders_bloom", params=f"ndv{ndv}")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         bloom_write(
             orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
-            "o_orderkey", out,
+            "o_orderkey", out, ndv=ndv,
         )
     back = spark.read.parquet(out)
     return (
