@@ -87,6 +87,15 @@ def get_spark(
         # when inputs are <2 GB. Both revert to Spark defaults at scale where
         # they earn their cost.
         .config("spark.locality.wait", "0" if compact else "3s")
+        # Accept a child partitioning on a SUBSET of a join's cluster keys as
+        # co-partitioning (the pre-3.3 behavior; subset clustering is always
+        # a valid, coarser clustering — correctness is unaffected). Without
+        # this, Catalyst folding a post-join dimension filter back into the
+        # join condition (e.g. revenue_by_nation's supplier-nation =
+        # customer-nation) turns a single-key bucket-aligned join into a
+        # two-key one and re-shuffles BOTH bucketed sides (measured r12:
+        # 2 exchanges vs 0, bench/REVENUE_FLOOR_x256_r12.json).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Scan split size scales with the DATA (r8, VERDICT r7 item 6 — the
         # falsification experiment this prescribes found the former fixed
         # 2 MB compact split was the scan+agg bottleneck at the 64× probe:

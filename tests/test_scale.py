@@ -304,3 +304,23 @@ def test_scan_output_rows_sees_through_aqe(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", old)
     with _pytest.raises(AssertionError, match="no scan node"):
         scan_output_rows(spark.range(10).agg(F.sum("id").alias("s")))
+
+
+def test_revenue_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
+    """Force revenue_by_nation's above-gate bucketed-layout branch (real gate:
+    1 GB of lineitem parquet — unreachable at test SFs) and assert (a) value
+    equality with the below-gate broadcast plan the driver hashes, (b) the
+    bucket-aligned join plans with NO exchange on the orderkey (the session's
+    subset-co-partitioning config must accept the orderkey buckets even after
+    Catalyst folds the nation filter back into the join keys)."""
+    import duckdb_ml_spark.plans.relational as rel
+
+    plain = {tuple(r) for r in rel.revenue_by_nation(spark, sf_dir).collect()}
+    monkeypatch.setattr(rel, "_REV_BUCKET_GATE_BYTES", 0)
+    out = rel.revenue_by_nation(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no exchange may carry the orderkey (the join must be bucket-aligned);
+    # the 5-group aggregate's s_nationkey exchange is the one allowed
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(s_nationkey, l_orderkey" not in plan, plan
+    assert {tuple(r) for r in out.collect()} == plain
