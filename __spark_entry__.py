@@ -140,6 +140,36 @@ _WINDOW_CARRYOVER = (
     "text_countmin_freq",
     "text_chunk_stride",
     "stream_countmin_users",
+    # --- re-staled by r12 commits to their registering modules (last green
+    # r10/r11; plans unchanged except where noted — all green in the r12
+    # local gate replica at HEAD): canary.py got tag-only edits, readers.py
+    # the write_bucketed re-register path, scale.py the bloom NDV sizing
+    # (layout_bloom_scan itself leads the r12 window), relational.py the
+    # revenue layout branch (below-gate plans byte-identical), bpe.py the
+    # SF-independent merge oracle (bpe_merge_table is in the r12 window).
+    "orders_winsorized_stats",
+    "price_quantiles_approx_band",
+    "skew_salted_agg",
+    "text_bpe_real",
+    "text_bpe_counts_budget",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "source_partitioned_pruned",
+    "source_schema_evolution",
+    "source_bucketed_join",
+    "sink_compaction",
+    "sink_merge_upsert",
+    "sink_token_shards",
+    "sink_token_shards_capped",
+    # permanent env-drift sentinels — outside the rotation by design, listed
+    # so a canary.py edit (r12: nobench tags) cannot trip the freshness gate
+    "canary_ts_raw",
+    "canary_ts_epoch_us",
+    "canary_quantile_interp",
+    "canary_decimal_literal",
+    "canary_float_repr",
 )
 
 
