@@ -1144,14 +1144,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem-streams-and-never-builds invariant holds in every regime.
     import os as _os
 
-    try:
-        _osz = _os.path.getsize(_os.path.join(sf_dir, "orders.parquet"))
-    except OSError:
-        _osz = 0
-    try:
-        _lsz = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
-    except OSError:
-        _lsz = 0
+    from duckdb_ml_spark.tables import table_size_bytes
+
+    # dir-aware sizes: derived tables can be DIRECTORIES of parquet parts,
+    # and getsize on a directory (~4 KB) silently disabled the layout gate
+    _osz = table_size_bytes(sf_dir, "orders")
+    _lsz = table_size_bytes(sf_dir, "lineitem")
     # r12 (VERDICT r11 item 4 — the last lever): ABOVE the 1 GB lineitem
     # layout gate, amortize the oc⋈li_asia shuffle away entirely with a
     # bucketed+sorted layout of BOTH narrow sides on the orderkey (the r12
@@ -1166,9 +1164,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash are unchanged.
     if _lsz >= _REV_BUCKET_GATE_BYTES:
         from duckdb_ml_spark.plans.scale import layout_cache_dir
-        from duckdb_ml_spark.sources.readers import write_bucketed
+        from duckdb_ml_spark.sources.readers import parquet_num_rows, write_bucketed
 
-        nb = max(32, min(1024, _lsz >> 27))
+        # row-aware bucket count (~4M li_asia rows per bucket; ASIA suppliers
+        # keep ~1/5 of lineitem, so /20M of raw rows) — bytes-based sizing
+        # misjudges by compression ratio, see the skew-join comment in
+        # plans/scale.py
+        nb = max(32, min(1024, parquet_num_rows(
+            _os.path.join(sf_dir, "lineitem.parquet")) // 20_000_000))
         tag = _os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
         tl, to = f"bkt_rev_li_{tag}_{nb}", f"bkt_rev_oc_{tag}_{nb}"
         write_bucketed(

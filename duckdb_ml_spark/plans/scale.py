@@ -562,10 +562,9 @@ def _salted_join_q(spark, sf_dir: str):
     )
     import os as _os
 
-    try:
-        _lsz = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
-    except OSError:
-        _lsz = 0
+    from duckdb_ml_spark.tables import table_size_bytes
+
+    _lsz = table_size_bytes(sf_dir, "lineitem")  # dir-aware (derived tables)
     if _lsz >= _BUCKET_LAYOUT_GATE_BYTES:
         # profile first: bucketing does NOT mitigate skew (a hot key still
         # lands in one bucket), so measured-hot keys keep the salted path
@@ -582,17 +581,27 @@ def _salted_join_q(spark, sf_dir: str):
             ]
             _HOT_KEYS_CACHE[ck] = hot
         if not hot:
-            from duckdb_ml_spark.sources.readers import _TMP_ROOT, write_bucketed
+            from duckdb_ml_spark.sources.readers import (
+                _TMP_ROOT,
+                parquet_num_rows,
+                write_bucketed,
+            )
 
             tag = _os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
             root = _os.path.join(_TMP_ROOT, _os.path.basename(sf_dir))
-            tl, to = f"bkt_sj_li_{tag}", f"bkt_sj_od_{tag}"
-            # bucket count scales with the fact (~128 MB of source parquet
-            # per bucket, floor 32): the write_bucketed default of 8 is
-            # sized for sf0.1 and left the 256x bucket-aligned join running
-            # 8 tasks on 32 cores (r11 probe: 6.6 s; 32+ buckets keep every
-            # core in the merge phase)
-            nb = max(32, min(1024, _lsz >> 27))
+            # bucket count scales with ROWS (~4M fact rows per bucket, floor
+            # 32 to keep every core in the merge phase): bytes-based sizing
+            # (source/128 MB) misjudges by the compression ratio — the 2048×
+            # derived lineitem packs ~21M rows into 128 MB (6 B/row), which
+            # would leave 22M-row single-task bucket merges. Row count comes
+            # from parquet footers only (no data read). Measured end-to-end
+            # at 2048× (bench/SKEWJOIN_x2048_r12.json): 307-bucket aligned
+            # join 37.9 s vs 195.6 s salted-shuffle, paired DuckDB 66.5 s.
+            nb = max(32, min(1024, parquet_num_rows(
+                _os.path.join(sf_dir, "lineitem.parquet")) // 4_000_000))
+            # nb in the names: re-registering a table over files written with
+            # a DIFFERENT bucket count would mis-describe the bucket hash
+            tl, to = f"bkt_sj_li_{tag}_{nb}", f"bkt_sj_od_{tag}_{nb}"
             write_bucketed(li, tl, "l_orderkey", _os.path.join(root, tl), n_buckets=nb)
             write_bucketed(od, to, "l_orderkey", _os.path.join(root, to), n_buckets=nb)
             j = spark.table(tl).join(spark.table(to), "l_orderkey")

@@ -49,7 +49,11 @@ def write_bucketed_table(
         loc = os.path.join(wh.removeprefix("file:"), name.split(".")[-1])
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
-    w = df.write.bucketBy(n_buckets, bucket_col)
+    # repartition on the bucket column first: bucketBy alone emits
+    # (input-tasks × buckets) files and multi-file buckets lose their sort
+    # guarantee, forcing downstream SortMergeJoins to re-sort every bucket
+    # (same fix as sources.readers.write_bucketed, measured at 2048×)
+    w = df.repartition(n_buckets, bucket_col).write.bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
     w.mode(mode).format("parquet").saveAsTable(name)

@@ -457,7 +457,10 @@ def write_bucketed(
         return
     import os as _os
 
-    if _os.path.exists(_os.path.join(out_dir, "_SUCCESS")):
+    # layout marker: layouts written before the repartition fix hold
+    # multi-file buckets (no sort guarantee) — never re-register those
+    _marker = _os.path.join(out_dir, "_LAYOUT_FILE_PER_BUCKET")
+    if _os.path.exists(_os.path.join(out_dir, "_SUCCESS")) and _os.path.exists(_marker):
         back = ss.read.parquet(out_dir)
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in back.schema.fields
@@ -468,14 +471,24 @@ def write_bucketed(
             f"LOCATION '{out_dir}'"
         )
         return
+    # repartition on the bucket key FIRST: bucketBy alone writes
+    # (input-tasks × buckets) files, and a multi-file bucket loses its sort
+    # guarantee, so every downstream SortMergeJoin re-sorts the whole bucket
+    # and the scan opens tasks× more files. The r9 probe script knew this
+    # and repartitioned manually (tools/bucketed_join_probe.py:94); the
+    # shared helper never did until r12. End-to-end at 2048× the bucketed
+    # path reads 37.9 s vs 195.6 s for the salted-shuffle fallback
+    # (bench/SKEWJOIN_x2048_r12.json).
     (
-        df.write.format("parquet")
+        df.repartition(n_buckets, key)
+        .write.format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)
         .option("path", out_dir)
         .mode("overwrite")
         .saveAsTable(name)
     )
+    open(_marker, "w").close()
 
 
 def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str):
@@ -610,3 +623,18 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("source", "parquet", "partitioning"),
     ),
 }
+
+
+def parquet_num_rows(path: str) -> int:
+    """Exact row count from parquet FOOTERS only (no data read) — the cheap
+    input for row-aware layout decisions (bucket counts). Bytes-based sizing
+    misjudges by the compression ratio: the 2048× derived lineitem packs
+    ~21M rows into 128 MB (6 B/row) where ordinary data holds ~4M, so a
+    bytes formula would have produced 22M-row single-task bucket merges."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)

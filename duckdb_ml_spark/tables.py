@@ -96,3 +96,24 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register every test table as a temp view so spark.sql queries can use them."""
     for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_size_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a table that may be a single parquet FILE (driver
+    testdata) or a DIRECTORY of parts (Spark-written derived tables).
+    os.path.getsize on a directory returns the dirent size (~4 KB), which
+    silently disabled every >=1 GB layout gate on directory tables — the
+    2048x skew join fell back to the full shuffle path this way (r12)."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 0

@@ -47,10 +47,18 @@ def value_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """In-memory DuckDB with the test tables registered as views."""
+    """In-memory DuckDB with the test tables registered as views.
+
+    A table may be a single parquet FILE (driver testdata) or a DIRECTORY of
+    parts (Spark-written derived tables, e.g. the 2048× lineitem) — DuckDB
+    needs an explicit glob for the latter."""
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 
