@@ -1163,26 +1163,23 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 lineitem is ~70 MB — far below the gate; the driver-gate plan and
     # hash are unchanged.
     if _lsz >= _REV_BUCKET_GATE_BYTES:
-        from duckdb_ml_spark.plans.scale import layout_cache_dir
-        from duckdb_ml_spark.sources.readers import parquet_num_rows, write_bucketed
+        from duckdb_ml_spark.sources.readers import bucketed_table, parquet_num_rows
 
         # row-aware bucket count (~4M li_asia rows per bucket; ASIA suppliers
         # keep ~1/5 of lineitem, so /20M of raw rows) — bytes-based sizing
         # misjudges by compression ratio, see the skew-join comment in
-        # plans/scale.py
+        # plans/scale.py. Sources lists carry EVERY table each cached side
+        # derives from (r12 review: a regenerated supplier/customer must
+        # invalidate the pre-filtered layouts, not just lineitem/orders).
         nb = max(32, min(1024, parquet_num_rows(
             _os.path.join(sf_dir, "lineitem.parquet")) // 20_000_000))
-        tag = _os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
-        tl, to = f"bkt_rev_li_{tag}_{nb}", f"bkt_rev_oc_{tag}_{nb}"
-        write_bucketed(
-            li_asia, tl, "l_orderkey",
-            layout_cache_dir(sf_dir, "lineitem.parquet", "bkt_rev_li", params=f"nb{nb}"),
-            n_buckets=nb,
+        tl = bucketed_table(
+            spark, sf_dir, li_asia, "l_orderkey", "bkt_rev_li", nb,
+            ["lineitem", "supplier", "nation", "region"], params="asia",
         )
-        write_bucketed(
-            oc, to, "o_orderkey",
-            layout_cache_dir(sf_dir, "orders.parquet", "bkt_rev_oc", params=f"nb{nb}"),
-            n_buckets=nb,
+        to = bucketed_table(
+            spark, sf_dir, oc, "o_orderkey", "bkt_rev_oc", nb,
+            ["orders", "customer", "nation", "region"], params="asia_ge1996-01-01",
         )
         matched = (
             spark.table(tl)

@@ -185,7 +185,7 @@ def rowgroup_overlap_fraction(path: str, col_a: str, box_a: tuple,
 _Z_FRAC = (0.45, 0.55)
 
 
-def layout_cache_dir(sf_dir: str, table_file: str, name: str, params: str = "") -> str:
+def layout_cache_dir(sf_dir: str, table_file, name: str, params: str = "") -> str:
     """Content-fingerprinted cache dir for derived parquet LAYOUTS (z-order,
     bloom) — ADVICE r11: the previous `.tmp/<basename(sf_dir)>/<name>` key
     guarded only by _SUCCESS meant a regenerated sf_dir with the same
@@ -195,26 +195,44 @@ def layout_cache_dir(sf_dir: str, table_file: str, name: str, params: str = "") 
     so changed source content gets a fresh dir automatically and a stale
     layout can never satisfy the marker check; abandoned half-writes land in
     a dir whose _SUCCESS never appears and are rewritten on next use."""
+    import glob as _glob
     import hashlib
     import os as _os
+    import shutil as _shutil
 
-    src = _os.path.join(sf_dir, table_file)
+    # one layout may derive from SEVERAL source tables (e.g. revenue's
+    # li_asia reads lineitem AND supplier/nation/region): every input
+    # fingerprints the cache, else a regenerated dimension silently
+    # re-registers a stale pre-filtered layout (r12 review finding)
+    files = [table_file] if isinstance(table_file, str) else list(table_file)
     h = hashlib.sha1()
     paths = []
-    if _os.path.isdir(src):
-        for root, _, files in _os.walk(src):
-            paths += [_os.path.join(root, f) for f in files]
-    elif _os.path.exists(src):
-        paths = [src]
+    for tf in files:
+        src = _os.path.join(sf_dir, tf)
+        if _os.path.isdir(src):
+            for root, _, fs in _os.walk(src):
+                paths += [_os.path.join(root, f) for f in fs]
+        elif _os.path.exists(src):
+            paths.append(src)
     for p in sorted(paths):
         st = _os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
     h.update(params.encode())  # layout parameters invalidate the cache too
     fp = h.hexdigest()[:10]
-    return _os.path.join(
+    parent = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        ".tmp", _os.path.basename(sf_dir), f"{name}-{fp}",
+        ".tmp", _os.path.basename(sf_dir),
     )
+    target = _os.path.join(parent, f"{name}-{fp}")
+    # evict superseded fingerprints of the SAME layout: each source
+    # regeneration would otherwise orphan a multi-GB dir forever (this host
+    # already juggles disk for the 2048× caches). Single-host assumption:
+    # a sibling with a different fingerprint belongs to a dead generation,
+    # not a concurrent live session.
+    for sib in _glob.glob(_os.path.join(parent, f"{name}-*")):
+        if sib != target:
+            _shutil.rmtree(sib, ignore_errors=True)
+    return target
 
 
 def _zorder_box(spark, sf_dir: str):
@@ -386,7 +404,11 @@ def _bloom_q(spark, sf_dir: str):
     # i.e. per row group): unsized blooms measured a ~30% row-group
     # false-positive rate at 256× (bench/BLOOMCOLD_x256_r12.json probes the
     # sizing), which triples the bytes a cold point-lookup requests.
-    n_rows = orders.count()
+    from duckdb_ml_spark.sources.readers import parquet_num_rows
+
+    # footer-only row count (r12 review: a full count() job ran on every
+    # build of this _EXEC_AT_BUILD query, even with the layout cached)
+    n_rows = parquet_num_rows(_os.path.join(sf_dir, "orders.parquet"))
     ndv = max(1024, n_rows // 32)
     out = layout_cache_dir(sf_dir, "orders.parquet", "orders_bloom", params=f"ndv{ndv}")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
@@ -582,13 +604,10 @@ def _salted_join_q(spark, sf_dir: str):
             _HOT_KEYS_CACHE[ck] = hot
         if not hot:
             from duckdb_ml_spark.sources.readers import (
-                _TMP_ROOT,
+                bucketed_table,
                 parquet_num_rows,
-                write_bucketed,
             )
 
-            tag = _os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
-            root = _os.path.join(_TMP_ROOT, _os.path.basename(sf_dir))
             # bucket count scales with ROWS (~4M fact rows per bucket, floor
             # 32 to keep every core in the merge phase): bytes-based sizing
             # (source/128 MB) misjudges by the compression ratio — the 2048×
@@ -599,11 +618,12 @@ def _salted_join_q(spark, sf_dir: str):
             # join 37.9 s vs 195.6 s salted-shuffle, paired DuckDB 66.5 s.
             nb = max(32, min(1024, parquet_num_rows(
                 _os.path.join(sf_dir, "lineitem.parquet")) // 4_000_000))
-            # nb in the names: re-registering a table over files written with
-            # a DIFFERENT bucket count would mis-describe the bucket hash
-            tl, to = f"bkt_sj_li_{tag}_{nb}", f"bkt_sj_od_{tag}_{nb}"
-            write_bucketed(li, tl, "l_orderkey", _os.path.join(root, tl), n_buckets=nb)
-            write_bucketed(od, to, "l_orderkey", _os.path.join(root, to), n_buckets=nb)
+            tl = bucketed_table(
+                spark, sf_dir, li, "l_orderkey", "bkt_sj_li", nb, ["lineitem"]
+            )
+            to = bucketed_table(
+                spark, sf_dir, od, "l_orderkey", "bkt_sj_od", nb, ["orders"]
+            )
             j = spark.table(tl).join(spark.table(to), "l_orderkey")
             return j.groupBy("o_orderpriority").agg(
                 F.count(F.lit(1)).alias("n_items"),

@@ -491,10 +491,42 @@ def write_bucketed(
     open(_marker, "w").close()
 
 
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    key: str,
+    name: str,
+    n_buckets: int,
+    sources: list,
+    params: str = "",
+) -> str:
+    """Register `df` as a bucketed+sorted table under a content-fingerprinted
+    layout dir and return the session table name.
+
+    The ONE entry point for persistent bucketed layouts (r12 review): the
+    dir is keyed on the content of EVERY source table the derivation reads
+    (`sources`, table names without .parquet) plus `params` (derivation
+    constants — filters, divisors), so a regenerated input can never
+    re-register a stale layout; the bucket count rides in both the table
+    name and the fingerprint, so a re-register can never mis-describe the
+    bucket hash."""
+    from duckdb_ml_spark.plans.scale import layout_cache_dir
+
+    tag = os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
+    tname = f"{name}_{tag}_{n_buckets}"
+    out = layout_cache_dir(
+        sf_dir,
+        [f"{s}.parquet" for s in sources],
+        name,
+        params=f"nb{n_buckets};{params}",
+    )
+    write_bucketed(df, tname, key, out, n_buckets=n_buckets)
+    return tname
+
+
 def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str):
     """(orders_q1, lineitem_h1) as bucketed tables on the join key."""
-    tag = os.path.basename(sf_dir).replace(".", "_").replace("-", "_")
-    root = os.path.join(_TMP_ROOT, os.path.basename(sf_dir))
     from pyspark.sql import functions as F
 
     orders = load(spark, sf_dir, "orders").where(
@@ -505,9 +537,14 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
-    to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    write_bucketed(orders, to, "o_orderkey", os.path.join(root, to))
-    write_bucketed(li, tl, "l_orderkey", os.path.join(root, tl))
+    to = bucketed_table(
+        spark, sf_dir, orders, "o_orderkey", "bkt_orders", _N_BUCKETS,
+        ["orders"], params="o1997Q1",
+    )
+    tl = bucketed_table(
+        spark, sf_dir, li, "l_orderkey", "bkt_lineitem", _N_BUCKETS,
+        ["lineitem"], params="l1997H1",
+    )
     return spark.table(to), spark.table(tl)
 
 

@@ -143,7 +143,16 @@ def build_ledger() -> dict:
         commit_h, commit_d = mod_commits.get(rel, ("?", ""))
         g_round, g_kind = greens.get(name, (0, "never"))
         checked_date = rounds.get(g_round, "")
-        stale = bool(commit_d and (not checked_date or commit_d > checked_date))
+        # compare as datetimes, not strings: ISO strings with different UTC
+        # offsets mis-order lexicographically ('...T02:00-07:00' sorts before
+        # '...T05:00+00:00' although it is 4h later), which would mark a
+        # plan-touching non-UTC commit fresh
+        from datetime import datetime
+
+        stale = bool(commit_d) and (
+            not checked_date
+            or datetime.fromisoformat(commit_d) > datetime.fromisoformat(checked_date)
+        )
         rows.append(
             {
                 "query": name,
