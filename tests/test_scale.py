@@ -324,3 +324,41 @@ def test_revenue_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(s_nationkey, l_orderkey" not in plan, plan
     assert {tuple(r) for r in out.collect()} == plain
+
+
+def test_layout_cache_dir_fingerprints_every_source_and_evicts(tmp_path, monkeypatch):
+    """r12 review fixes pinned: (a) the cache dir changes when ANY source
+    table's content changes — including a secondary input like supplier —
+    so a regenerated table can never re-register a stale derived layout;
+    (b) the superseded fingerprint dir of the same layout is evicted instead
+    of orphaned; (c) layout params are part of the key."""
+    import os
+    import time
+    from pathlib import Path
+
+    from duckdb_ml_spark.plans.scale import layout_cache_dir
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    (sf / "lineitem.parquet").write_bytes(b"AAAA")
+    (sf / "supplier.parquet").write_bytes(b"BBBB")
+
+    d1 = layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay")
+    os.makedirs(d1, exist_ok=True)
+    (Path(d1) / "_SUCCESS").touch()
+
+    # change ONLY the secondary source → new dir, old evicted
+    time.sleep(0.01)
+    (sf / "supplier.parquet").write_bytes(b"BBBB2")
+    d2 = layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay")
+    assert d2 != d1
+    assert not os.path.exists(d1), "superseded fingerprint dir must be evicted"
+
+    # params are part of the key; sibling layouts with other names survive
+    os.makedirs(d2, exist_ok=True)
+    d3 = layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay", params="nb64")
+    assert d3 != d2 and not os.path.exists(d2)
+    other = layout_cache_dir(str(sf), ["lineitem.parquet"], "other_lay")
+    os.makedirs(other, exist_ok=True)
+    layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay", params="nb64")
+    assert os.path.exists(other), "eviction must not touch other layout names"
