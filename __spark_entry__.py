@@ -15,93 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-12 window (VERDICT r11 item 1) — the FRESHNESS round: CORRECTNESS_r11
-# was 50/50 green, so every slot goes to signal staleness, ordered by the
-# committed ledger (tools/check_ledger.py → CHECKLEDGER.md; a query is stale
-# when its registering module was committed to after its last driver-green
-# round — i.e. the driver has never hashed the current plan). Window:
-#  - slots 1-3: never driver-checked — layout_bloom_scan (added r11b after
-#    the window froze), ml_train_shape / ml_train_distributed_shape (the
-#    training-path structural twins whose whole point is a driver hash row).
-#  - slots 4-5: sf0.1 plans restructured in r11b (vocab two-branch shuffle,
-#    two-pass rank ride) but last driver-green r9/r8 — the driver has never
-#    hashed the new plans.
-#  - slots 6-13: the seven r11-deferred rotations (autompg_scaled,
-#    scan_filter_project, ml_create_ok, ml_list_models + the rows-only ML
-#    rows) plus ml_pred_sql (rows-only, never driver-checked).
-#  - slot 14: bpe_merge_table — its oracle is rewritten SF-independent this
-#    round (VERDICT item 3); the driver should hash the new pair.
-#  - slots 15-50: the stalest hash-checked rows by last-green round (all r8),
-#    registration order within a round, per the ledger.
-# Stale rows that do not fit rotate next round via _WINDOW_CARRYOVER below —
-# tests/test_check_ledger.py asserts stale ⊆ window ∪ carryover, so nothing
-# can silently postdate its last green. Everything outside the window stays
-# green under tools/oracle_check.py (the identical gate replica) run locally
-# each round.
+# Round-13 window (VERDICT r12 item 1) — CARRYOVER DRAIN: CORRECTNESS_r12 was
+# 45/45 hash-green + 4 rows-only-by-design, so every r13 slot goes to the
+# declared rotation queue from r12's _WINDOW_CARRYOVER, in its committed
+# order (oldest last-green first per the ledger: the r9 dedup/text/pipeline
+# block, then the r10/r11 sim/stream rows, then the rows re-staled by r12
+# module commits — sources/sinks/bpe/scale). Taking the queue verbatim keeps
+# the rotation auditable: r13 window == r12 carryover[0:50].
+# The 4 rows that do not fit (the sink_* quartet, youngest in the queue)
+# carry to r14, together with any rows re-staled by r13 commits — the
+# carryover list below grows during the round as modules are touched;
+# tests/test_check_ledger.py asserts stale ⊆ window ∪ carryover at HEAD.
+# The 5 env-drift canaries are no longer parked here: they are modeled as
+# EXEMPT_ENV_SENTINELS in tools/check_ledger.py (ADVICE r12), so a real
+# canary.py plan edit WILL stale them into the rotation again.
 _CHECK_PRIORITY = (
-    # never driver-checked (3)
-    "layout_bloom_scan",
-    "ml_train_shape",
-    "ml_train_distributed_shape",
-    # r11b-restructured sf0.1 plans, driver has never hashed them (2)
-    "text_vocab_topk",
-    "orders_rank_metrics",
-    # r11-deferred rotations + never-checked rows-only (8)
-    "autompg_scaled",
-    "scan_filter_project",
-    "ml_create_ok",
-    "ml_list_models",
-    "ml_quality_filter",
-    "ml_train_predict",
-    "ml_train_distributed",
-    "ml_pred_sql",
-    # oracle rewritten SF-independent this round (1)
-    "bpe_merge_table",
-    # stalest hash rows, last green r8, registration order (36)
-    "pricing_summary",
-    "scaling_params",
-    "minmax_scaled",
-    "array_features",
-    "range_ids",
-    "customers_by_region",
-    "segment_order_stats",
-    "customers_without_orders",
-    "parts_in_large_lineitems",
-    "top_orders_per_segment",
-    "price_quantiles_by_flag",
-    "orders_rank_distribution",
-    "set_ops_names",
-    "rollup_region_nation",
-    "distinct_segments",
-    "conditional_agg_status",
-    "orders_by_month",
-    "orders_status_pivot",
-    "events_hourly",
-    "events_json_extract",
-    "grouping_sets_customers",
-    "orders_top_global",
-    "customer_order_gaps",
-    "revenue_by_nation",
-    "unpivot_part_measures",
-    "customers_above_nation_avg",
-    "events_distinct_users_approx",
-    "dedup_semantic",
-    "dedup_exact_keys",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "dedup_embedding_lsh_sigs",
-    "sim_quantized_topk",
-    "sim_topk_bruteforce",
-    "sample_mixture_resample",
-    "layout_zorder_scan",
-)
-
-# Ledger-stale rows that do not fit the 50-slot r12 window, in rotation order
-# for r13+ (oldest last-green first). Staleness here is the module-touch
-# over-approximation (any commit to e.g. operators/dedup.py marks all its
-# queries), and every row below is green in the r12 local gate replica at
-# HEAD — the carryover declares the rotation plan, it does not mark doubt.
-_WINDOW_CARRYOVER = (
     "source_parquet_roundtrip",
     "source_xml_roundtrip",
     "cube_status_priority",
@@ -140,13 +68,6 @@ _WINDOW_CARRYOVER = (
     "text_countmin_freq",
     "text_chunk_stride",
     "stream_countmin_users",
-    # --- re-staled by r12 commits to their registering modules (last green
-    # r10/r11; plans unchanged except where noted — all green in the r12
-    # local gate replica at HEAD): canary.py got tag-only edits, readers.py
-    # the write_bucketed re-register path, scale.py the bloom NDV sizing
-    # (layout_bloom_scan itself leads the r12 window), relational.py the
-    # revenue layout branch (below-gate plans byte-identical), bpe.py the
-    # SF-independent merge oracle (bpe_merge_table is in the r12 window).
     "orders_winsorized_stats",
     "price_quantiles_approx_band",
     "skew_salted_agg",
@@ -159,17 +80,19 @@ _WINDOW_CARRYOVER = (
     "source_partitioned_pruned",
     "source_schema_evolution",
     "source_bucketed_join",
+)
+
+# Rotation queue for r14+: rows that did not fit the 50-slot r13 window,
+# plus rows re-staled by r13 commits to their registering modules (appended
+# during the round as changes land; every append is green in the local gate
+# replica at HEAD before commit). tests/test_check_ledger.py asserts
+# stale ⊆ window ∪ carryover, so this list is a genuine scheduling queue —
+# env-drift canaries live in tools/check_ledger.py:EXEMPT_ENV_SENTINELS now.
+_WINDOW_CARRYOVER = (
     "sink_compaction",
     "sink_merge_upsert",
     "sink_token_shards",
     "sink_token_shards_capped",
-    # permanent env-drift sentinels — outside the rotation by design, listed
-    # so a canary.py edit (r12: nobench tags) cannot trip the freshness gate
-    "canary_ts_raw",
-    "canary_ts_epoch_us",
-    "canary_quantile_interp",
-    "canary_decimal_literal",
-    "canary_float_repr",
 )
 
 

@@ -297,7 +297,7 @@ def _bpe_merge_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(spark, sf_dir)
 
 
-def _merge_table_oracle() -> str:
+def _merge_table_oracle(max_vocab: int = MAX_VOCAB) -> str:
     """SF-independent merge-table oracle (VERDICT r11 item 3): the Sennrich
     loop expressed as a DuckDB recursive CTE over the CORPUS, replacing the
     sf0.01-pinned golden VALUES list (the one row that went red at any other
@@ -323,8 +323,11 @@ def _merge_table_oracle() -> str:
       the WHERE mk IS NOT NULL lateral stops recursion naturally; it < 200
       caps at N_MERGES. No LIMIT (disallowed in recursive CTEs) and no
       aggregate-over-empty row (would recurse forever).
-    max_vocab truncation is omitted: it binds only past 200k distinct words
-    (tests pin the generator's 31-word vocabulary).
+    max_vocab truncation is APPLIED (ADVICE r12): the wc CTE takes the same
+    top-max_vocab (default 200k) by (n desc, word asc) as train_bpe_merges, so the oracle
+    cannot silently diverge on a corpus exceeding 200k distinct words — the
+    condition used to be guarded only by a comment about the generator's
+    31-word vocabulary.
     Verified identical to train_bpe_merges at sf0.001 (105 merges) and
     sf0.01 (106) — tests/test_operators.py::test_bpe_merge_table_oracle_sf_independent.
     """
@@ -336,6 +339,8 @@ WITH RECURSIVE wc AS (
   FROM (SELECT unnest({tokens_sql("text")}) AS word FROM documents)
   WHERE word <> ''
   GROUP BY word
+  ORDER BY n DESC, word ASC
+  LIMIT {max_vocab}
 ),
 init(it, merges, vocab) AS (
   SELECT 0, []::VARCHAR[],

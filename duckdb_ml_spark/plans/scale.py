@@ -226,12 +226,27 @@ def layout_cache_dir(sf_dir: str, table_file, name: str, params: str = "") -> st
     target = _os.path.join(parent, f"{name}-{fp}")
     # evict superseded fingerprints of the SAME layout: each source
     # regeneration would otherwise orphan a multi-GB dir forever (this host
-    # already juggles disk for the 2048× caches). Single-host assumption:
-    # a sibling with a different fingerprint belongs to a dead generation,
-    # not a concurrent live session.
-    for sib in _glob.glob(_os.path.join(parent, f"{name}-*")):
-        if sib != target:
-            _shutil.rmtree(sib, ignore_errors=True)
+    # already juggles disk for the 2048× caches). Two guards (ADVICE r12 —
+    # "single-host" is really "single-process" without them):
+    #   1. only evict AFTER the new dir is complete (_SUCCESS): a failed
+    #      write after an eager eviction would leave NO usable layout;
+    #   2. skip siblings modified within the last 6h: a concurrent session
+    #      (bench run + gate replica on the same host are both supported)
+    #      may hold a live registered table over a different fingerprint —
+    #      a dead generation's dir goes cold and is reaped on a later call.
+    if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+        import time as _time
+
+        now = _time.time()
+        for sib in _glob.glob(_os.path.join(parent, f"{name}-*")):
+            if sib == target:
+                continue
+            try:
+                age = now - _os.stat(sib).st_mtime
+            except OSError:
+                continue
+            if age > 6 * 3600:
+                _shutil.rmtree(sib, ignore_errors=True)
     return target
 
 

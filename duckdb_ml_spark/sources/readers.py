@@ -449,28 +449,58 @@ def write_bucketed(
     is RE-REGISTERED over it (CREATE TABLE … CLUSTERED BY … LOCATION) instead
     of re-paying the bucketed shuffle-write — this is what amortizes the
     layout across sessions, exactly like a warehouse table would at 100 TB.
-    Callers must pass the same n_buckets the layout was written with (the
-    repo derives it deterministically from source size); a caller-supplied
-    mismatch would mis-describe the bucket hash to the planner."""
-    ss = df.sparkSession
-    if ss.catalog.tableExists(name):
-        return
+
+    The layout marker persists the (key, n_buckets) the layout was WRITTEN
+    with (ADVICE r12): a re-register validates the caller's arguments
+    against the marker instead of trusting them — a mismatched n_buckets
+    would mis-describe the bucket hash to the planner and a bucket-aligned
+    zero-exchange SortMergeJoin would silently misroute rows. On mismatch
+    the layout is REWRITTEN with the requested parameters (correct, just
+    not amortized), never re-registered."""
+    import json as _json
     import os as _os
 
+    ss = df.sparkSession
+    if ss.catalog.tableExists(name):
+        # a registered name must still point at THIS layout dir (ADVICE
+        # r12): if the source was regenerated mid-session the fingerprinted
+        # dir moved and the old registration dangles over an rmtree'd
+        # location — drop and re-register instead of scanning nothing
+        try:
+            loc = (
+                ss.sql(f"DESCRIBE FORMATTED {name}")
+                .where("col_name = 'Location'")
+                .head()[1]
+            )
+        except Exception:
+            loc = None
+        if loc and _os.path.realpath(loc.removeprefix("file:")) == _os.path.realpath(
+            out_dir
+        ):
+            return
+        ss.sql(f"DROP TABLE IF EXISTS {name}")
     # layout marker: layouts written before the repartition fix hold
-    # multi-file buckets (no sort guarantee) — never re-register those
+    # multi-file buckets (no sort guarantee) — never re-register those.
+    # Since r13 the marker body records the written layout's key/buckets.
     _marker = _os.path.join(out_dir, "_LAYOUT_FILE_PER_BUCKET")
     if _os.path.exists(_os.path.join(out_dir, "_SUCCESS")) and _os.path.exists(_marker):
-        back = ss.read.parquet(out_dir)
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in back.schema.fields
-        )
-        ss.sql(
-            f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{out_dir}'"
-        )
-        return
+        try:
+            meta = _json.load(open(_marker))
+        except (ValueError, OSError):
+            meta = {}  # pre-r13 empty marker: written params unknown
+        if meta.get("key") == key and meta.get("n_buckets") == n_buckets:
+            back = ss.read.parquet(out_dir)
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in back.schema.fields
+            )
+            ss.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{out_dir}'"
+            )
+            return
+        # marker disagrees with (or predates) the requested layout: fall
+        # through and rewrite — re-registering would lie to the planner
     # repartition on the bucket key FIRST: bucketBy alone writes
     # (input-tasks × buckets) files, and a multi-file bucket loses its sort
     # guarantee, so every downstream SortMergeJoin re-sorts the whole bucket
@@ -488,7 +518,8 @@ def write_bucketed(
         .mode("overwrite")
         .saveAsTable(name)
     )
-    open(_marker, "w").close()
+    with open(_marker, "w") as f:
+        _json.dump({"key": key, "n_buckets": n_buckets}, f)
 
 
 def bucketed_table(

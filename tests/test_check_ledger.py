@@ -66,6 +66,37 @@ def test_window_priority_names_are_registered():
     assert len(entrymod._CHECK_PRIORITY) == 50
 
 
+def test_env_sentinels_exempt_only_while_fingerprint_pinned():
+    """ADVICE r12: canaries are exempt from the rotation ONLY while their
+    plan builder + oracle hash to the pinned last-driver-green fingerprint.
+    A real edit changes the fingerprint and the exemption must lapse."""
+    import check_ledger
+
+    cur = check_ledger.canary_fingerprints()
+    # the committed pin must match the committed canary.py — if this fails,
+    # someone edited a sentinel plan/oracle without scheduling a driver
+    # re-check: add the canary to the window/carryover, get it green, THEN
+    # re-pin via canary_fingerprints()
+    assert cur == {
+        k: v for k, v in check_ledger._CANARY_PINNED_FP.items() if k in cur
+    }, (
+        "canary plan/oracle edited without re-pinning — schedule a driver "
+        "re-check before updating _CANARY_PINNED_FP"
+    )
+    # and the exemption logic must depend on that equality: simulate a drift
+    orig = check_ledger._CANARY_PINNED_FP.copy()
+    try:
+        check_ledger._CANARY_PINNED_FP["canary_ts_raw"] = "0" * 16
+        ledger = check_ledger.build_ledger()
+        row = next(r for r in ledger["rows"] if r["query"] == "canary_ts_raw")
+        # canary.py's last commit postdates the r8/r9 green, so without the
+        # fingerprint match the row must surface as stale again
+        assert row["stale"] and not row["exempt_sentinel"]
+    finally:
+        check_ledger._CANARY_PINNED_FP.clear()
+        check_ledger._CANARY_PINNED_FP.update(orig)
+
+
 def test_checkledger_md_exists():
     assert (REPO / "CHECKLEDGER.md").exists(), (
         "run tools/check_ledger.py and commit CHECKLEDGER.md"

@@ -734,6 +734,32 @@ def test_bpe_merge_table_oracle_sf_independent(spark, sf_path):
     assert sql_rows == [(i, l, r) for i, (l, r) in enumerate(merges)]
 
 
+def test_bpe_merge_table_oracle_truncation_binds(spark):
+    """ADVICE r12: the oracle's wc CTE must apply the SAME max_vocab
+    truncation as train_bpe_merges. Run both with a max_vocab small enough
+    to BIND on the sf0.001 corpus (31 distinct words → cap at 8) and require
+    identical merge tables — with the truncation omitted on either side the
+    vocabularies differ and the merge sequences diverge immediately."""
+    from duckdb_ml_spark.operators.bpe import _merge_table_oracle, train_bpe_merges
+    from duckdb_ml_spark.tables import load
+    from duckdb_ml_spark.testing import duckdb_connection
+
+    sf_path = "/root/testdata/sf0.001"
+    con = duckdb_connection(sf_path)
+    try:
+        n_words = con.execute(
+            "SELECT count(DISTINCT word) FROM (SELECT unnest(string_split("
+            "lower(text), ' ')) AS word FROM documents) WHERE word <> ''"
+        ).fetchone()[0]
+        assert n_words > 8, "corpus too small for the truncation to bind"
+        sql_rows = sorted(con.execute(_merge_table_oracle(max_vocab=8)).fetchall())
+    finally:
+        con.close()
+    merges = train_bpe_merges(load(spark, sf_path, "documents"), max_vocab=8)
+    assert sql_rows == [(i, l, r) for i, (l, r) in enumerate(merges)]
+    assert len(merges) > 0
+
+
 def test_dedup_keep_best_picks_highest_quality(spark):
     """keep-best must select the max-score doc per cluster with the id
     tie-break, and report the right cluster sizes."""

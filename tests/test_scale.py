@@ -326,12 +326,62 @@ def test_revenue_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
     assert {tuple(r) for r in out.collect()} == plain
 
 
+def test_write_bucketed_validates_marker_and_registration(spark, sf_dir, tmp_path):
+    """ADVICE r12 (both medium items): (a) the layout marker persists the
+    written (key, n_buckets) and a re-register with mismatched arguments
+    REWRITES instead of trusting the caller — a lied-about bucket count
+    would let a zero-exchange bucket-aligned SMJ silently misroute rows;
+    (b) a registered table dangling over a superseded location is dropped
+    and re-registered instead of scanning a deleted dir."""
+    import json
+    import os
+
+    from duckdb_ml_spark.sources.readers import write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "lay1")
+    spark.sql("DROP TABLE IF EXISTS t_val_b")
+    write_bucketed(orders, "t_val_b", "o_orderkey", out, n_buckets=4)
+    marker = os.path.join(out, "_LAYOUT_FILE_PER_BUCKET")
+    assert json.load(open(marker)) == {"key": "o_orderkey", "n_buckets": 4}
+
+    # (a) same dir, DIFFERENT n_buckets: must rewrite the layout (marker
+    # updated, table reports 8 buckets), never re-register 4-bucket files as 8
+    spark.sql("DROP TABLE IF EXISTS t_val_b")
+    write_bucketed(orders, "t_val_b", "o_orderkey", out, n_buckets=8)
+    assert json.load(open(marker)) == {"key": "o_orderkey", "n_buckets": 8}
+    detail = spark.sql("DESCRIBE FORMATTED t_val_b").collect()
+    nb = next(r[1] for r in detail if r[0] == "Num Buckets")
+    assert nb.strip() == "8"
+
+    # matching args re-register over the completed layout (amortized path)
+    spark.sql("DROP TABLE IF EXISTS t_val_b")
+    write_bucketed(orders, "t_val_b", "o_orderkey", out, n_buckets=8)
+    assert spark.table("t_val_b").count() == orders.count()
+
+    # (b) registered name now asked to live at a NEW location: the dangling
+    # registration is dropped and the table re-registered at out2
+    out2 = str(tmp_path / "lay2")
+    write_bucketed(orders, "t_val_b", "o_orderkey", out2, n_buckets=8)
+    loc = (
+        spark.sql("DESCRIBE FORMATTED t_val_b")
+        .where("col_name = 'Location'")
+        .head()[1]
+    )
+    assert os.path.realpath(loc.removeprefix("file:")) == os.path.realpath(out2)
+    assert spark.table("t_val_b").count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS t_val_b")
+
+
 def test_layout_cache_dir_fingerprints_every_source_and_evicts(tmp_path, monkeypatch):
-    """r12 review fixes pinned: (a) the cache dir changes when ANY source
-    table's content changes — including a secondary input like supplier —
-    so a regenerated table can never re-register a stale derived layout;
-    (b) the superseded fingerprint dir of the same layout is evicted instead
-    of orphaned; (c) layout params are part of the key."""
+    """r12 review + ADVICE r12 fixes pinned: (a) the cache dir changes when
+    ANY source table's content changes — including a secondary input like
+    supplier — so a regenerated table can never re-register a stale derived
+    layout; (b) a superseded fingerprint dir is evicted only AFTER the new
+    dir is complete (_SUCCESS) and only once it has gone cold (>6h mtime) —
+    a failed write after an eager eviction would leave no usable layout, and
+    a concurrent session may hold a live table over the old dir; (c) layout
+    params are part of the key; (d) other layout names are never touched."""
     import os
     import time
     from pathlib import Path
@@ -347,18 +397,35 @@ def test_layout_cache_dir_fingerprints_every_source_and_evicts(tmp_path, monkeyp
     os.makedirs(d1, exist_ok=True)
     (Path(d1) / "_SUCCESS").touch()
 
-    # change ONLY the secondary source → new dir, old evicted
+    # change ONLY the secondary source → new dir; the old one SURVIVES while
+    # the new dir is incomplete (no _SUCCESS yet — eviction would strand us)
     time.sleep(0.01)
     (sf / "supplier.parquet").write_bytes(b"BBBB2")
     d2 = layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay")
     assert d2 != d1
-    assert not os.path.exists(d1), "superseded fingerprint dir must be evicted"
+    assert os.path.exists(d1), "must not evict before the new layout completes"
 
-    # params are part of the key; sibling layouts with other names survive
+    # new dir completes, but d1 is younger than the 6h TTL → still survives
     os.makedirs(d2, exist_ok=True)
+    (Path(d2) / "_SUCCESS").touch()
+    layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay")
+    assert os.path.exists(d1), "must not evict a sibling younger than the TTL"
+
+    # age d1 past the TTL → reaped on the next call
+    old = time.time() - 7 * 3600
+    os.utime(d1, (old, old))
+    layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay")
+    assert not os.path.exists(d1), "cold superseded fingerprint must be evicted"
+
+    # params are part of the key; other layout names are never touched
     d3 = layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay", params="nb64")
-    assert d3 != d2 and not os.path.exists(d2)
+    assert d3 != d2
     other = layout_cache_dir(str(sf), ["lineitem.parquet"], "other_lay")
     os.makedirs(other, exist_ok=True)
+    os.utime(other, (old, old))
+    os.makedirs(d3, exist_ok=True)
+    (Path(d3) / "_SUCCESS").touch()
+    os.utime(d2, (old, old))
     layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay", params="nb64")
+    assert not os.path.exists(d2), "cold superseded sibling (params differ) evicted"
     assert os.path.exists(other), "eviction must not touch other layout names"

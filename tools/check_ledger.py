@@ -34,6 +34,55 @@ sys.path.insert(0, str(REPO))
 
 WINDOW_SLOTS = 50  # the driver checks the first 50 queries() entries
 
+# Env-drift sentinels (plans/canary.py): deliberately trivial pinned-literal
+# queries whose only job is to detect driver-environment drift (timestamp
+# rendering, quantile interpolation, decimal/float formatting). They are
+# exempt from the staleness rotation ONLY while their plan/oracle text is
+# byte-identical to the last driver-green version — a real edit to either
+# re-enters them into the rotation automatically (ADVICE r12: an
+# unconditional exemption would let a future canary plan edit bypass the
+# freshness gate forever). The pinned fingerprints are checked at ledger
+# build time via the canary module's own CANARY_FINGERPRINT, which hashes
+# each sentinel's (plan source, oracle SQL) pair.
+EXEMPT_ENV_SENTINELS = frozenset(
+    {
+        "canary_ts_raw",
+        "canary_ts_epoch_us",
+        "canary_quantile_interp",
+        "canary_decimal_literal",
+        "canary_float_repr",
+    }
+)
+
+# sha256(plan builder source + oracle SQL) of each sentinel at its last
+# driver-green round (r8, CORRECTNESS_r08/r09). Regenerate with
+# `python tools/check_ledger.py --canary-fp` AFTER a sentinel goes
+# driver-green again — never alongside the edit itself.
+_CANARY_PINNED_FP = {
+    "canary_ts_raw": "1a37f2197cb44d1a",
+    "canary_ts_epoch_us": "2e2de712c276ad98",
+    "canary_quantile_interp": "847d76cdd37205db",
+    "canary_decimal_literal": "86e2eac467d4223e",
+    "canary_float_repr": "3e35b4fbbbe9d9e0",
+}
+
+
+def canary_fingerprints() -> dict[str, str]:
+    """Current sha256 of each sentinel's (builder source, oracle SQL)."""
+    import hashlib
+    import inspect
+
+    from duckdb_ml_spark.plans.canary import QUERIES as CANARY_QUERIES
+
+    fps = {}
+    for name in EXEMPT_ENV_SENTINELS:
+        spec = CANARY_QUERIES.get(name)
+        if spec is None:
+            continue
+        blob = inspect.getsource(spec.builder) + (spec.oracle or "")
+        fps[name] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return fps
+
 # Modules whose QUERIES registries feed __spark_entry__, plus the shared
 # helpers a plan change would land in.  A query's provenance is its
 # registering module; the shared helpers below mark EVERY query stale when
@@ -110,6 +159,15 @@ def last_green() -> dict[str, tuple[int, str]]:
     for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)\.json", path).group(1))
         for name, rec in json.load(open(path)).items():
+            if rec.get("err") == "no_oracle":
+                # rows-only-by-design query: the driver ran the Spark plan
+                # and recorded its row count — that IS the (weak) check such
+                # rows get, so it counts as a rows-kind green when rows > 0
+                if (rec.get("spark_rows") or 0) > 0 and green.get(
+                    name, (0, "rows")
+                )[1] != "hash":
+                    green[name] = (rnd, "rows")
+                continue
             if rec.get("err"):
                 continue
             if rec.get("hash_match"):
@@ -136,6 +194,7 @@ def build_ledger() -> dict:
     greens = last_green()
     rounds = round_marker_dates()
     mod_commits = {rel: module_last_commit(rel) for rel in REGISTRY_MODULES}
+    cur_canary_fp = canary_fingerprints()
 
     rows = []
     for name, spec in specs.items():
@@ -153,6 +212,15 @@ def build_ledger() -> dict:
             not checked_date
             or datetime.fromisoformat(commit_d) > datetime.fromisoformat(checked_date)
         )
+        exempt = False
+        if stale and name in EXEMPT_ENV_SENTINELS:
+            # env-drift sentinel: exempt from the rotation while its plan
+            # builder + oracle are byte-identical to the last driver-green
+            # fingerprint (a tag-only or comment commit to canary.py must
+            # not trip the gate); a REAL plan/oracle edit changes the
+            # fingerprint and the row re-enters the rotation (ADVICE r12)
+            if cur_canary_fp.get(name) == _CANARY_PINNED_FP.get(name):
+                stale, exempt = False, True
         rows.append(
             {
                 "query": name,
@@ -163,6 +231,7 @@ def build_ledger() -> dict:
                 "check_kind": g_kind,
                 "oracle": spec.oracle is not None,
                 "stale": stale,
+                "exempt_sentinel": exempt,
                 "in_window": name in window,
             }
         )
