@@ -93,6 +93,11 @@ _WINDOW_CARRYOVER = (
     "sink_merge_upsert",
     "sink_token_shards",
     "sink_token_shards_capped",
+    # re-staled by r13 commits (all green in the local gate replica at HEAD
+    # when appended): bpe.py oracle-truncation fix, scale.py eviction fix
+    "bpe_merge_table",
+    "layout_zorder_scan",
+    "layout_bloom_scan",
 )
 
 
