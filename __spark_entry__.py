@@ -218,7 +218,7 @@ _EXEC_AT_BUILD = frozenset(
         "layout_bloom_scan",
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
-        "sample_per_source_k",  # same keyed_global_rank cached-count gate
+        "sample_per_source_k",  # bounded group-count + top-k collect at build (r13)
         # r6 late: centroid-matrix collect (cached dataset artifact) at build
         "dedup_semantic",
         "dedup_semantic_sampled",  # same collect on the sampled corpus

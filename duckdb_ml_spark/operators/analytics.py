@@ -519,43 +519,42 @@ def active_streaks(orders: DataFrame) -> DataFrame:
     Output: (o_custkey, n_active_months, n_streaks, longest_streak) — all
     exact integers.
 
-    r9 SINGLE-EXCHANGE plan (VERDICT r8 item 8 — the r8 form shuffled twice:
-    a distinct on (customer, month), then a customer-only re-partition for
-    the dense_rank islands window, and measured 2.2× vs DuckDB at 1024×):
-    ONE groupBy(o_custkey) collects the DISTINCT month-index set per
+    r13 SINGLE-EXCHANGE CODEGEN plan. History: the r8 form shuffled twice
+    (distinct on (customer, month), then a customer-only re-partition for
+    the dense_rank islands window — 2.2× vs DuckDB at 1024×); the r9 form
+    collapsed to one exchange (groupBy collect_set) but computed the streak
+    statistics with HOF array lambdas (zip_with/slice/aggregate), which run
+    INTERPRETED — the r13 floor probe measured them at 1.7 s of the 2.5 s
+    total at 256× on just 15k output rows (count() had hidden this: Catalyst
+    prunes the HOF columns under count, the harness's noop-write does not).
+
+    Shape: ONE groupBy(o_custkey) collects the DISTINCT month-index set per
     customer (collect_set — partial-aggregated map-side, so the shuffle
-    carries ≤ |months| ints per customer), and the streak statistics fall
-    out of the sorted array with JVM array expressions: gaps = adjacent
-    diffs > 1 (zip_with over the array and its shift), longest = a running
-    (current, max) fold (aggregate). The month domain is calendar-bounded
-    (a decade is 120 ints), so per-customer state is O(1) at any data scale
-    — strictly less data moved than the old distinct, and one exchange
-    instead of two. HOF lambdas leave whole-stage codegen but run on ≤120
-    elements per customer, measured at 1024× (bench/STREAKS_x1024_r9*)."""
-    mo = F.date_trunc("month", F.col("o_orderdate"))
-    mi = (F.year(mo) * 12 + F.month(mo)).cast("int")
+    carries ≤ |months| ints per customer; the month domain is calendar-
+    bounded, a decade is 120 ints). The streak statistics then come from
+    posexplode + two rollups that ride the agg's existing hash partitioning
+    (groupBy(cust, isl) and groupBy(cust) both cluster on a superset of
+    o_custkey → ZERO further exchanges, asserted in tests/test_analytics):
+    pos-in-sorted-distinct-array replaces dense_rank, so isl = month − pos
+    is the classic islands key, all in whole-stage codegen. The exploded
+    relation is |customers|·|months| ≤ 120 rows/customer — e.g. 1.8M rows
+    at 256× where the input is 384M.
+
+    mi = year·12 + month directly on o_orderdate: the previous
+    date_trunc('month') pre-pass changed nothing (year/month of the
+    truncated month equal year/month of the date) and cost +0.44 s/384M
+    rows in the r13 probe."""
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
     g = orders.select("o_custkey", mi.alias("mi")).groupBy("o_custkey").agg(
         F.sort_array(F.collect_set("mi")).alias("ms")
     )
-    # adjacent diffs over the sorted distinct months: ms[i+1] - ms[i]
-    diffs = (
-        "zip_with(slice(ms, 2, size(ms) - 1), "
-        "slice(ms, 1, size(ms) - 1), (a, b) -> a - b)"
-    )
-    longest = (
-        f"aggregate({diffs}, named_struct('cur', 1, 'mx', 1), "
-        "(acc, d) -> named_struct("
-        "  'cur', IF(d = 1, acc.cur + 1, 1), "
-        "  'mx',  greatest(acc.mx, IF(d = 1, acc.cur + 1, 1))), "
-        "acc -> acc.mx)"
-    )
-    return g.select(
-        "o_custkey",
-        F.size("ms").cast("bigint").alias("n_active_months"),
-        (F.expr(f"size(filter({diffs}, d -> d > 1))") + F.lit(1))
-        .cast("bigint")
-        .alias("n_streaks"),
-        F.expr(longest).cast("bigint").alias("longest_streak"),
+    e = g.select("o_custkey", F.posexplode("ms").alias("pos", "m"))
+    isl = e.select("o_custkey", (F.col("m") - F.col("pos")).alias("isl"))
+    per = isl.groupBy("o_custkey", "isl").agg(F.count(F.lit(1)).alias("len"))
+    return per.groupBy("o_custkey").agg(
+        F.sum("len").cast("bigint").alias("n_active_months"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
     )
 
 

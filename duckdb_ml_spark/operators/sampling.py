@@ -560,6 +560,11 @@ FROM documents GROUP BY 1
 # --- deterministic per-group uniform k-sample --------------------------------
 
 
+PSK_GROUP_GATE = 4096  # above this many groups the bounded top-k collect
+# (≤ groups·k rows) stops being bounded-by-design; fall back to the rank form
+_PSK_SIZES_CACHE: dict = {}
+
+
 def per_source_uniform_k(
     df: DataFrame,
     k: int = 10,
@@ -575,19 +580,99 @@ def per_source_uniform_k(
     panels. Reproducible on any partitioning; adding docs to a group only
     ever swaps members at the boundary (hash order is stable).
 
-    Scale shape: ranks come from plans/orderstats.keyed_global_rank — below
-    its gate one window per group, above it the two-pass range-bucket rank,
-    so no group ever sorts on a single task at 100 TB."""
-    from duckdb_ml_spark.plans.orderstats import keyed_global_rank
+    r13 THRESHOLD-PREFILTER plan (the r12 two-pass rank form sorted ALL rows
+    to keep groups·k — 2.3× vs DuckDB at 256×): a bottom-k member of group g
+    has, with overwhelming probability, __h ≤ margin·(k/n_g)·2⁶⁰, so the
+    engine (1) aggregates exact per-group counts (partial-agg shuffle of
+    |groups| rows, no hashing), (2) scans once computing the hash but keeps
+    only rows under the group's threshold (≈ margin·k survivors/group),
+    (3) ranks the tiny survivor set with one window and keeps rn ≤ k —
+    a bounded result (≤ groups·k ≤ {PSK_GROUP_GATE}·k rows) collected and
+    re-lifted, the engine's standard bounded-collect pattern. EXACTNESS is
+    not probabilistic: if any group yields fewer than min(k, n_g) survivors
+    (the k-th order statistic fell above the threshold — Chernoff-bounded
+    below e⁻¹⁰⁰ at margin 16) the margin escalates ×256 and finally to the
+    unfiltered scan, so the output is always exactly the true bottom-k.
+    At 100 TB this is the difference between sorting the corpus and
+    scanning it once: rank work is O(survivors), not O(rows).
 
+    Above PSK_GROUP_GATE distinct groups the result is no longer
+    bounded-by-design and the two-pass keyed_global_rank form runs instead
+    (no group sorts on one task either way)."""
+    spark = df.sparkSession
     t = df.select(group_col, id_col).withColumn(
         "__h", hash_uint(F.col(id_col), salt, 15)
     )
-    r = keyed_global_rank(
-        t, key=group_col, value_col="__h", tiebreak_col=id_col, cache_key=cache_key
+    skey = (cache_key, group_col, "psk_sizes")
+    sizes = _PSK_SIZES_CACHE.get(skey) if cache_key is not None else None
+    if sizes is None:
+        # gate probe rides the same agg: limit(GATE+1) short-circuits the
+        # collect if the group column is high-cardinality
+        rows = (
+            t.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .limit(PSK_GROUP_GATE + 1)
+            .collect()
+        )
+        sizes = {r[0]: r[1] for r in rows}
+        if cache_key is not None and len(sizes) <= PSK_GROUP_GATE:
+            _PSK_SIZES_CACHE[skey] = sizes
+    if len(sizes) > PSK_GROUP_GATE:
+        from duckdb_ml_spark.plans.orderstats import keyed_global_rank
+
+        r = keyed_global_rank(
+            t, key=group_col, value_col="__h", tiebreak_col=id_col,
+            cache_key=cache_key,
+        )
+        return r.where(F.col("__rn") <= k).select(
+            group_col, id_col, F.col("__rn").cast("bigint").alias("pos")
+        )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            df.schema[group_col],
+            df.schema[id_col],
+            StructField("pos", LongType(), False),
+        ]
     )
-    return r.where(F.col("__rn") <= k).select(
-        group_col, id_col, F.col("__rn").cast("bigint").alias("pos")
+    for margin in (16, 4096):
+        thr = F.create_map(
+            *[
+                x
+                for g, n in sizes.items()
+                for x in (
+                    F.lit(g),
+                    F.lit(min(1 << 60, (margin * k * (1 << 60)) // max(n, 1))),
+                )
+            ]
+        )
+        cand = t.where(F.col("__h") <= thr[F.col(group_col)])
+        # survivors ≈ margin·k per group in expectation (Binomial, tightly
+        # concentrated under a uniform hash) — small enough to rank on the
+        # driver, which saves the survivor-shuffle window stage the r13
+        # probe measured at ~0.5 s of pure stage overhead at 256×
+        surv = cand.select(group_col, id_col, "__h").collect()
+        by_g: dict = {}
+        for r in surv:
+            by_g.setdefault(r[0], []).append((r[2], r[1]))
+        if all(len(by_g.get(g, ())) >= min(k, n) for g, n in sizes.items()):
+            got = []
+            for g in by_g:
+                for pos, (_, i) in enumerate(sorted(by_g[g])[:k], start=1):
+                    got.append((g, i, pos))
+            return spark.createDataFrame(got, out_schema)
+    # margin 4096 still insufficient (P < e⁻¹⁰⁰⁰⁰ under a uniform hash, i.e.
+    # an adversarial id→hash distribution): the exact distributed rank form
+    # never collects more than the final top-k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(group_col, id_col, F.col("__rn").cast("bigint").alias("pos"))
     )
 
 
@@ -632,9 +717,20 @@ def curriculum_counts(
     (start broad, converge to the tuned mixture).
 
     w_e = 1 + (e/(E-1))·(w_target − 1); count = floor(w_e) + bernoulli(frac)
-    with the bernoulli uniform drawn from md5(salt‖e‖':'‖id) — a fresh
-    independent draw per epoch, so consecutive epochs don't repeat the same
-    fractional-row choices (mixture_resample's contract, re-seeded per epoch).
+    with the bernoulli uniform for epoch e drawn from bits [12e, 12e+11] of
+    ONE 60-bit hash_uint(salt:id) — five disjoint 12-bit windows of a
+    single digest are independent uniforms (md5 output bits are uniform and
+    independent), so consecutive epochs still never repeat the same
+    fractional-row choices (mixture_resample's contract), while the corpus
+    is HASHED ONCE instead of once per epoch. r13 probe: the per-epoch
+    md5(salt‖e‖':'‖id) form priced E full digest+hex-parse passes over the
+    corpus (77M md5+conv evaluations at 256× for E=5; conv — a per-char
+    string parse — measured as the dominant term) — at 100 TB the digest
+    pass IS the query, so one digest + one parse + two ALU ops per epoch is
+    a 5× cut in the dominant term. 12-bit uniforms lose nothing: frac(w_e)
+    is an exact multiple of 1/64 (see below), so P(u < frac) is exactly
+    frac for any uniform with ≥6 bits. E ≤ 5 fits the 60-bit value; larger
+    E falls back to the per-epoch digest.
 
     Determinism contract: with E-1 a power of two and w_target built from
     exact binary fractions, every w_e (and its floor/frac) is an exact
@@ -644,31 +740,49 @@ def curriculum_counts(
     output, no shuffle), counts are pure column expressions; only the final
     per-(epoch, source) rollup aggregates. At 100 TB this prices E epochs of
     mixture schedule in a single pass over the corpus manifest."""
-    t = df.withColumn(
-        "epoch", F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1)))
-    )
+    if epochs <= 5:
+        # one digest AND one hex→int conv per ROW (the r13 probe measured
+        # conv — a per-char string parse — as the dominant term at 5×/row:
+        # 0.8 s of curriculum's 1.26 s at 256×); the 60-bit value is then
+        # sliced into per-epoch 12-bit uniforms with pure integer shifts,
+        # which whole-stage codegen compiles to two ALU ops per epoch
+        h60 = hash_uint(F.col(id_col), salt, 15)
+        us = F.array(
+            *[
+                (F.shiftright(h60, 12 * e).bitwiseAND(F.lit(4095)))
+                .cast("double")
+                / F.lit(4096.0)
+                for e in range(int(epochs))
+            ]
+        )
+        t = df.select("*", F.posexplode(us).alias("epoch", "__u"))
+        u = F.col("__u")
+    else:  # epochs > 5 exceed one 32-hex digest: per-epoch digest fallback
+        t = df.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(int(epochs) - 1)))
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt),
+                            F.col("epoch").cast("string"),
+                            F.lit(":"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        )
     frac_e = F.col("epoch").cast("double") / F.lit(float(epochs - 1))
     w = F.lit(1.0) + frac_e * (weight_target - F.lit(1.0))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.col("epoch").cast("string"),
-                        F.lit(":"),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
     cnt = F.floor(w).cast("int") + (u < (w - F.floor(w))).cast("int")
     return t.withColumn("__w", w).withColumn("__cnt", cnt)
 
@@ -678,17 +792,43 @@ def _curriculum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target weight is the mixture query's deterministic 0.25..3.75 ramp, so
     epoch 0 is uniform and epoch 4 equals sample_mixture_resample's rates.
     Hashed output is integer-only: w_x16 (the scheduled weight in exact
-    sixteenths), docs selected ≥1×, and total replica rows."""
+    sixteenths), docs selected ≥1×, and total replica rows.
+
+    r13 COLUMNS-NOT-ROWS rollup, value-identical to the exploded form (same
+    u/w/cnt per (doc, epoch); the gate hash is unchanged vs the explode
+    plan): the schedule's epoch dimension is tiny and FIXED, so instead of
+    exploding the corpus E× and aggregating 5·N rows, the plan computes the
+    E per-epoch counts as E column pairs over the unexploded corpus (one
+    scan, 2E+… sums that all partial-aggregate map-side) and unpivots the
+    |sources|-row result with a stack() — the 77M-row aggregation at 256×
+    becomes a 15.4M-row one; at 100 TB the explode tax is the whole query.
+    curriculum_counts (the general per-row operator) keeps the exploded
+    row-stream contract for consumers that materialize replicas."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     wt = F.lit(0.25) + (F.substring("source", 4, 8).cast("int") % 8) * F.lit(0.5)
-    c = curriculum_counts(docs, wt)
-    return c.groupBy(
-        F.col("epoch").cast("bigint").alias("epoch"), F.col("source")
-    ).agg(
-        (F.max("__w") * 16).cast("int").alias("w_x16"),
-        F.sum((F.col("__cnt") >= 1).cast("int")).cast("bigint").alias("n_docs"),
-        F.sum("__cnt").cast("bigint").alias("n_rows"),
+    E = CUR_EPOCHS
+    h60 = hash_uint(F.col("doc_id"), "cur", 15)
+    aggs = []
+    for e in range(E):
+        u = (
+            F.shiftright(h60, 12 * e).bitwiseAND(F.lit(4095)).cast("double")
+            / F.lit(4096.0)
+        )
+        w = F.lit(1.0) + (F.lit(float(e)) / F.lit(float(E - 1))) * (wt - F.lit(1.0))
+        cnt = F.floor(w).cast("int") + (u < (w - F.floor(w))).cast("int")
+        aggs.append(F.sum((cnt >= 1).cast("int")).cast("bigint").alias(f"nd{e}"))
+        aggs.append(F.sum(cnt).cast("bigint").alias(f"nr{e}"))
+        aggs.append((F.max(w) * 16).cast("int").alias(f"wx{e}"))
+    g = docs.groupBy("source").agg(*aggs)
+    stacked = ", ".join(
+        f"{e}L, wx{e}, nd{e}, nr{e}" for e in range(E)
     )
+    return g.select(
+        "source",
+        F.expr(
+            f"stack({E}, {stacked}) AS (epoch, w_x16, n_docs, n_rows)"
+        ),
+    ).select("epoch", "source", "w_x16", "n_docs", "n_rows")
 
 
 _CURRICULUM_ORACLE = f"""
@@ -698,10 +838,13 @@ WITH d AS (
     FROM documents
 ),
 x AS (
+    -- ONE digest + ONE hex parse per doc; epoch e reads bits [12e, 12e+11]
+    -- of the 60-bit value — the same disjoint-window 12-bit uniforms as
+    -- curriculum_counts (r13)
     SELECT epoch, source,
            1.0::DOUBLE + (epoch::DOUBLE / {float(CUR_EPOCHS - 1)}) * (wt - 1.0::DOUBLE) AS w,
-           ('0x' || substr(md5('cur' || epoch::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))::BIGINT::DOUBLE
-               / {float(1 << 60)} AS u
+           (({_hash_uint_sql("doc_id", "cur", 15)} >> (12 * epoch)) & 4095)::DOUBLE
+               / 4096.0 AS u
     FROM d CROSS JOIN (SELECT unnest(generate_series(0, {CUR_EPOCHS - 1})) AS epoch)
 ),
 c AS (

@@ -1689,15 +1689,20 @@ def test_curriculum_anneals_uniform_to_mixture(spark, sf_dir):
 
 
 def test_curriculum_single_scan_plan(spark, sf_dir):
-    """The epoch dimension must be an in-row explode, not a join: exactly one
-    Exchange (the final rollup) in the whole plan."""
+    """r13 columns-not-rows shape: the epoch dimension must be neither a join
+    NOR a row explode — per-epoch counts are parallel column aggregates over
+    the unexploded corpus (exactly one Exchange, zero Generate nodes), and
+    the tiny per-source result is unpivoted with stack()."""
     from duckdb_ml_spark.operators.sampling import _curriculum_q
 
     plan = _curriculum_q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
-    assert "Generate explode" in plan
+    # no row-multiplying Generate over the CORPUS: the only Generate is the
+    # stack() unpivot of the already-aggregated per-source rows
+    assert "Generate explode" not in plan and "Generate posexplode" not in plan
+    assert "Generate stack" in plan, plan
 
 
 def test_distinct_sketch_estimates_and_rollup(spark, sf_dir):
