@@ -94,10 +94,28 @@ _WINDOW_CARRYOVER = (
     "sink_token_shards",
     "sink_token_shards_capped",
     # re-staled by r13 commits (all green in the local gate replica at HEAD
-    # when appended): bpe.py oracle-truncation fix, scale.py eviction fix
+    # when appended): bpe.py oracle-truncation fix, scale.py eviction fix,
+    # analytics.py streaks rewrite, sampling.py bottom-k/curriculum rewrites
     "bpe_merge_table",
     "layout_zorder_scan",
     "layout_bloom_scan",
+    "events_funnel",
+    "events_retention",
+    "events_gap_fill",
+    "events_anomaly_robust",
+    "events_sessionize",
+    "events_scd2_intervals",
+    "sample_per_source_k",
+    "sample_curriculum",
+    "sample_group_split",
+    "sample_epoch_shuffle",
+    "sample_mixture_resample",
+    "sample_token_budget",
+    "sample_length_buckets",
+    "sample_importance",
+    "sample_temperature",
+    "sample_split_train_test",
+    "sample_stratified",
 )
 
 
