@@ -252,7 +252,9 @@ def main() -> int:
             s_times[name] = round(best, 3)
         except Exception as e:  # pragma: no cover - probe robustness
             print(f"spark {name} FAILED: {str(e).splitlines()[0][:200]}", file=sys.stderr)
-            s_times[name] = -1.0
+            # explicit engine-failure label (VERDICT r12 item 6): a -1.0
+            # sentinel read like a (nonsense) measurement in past artifacts
+            s_times[name] = {"status": "engine_failed", "error": str(e).splitlines()[0][:200]}
         print(f"spark {name}: {s_times[name]}", file=sys.stderr)
 
     d_times: dict[str, float] = {}
@@ -278,10 +280,17 @@ def main() -> int:
                 d_times[name] = round(best, 3)
             except Exception as e:  # pragma: no cover
                 print(f"duck {name} FAILED: {str(e).splitlines()[0][:200]}", file=sys.stderr)
-                d_times[name] = -1.0
+                d_times[name] = {"status": "oracle_failed", "error": str(e).splitlines()[0][:200]}
             print(f"duck {name}: {d_times[name]}", file=sys.stderr)
 
-    shared = [n for n in names if s_times.get(n, -1) >= 0 and d_times.get(n, -1) >= 0]
+    shared = [
+        n
+        for n in names
+        if isinstance(s_times.get(n, -1), float)
+        and isinstance(d_times.get(n, -1), float)
+        and s_times[n] >= 0
+        and d_times[n] >= 0
+    ]
     ts = sum(s_times[n] for n in shared)
     td = sum(d_times[n] for n in shared)
     print(
