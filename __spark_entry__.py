@@ -116,6 +116,8 @@ _WINDOW_CARRYOVER = (
     "sample_temperature",
     "sample_split_train_test",
     "sample_stratified",
+    # NEW in r13 (never driver-checked): the layout-advisor probe query
+    "layout_advised_scan",
 )
 
 
@@ -237,6 +239,7 @@ _EXEC_AT_BUILD = frozenset(
         # r6: epoch shuffle rides keyed_global_rank's cached-count gate
         "sample_epoch_shuffle",
         "sample_per_source_k",  # bounded group-count + top-k collect at build (r13)
+        "layout_advised_scan",  # advisor stats (count/footers/sample) at build
         # r6 late: centroid-matrix collect (cached dataset artifact) at build
         "dedup_semantic",
         "dedup_semantic_sampled",  # same collect on the sampled corpus

@@ -692,6 +692,229 @@ LIMIT 10
 """
 
 
+# --- layout auto-selection (VERDICT r12 item 4) -------------------------------
+#
+# The repo ships four measured layouts (hive-partitioned, bucketed, z-order,
+# bloom) with committed win/lose boundaries; layout_advise encodes those
+# boundaries so a wrong layout pick — a real user footgun at 100 TB — is a
+# defaulted decision instead of a guess. Every threshold cites the artifact
+# that measured it.
+
+PARTITION_NDV_MAX = 1024  # hive partitioning beyond ~1k values = small-files
+PARTITION_MIN_ROWS_PER_VALUE = 10_000  # and each partition must be worth a file
+# BLOOMCOLD_x256_r12: on a SEMI-CLUSTERED key (row-group min/max already
+# prunes — plain scan read 5% of rows) the bloom layout LOSES 1.5× on bytes
+# requested; on a HASH-SCATTERED key (min/max prunes nothing) it wins 2.9×.
+# The advisor switches on the mean normalized row-group key span: ~0 means
+# clustered (min/max suffices), ~1 means scattered (bloom pays).
+BLOOM_SPAN_BOUNDARY = 0.3
+
+
+def key_span_fraction(path: str, key: str) -> float | None:
+    """Rows-weighted mean of (row-group key span / global key span) from
+    parquet FOOTERS only — the clustering coefficient behind the bloom/minmax
+    boundary. None when stats are missing or the key is non-numeric; 1.0 for
+    a single row group (min/max cannot prune one group, so a point-lookup
+    layout must treat it as scattered)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    spans: list[tuple[float, float, int]] = []
+    for f in files:
+        pf = pq.ParquetFile(str(f))
+        try:
+            idx = pf.schema_arrow.names.index(key)
+        except ValueError:
+            return None
+        md = pf.metadata
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                return None
+            if not isinstance(st.min, (int, float)):
+                return None
+            spans.append((float(st.min), float(st.max), md.row_group(i).num_rows))
+    if not spans:
+        return None
+    if len(spans) == 1:
+        return 1.0
+    gmin = min(s[0] for s in spans)
+    gmax = max(s[1] for s in spans)
+    n = sum(s[2] for s in spans)
+    if gmax <= gmin or n == 0:
+        return 1.0
+    return sum((b - a) / (gmax - gmin) * r for a, b, r in spans) / n
+
+
+def layout_advise(
+    df: DataFrame,
+    key: str,
+    workload: str = "join",
+    second_key: str | None = None,
+    table_path: str | None = None,
+    table_bytes: int | None = None,
+    cache_key=None,
+) -> dict:
+    """Pick a storage layout for `df` keyed on `key` from measured statistics.
+
+    Returns {"layout", "reason", "stats"} with layout one of:
+      zorder      — 2-D range workload on (key, second_key): Morton-clustered
+                    files give balanced row-group pruning on BOTH columns
+                    (layout_zorder_scan; balanced-pruning pytest contract).
+      salted      — a measured-hot key would serialize ≥ HOT_KEY_ROWS onto
+                    one task: no static layout fixes skew — salt the hot keys
+                    at query time (adaptive_salted_join, pytest-proven).
+      partitioned — low-NDV key with enough rows per value: hive partition
+                    pruning is exact and free (source_partitioned_pruned).
+      bucketed    — repeated join/agg on a high-NDV key above the 1 GB layout
+                    gate: one bucketed shuffle-write amortizes every later
+                    join to ZERO exchanges (BUCKETJOIN_x1024_r9: pays for
+                    itself within two joins; REVENUE_FLOOR_x256_r12).
+      bloom       — point lookups on a key SCATTERED across row groups
+                    (span ≥ {BLOOM_SPAN_BOUNDARY}): per-row-group bloom
+                    filters skip what min/max cannot (BLOOMCOLD hash-
+                    scattered: 0.35× bytes requested).
+      minmax      — point lookups on a key already CLUSTERED in file order:
+                    plain row-group min/max stats prune better than a bloom
+                    layout costs (BLOOMCOLD semi-clustered: bloom LOSES 1.5×
+                    on bytes) — keep the table as is.
+      none        — below every layout gate: a plain shuffle is cheapest
+                    (the write would cost more than it saves).
+
+    Statistics: one count+approx_count_distinct agg (cached via cache_key),
+    a HOT_SAMPLE_FRACTION sample for the hot-key estimate (the
+    adaptive_salted_join profile), parquet-footer clustering for lookup
+    workloads, and the on-disk byte size for the bucket gate. Nothing scans
+    data twice; the footer pass reads no data at all."""
+    stats: dict = {"workload": workload}
+    if workload in ("range2d", "range") and second_key:
+        stats["second_key"] = second_key
+        return {
+            "layout": "zorder",
+            "reason": "2-D range predicates on both columns — Morton layout "
+            "gives balanced row-group pruning (layout_zorder_scan contract)",
+            "stats": stats,
+        }
+    from duckdb_ml_spark.operators.dedup import _cached_count
+
+    n = _cached_count(df, cache_key)
+    agg = df.agg(F.approx_count_distinct(key).alias("ndv")).head()
+    ndv = int(agg["ndv"]) or 1
+    stats.update(n_rows=n, ndv_approx=ndv)
+    if n > 0 and workload in ("join", "agg"):
+        top = (
+            df.sample(fraction=min(1.0, HOT_SAMPLE_FRACTION * 32), seed=7)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc(key))
+            .limit(1)
+            .collect()
+        )
+        if top:
+            frac = min(1.0, HOT_SAMPLE_FRACTION * 32)
+            est_top = int(top[0]["c"] / frac)
+            stats["est_top_key_rows"] = est_top
+            if est_top >= HOT_KEY_ROWS:
+                return {
+                    "layout": "salted",
+                    "reason": f"hot key would serialize ~{est_top} rows onto "
+                    "one task (≥ HOT_KEY_ROWS) — salt at query time; no "
+                    "static layout fixes skew (adaptive_salted_join)",
+                    "stats": stats,
+                }
+    if workload == "lookup":
+        span = key_span_fraction(table_path, key) if table_path else None
+        stats["key_span_fraction"] = span
+        if span is not None and span <= BLOOM_SPAN_BOUNDARY:
+            return {
+                "layout": "minmax",
+                "reason": f"key clustered in file order (span {span:.2f} ≤ "
+                f"{BLOOM_SPAN_BOUNDARY}) — min/max stats already prune; a "
+                "bloom layout LOSES 1.5× on bytes here (BLOOMCOLD "
+                "semi-clustered boundary)",
+                "stats": stats,
+            }
+        return {
+            "layout": "bloom",
+            "reason": "key scattered across row groups (span "
+            f"{'unknown' if span is None else f'{span:.2f}'} > "
+            f"{BLOOM_SPAN_BOUNDARY}) — min/max prunes nothing; per-row-group "
+            "blooms cut bytes requested 2.9× (BLOOMCOLD hash-scattered)",
+            "stats": stats,
+        }
+    if ndv <= PARTITION_NDV_MAX and n // max(ndv, 1) >= PARTITION_MIN_ROWS_PER_VALUE:
+        return {
+            "layout": "partitioned",
+            "reason": f"low-NDV key (~{ndv} values, ≥"
+            f"{PARTITION_MIN_ROWS_PER_VALUE} rows each) — hive partition "
+            "pruning is exact and free (source_partitioned_pruned)",
+            "stats": stats,
+        }
+    if table_bytes is None and table_path:
+        import os as _os
+
+        table_bytes = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(table_path)
+            for f in fs
+        ) if _os.path.isdir(table_path) else (
+            _os.path.getsize(table_path) if _os.path.exists(table_path) else None
+        )
+    stats["table_bytes"] = table_bytes
+    if (
+        workload in ("join", "agg")
+        and table_bytes is not None
+        and table_bytes >= _BUCKET_LAYOUT_GATE_BYTES
+    ):
+        return {
+            "layout": "bucketed",
+            "reason": "repeated join/agg on a high-NDV key above the 1 GB "
+            "layout gate — one bucketed write buys zero-exchange joins "
+            "(BUCKETJOIN_x1024_r9, pays off within two joins)",
+            "stats": stats,
+        }
+    return {
+        "layout": "none",
+        "reason": "below every layout gate — a plain shuffle costs less than "
+        "any layout write would save",
+        "stats": stats,
+    }
+
+
+def _layout_advised_q(spark, sf_dir: str):
+    """Point lookups routed through layout_advise (VERDICT r12 item 4): the
+    advisor reads orders' footer stats for o_orderkey (driver parquet is
+    single-row-group → span 1.0 → scattered → 'bloom'; a pre-sorted
+    multi-group table would route to 'minmax', pytest-pinned both ways) and
+    the query executes the SAME 3-key probe over the advised layout.
+    Values are layout-invariant by construction — the oracle is the plain
+    probe — so the hash check proves the advisor changes the physical
+    strategy, never the results."""
+    import os as _os
+
+    from duckdb_ml_spark.tables import load
+
+    advice = layout_advise(
+        load(spark, sf_dir, "orders"),
+        "o_orderkey",
+        workload="lookup",
+        table_path=_os.path.join(sf_dir, "orders.parquet"),
+        cache_key=(sf_dir, "orders", "rowcount"),
+    )
+    if advice["layout"] == "bloom":
+        return _bloom_q(spark, sf_dir)
+    # minmax: the table as-is IS the layout — plain pruned probe
+    orders, keys = _bloom_keys(spark, sf_dir)
+    return (
+        orders.where(F.col("o_orderkey").isin(*[int(k) for k in keys]))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
 from duckdb_ml_spark.plans.relational import QuerySpec  # noqa: E402
 
 QUERIES = {
@@ -728,5 +951,13 @@ QUERIES = {
         doc="Hot-key diagnosis: top-10 join-key frequencies + exact share "
         "(the pre-join skew audit; deterministic tiebreak).",
         tags=("scale", "skew", "dq"),
+    ),
+    "layout_advised_scan": QuerySpec(
+        "layout_advised_scan", _layout_advised_q, _BLOOM_ORACLE,
+        doc="Point lookups routed through layout_advise (footer clustering "
+        "stats → bloom vs minmax, BLOOMCOLD boundary encoded): the advisor "
+        "picks the physical layout, the oracle is the plain probe — values "
+        "layout-invariant; regime pins in tests/test_scale.py.",
+        tags=("scale", "layout", "advisor"),
     ),
 }

@@ -429,3 +429,72 @@ def test_layout_cache_dir_fingerprints_every_source_and_evicts(tmp_path, monkeyp
     layout_cache_dir(str(sf), ["lineitem.parquet", "supplier.parquet"], "lay", params="nb64")
     assert not os.path.exists(d2), "cold superseded sibling (params differ) evicted"
     assert os.path.exists(other), "eviction must not touch other layout names"
+
+
+def test_layout_advise_regimes(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r12 item 4: the advisor must reproduce the four measured
+    regimes (and the salted/none edges), each threshold anchored to its
+    committed artifact. Gates are monkeypatched down to unit-test scale the
+    same way the skew/bucket tests force their branches."""
+    import duckdb_ml_spark.plans.scale as scale
+    from duckdb_ml_spark.plans.scale import key_span_fraction, layout_advise
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    # 1. 2-D range workload → zorder, no stats jobs needed
+    a = layout_advise(orders, "o_orderkey", workload="range2d", second_key="o_custkey")
+    assert a["layout"] == "zorder"
+
+    # 2. crafted hot key → salted (gate scaled down like test_skew_join does)
+    monkeypatch.setattr(scale, "HOT_KEY_ROWS", 50)
+    monkeypatch.setattr(scale, "HOT_SAMPLE_FRACTION", 1.0 / 32)  # sample all
+    skewed = spark.range(0, 2000).select(
+        (F.col("id") % 1000 * F.when(F.col("id") < 1900, 0).otherwise(1)).alias("k")
+    )
+    a = layout_advise(skewed, "k", workload="join")
+    assert a["layout"] == "salted", a
+
+    # 3. low-NDV key with enough rows per value → partitioned
+    monkeypatch.setattr(scale, "PARTITION_MIN_ROWS_PER_VALUE", 10)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    a = layout_advise(docs, "source", workload="agg")
+    assert a["layout"] == "partitioned", a
+
+    # 4. high-NDV join key above the byte gate → bucketed
+    a = layout_advise(orders, "o_orderkey", workload="join", table_bytes=2 << 30)
+    assert a["layout"] == "bucketed", a
+    # same key below the gate → none (plain shuffle is cheapest)
+    a = layout_advise(orders, "o_orderkey", workload="join", table_bytes=1 << 20)
+    assert a["layout"] == "none", a
+
+    # 5. lookup on a CLUSTERED key (sorted parquet, many row groups) →
+    #    minmax; on a SCATTERED key (hash-ordered) → bloom — the BLOOMCOLD
+    #    boundary, reproduced from footer stats alone
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(20_000))
+    clustered = str(tmp_path / "clustered.parquet")
+    pq.write_table(pa.table({"k": ids}), clustered, row_group_size=1000)
+    span_c = key_span_fraction(clustered, "k")
+    assert span_c is not None and span_c < 0.1
+    scattered = str(tmp_path / "scattered.parquet")
+    shuffled = sorted(ids, key=lambda i: (i * 2654435761) % (1 << 32))
+    pq.write_table(pa.table({"k": shuffled}), scattered, row_group_size=1000)
+    span_s = key_span_fraction(scattered, "k")
+    assert span_s is not None and span_s > 0.9
+
+    kdf = spark.read.parquet(clustered)
+    a = layout_advise(kdf, "k", workload="lookup", table_path=clustered)
+    assert a["layout"] == "minmax", a
+    a = layout_advise(kdf, "k", workload="lookup", table_path=scattered)
+    assert a["layout"] == "bloom", a
+
+    # single row group ⇒ span 1.0 (min/max cannot prune one group)
+    single = str(tmp_path / "single.parquet")
+    pq.write_table(pa.table({"k": ids}), single)
+    assert key_span_fraction(single, "k") == 1.0
+    # non-numeric key ⇒ None (advisor falls back to bloom with caveat)
+    strs = str(tmp_path / "strs.parquet")
+    pq.write_table(pa.table({"k": [str(i) for i in ids]}), strs, row_group_size=1000)
+    assert key_span_fraction(strs, "k") is None
