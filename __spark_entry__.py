@@ -118,6 +118,16 @@ _WINDOW_CARRYOVER = (
     "sample_stratified",
     # NEW in r13 (never driver-checked): the layout-advisor probe query
     "layout_advised_scan",
+    # NEW in r13: real-JPEG decode row + multimodal rows re-staled by the
+    # decode_media JPEG-dispatch commit (all green in the local replica)
+    "mm_decode_jpeg",
+    "mm_metadata",
+    "mm_type_stats",
+    "mm_decode_features",
+    "mm_sample_frames",
+    "mm_image_resize",
+    "mm_audio_energy",
+    "mm_decode_png",
 )
 
 

@@ -184,3 +184,106 @@ def test_audio_frame_energy_empty_payload_zero_frames(spark):
     rows = audio_frame_energy(media).collect()
     assert {r.doc_id for r in rows} == {2}
     assert rows[0].n_samples == 3
+
+
+def test_jpeg_constant_blocks_exact_roundtrip():
+    """operators/jpeg.py exactness theorem: constant 8x8 blocks + all-ones
+    quant are DC-only and roundtrip EXACTLY through the lossy pipeline —
+    the property the mm_decode_jpeg oracle pairing rests on."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(7)
+    v = rng.randint(0, 256, (4, 4), dtype=np.uint8)
+    img = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+    data = jpeg_encode(img, quant=np.ones((8, 8), dtype=np.int64))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert np.array_equal(jpeg_decode(data), img)
+
+
+def test_jpeg_generic_roundtrip_tolerances():
+    """Generic images are lossy by nature: all-ones quant must be within
+    +-1 (DCT rounding only); the standard Annex K table within the usual
+    high-frequency error for white noise; smooth gradients much tighter."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.RandomState(42)
+    noise = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    q1 = jpeg_decode(jpeg_encode(noise, quant=np.ones((8, 8), dtype=np.int64)))
+    assert int(np.max(np.abs(q1.astype(int) - noise.astype(int)))) <= 1
+
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    smooth = (128 + 60 * np.sin(xx / 5) * np.cos(yy / 4)).astype(np.uint8)
+    std = jpeg_decode(jpeg_encode(smooth))
+    assert int(np.max(np.abs(std.astype(int) - smooth.astype(int)))) <= 10
+
+
+def test_jpeg_decode_rejects_unsupported():
+    """Honest-coverage contract (png.py discipline): unsupported shapes must
+    raise, never silently mis-decode."""
+    import numpy as np
+    import pytest
+
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nnot a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))  # color input
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((10, 8), dtype=np.uint8))  # non-multiple of 8
+    # progressive SOF2 marker must be rejected, not mis-parsed
+    good = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bad)
+
+
+def test_jpeg_pil_cross_check():
+    """When PIL is importable, libjpeg must decode our encoder's constant-
+    block output to the exact same pixels (DC-only blocks are exact in
+    every conformant IDCT); skipped in containers without PIL."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    from duckdb_ml_spark.operators.jpeg import jpeg_encode
+
+    v = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    img = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+    data = jpeg_encode(img, quant=np.ones((8, 8), dtype=np.int64))
+    arr = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(arr, img)
+
+
+def test_real_codec_jpeg_branch_without_pil(spark):
+    """r13: a JPEG payload must decode through the stdlib jpeg.py branch when
+    PIL is absent — the exact constant-block construction the registered
+    mm_decode_jpeg row uses, end-to-end through decode_media."""
+    import numpy as np
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL importable: JPEG decodes through PIL instead")
+    except ImportError:
+        pass
+    from duckdb_ml_spark.operators.jpeg import jpeg_encode
+    from duckdb_ml_spark.operators.multimodal import _DECODE_DIM, decode_media
+
+    side = int(_DECODE_DIM**0.5)
+    vals = np.arange(_DECODE_DIM, dtype=np.uint8) * 3 + 5
+    img = np.kron(vals.reshape(side, side), np.ones((8, 8), dtype=np.uint8))
+    payload = jpeg_encode(img, quant=np.ones((8, 8), dtype=np.int64))
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, media binary"
+    )
+    out = decode_media(media, fake=None).collect()[0]
+    feats = np.array(out.features, dtype=np.float32)
+    assert np.array_equal(feats, (vals / np.float32(255.0)).astype(np.float32))
