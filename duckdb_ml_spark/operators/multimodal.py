@@ -313,8 +313,16 @@ def _jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(jpeg_encode(img, quant=ones))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "media": payloads})
 
-    jpegs = media_table(spark, sf_dir).select("doc_id", "media").mapInPandas(
-        enc, "doc_id bigint, media binary"
+    # the pure-Python Huffman coder is CPU-bound (~1.5 ms/doc): spread the
+    # batches across the rig's cores — documents.parquet is one file, so an
+    # unrepartitioned mapInPandas would run the whole corpus on one task
+    # (measured 5.5 s single-task vs sub-second spread at sf0.1)
+    par = spark.sparkContext.defaultParallelism
+    jpegs = (
+        media_table(spark, sf_dir)
+        .select("doc_id", "media")
+        .repartition(par)
+        .mapInPandas(enc, "doc_id bigint, media binary")
     )
     dec = decode_media(jpegs, fake=None)
     return dec.select(

@@ -628,6 +628,24 @@ def per_source_uniform_k(
             group_col, id_col, F.col("__rn").cast("bigint").alias("pos")
         )
 
+    n_total = sum(sizes.values())
+    from duckdb_ml_spark.plans.orderstats import RANK_WINDOW_GATE
+
+    if n_total <= RANK_WINDOW_GATE:
+        # small corpus: one window job beats the threshold pipeline's extra
+        # stats/collect stages (r13a pair: 0.12 s windowed vs 0.44 s
+        # thresholded at sf0.1's 5k docs; the threshold path wins 256×
+        # onward where sorting all rows is the cost) — same gate constant
+        # as keyed_global_rank, the measured crossover family
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy("__h", id_col)
+        return (
+            t.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(group_col, id_col, F.col("__rn").cast("bigint").alias("pos"))
+        )
+
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(

@@ -1877,3 +1877,18 @@ def test_documents_doc_id_unique_per_row(spark, sf_dir):
     instead of surfacing as a silent overcount."""
     docs = load(spark, sf_dir, "documents")
     assert docs.count() == docs.select("doc_id").distinct().count()
+
+
+def test_per_source_k_threshold_branch_equals_window(spark, sf_dir, monkeypatch):
+    """Force the above-gate threshold-prefilter bottom-k branch (real gate:
+    RANK_WINDOW_GATE rows) and require row-identical output to the small-
+    corpus window branch — the exactness contract of the r13 rewrite."""
+    import duckdb_ml_spark.plans.orderstats as orderstats
+    from duckdb_ml_spark.operators.sampling import per_source_uniform_k
+    from duckdb_ml_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    small_gate = {r for r in per_source_uniform_k(docs).collect()}
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)
+    forced = {r for r in per_source_uniform_k(docs).collect()}
+    assert forced == small_gate and len(forced) > 0
