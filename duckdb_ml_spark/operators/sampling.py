@@ -631,6 +631,12 @@ def per_source_uniform_k(
     n_total = sum(sizes.values())
     from duckdb_ml_spark.plans.orderstats import RANK_WINDOW_GATE
 
+    if None in sizes:
+        # a NULL group key would silently vanish in the threshold branch
+        # (map[NULL] → NULL → filter false) while the window branch keeps
+        # NULL as its own partition — force the window form so both
+        # branches agree on NULL semantics (self-review r13)
+        n_total = 0
     if n_total <= RANK_WINDOW_GATE:
         # small corpus: one window job beats the threshold pipeline's extra
         # stats/collect stages (r13a pair: 0.12 s windowed vs 0.44 s

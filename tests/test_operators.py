@@ -1892,3 +1892,24 @@ def test_per_source_k_threshold_branch_equals_window(spark, sf_dir, monkeypatch)
     monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)
     forced = {r for r in per_source_uniform_k(docs).collect()}
     assert forced == small_gate and len(forced) > 0
+
+
+def test_per_source_k_null_group_key(spark):
+    """A NULL group key must sample like any other group on BOTH branches —
+    the threshold branch's literal-map threshold lookup would silently drop
+    NULL-keyed rows (map[NULL] → NULL → filter false), so the presence of a
+    NULL group forces the window form regardless of size."""
+    import duckdb_ml_spark.plans.orderstats as orderstats
+    from duckdb_ml_spark.operators.sampling import per_source_uniform_k
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else None) for i in range(60)],
+        "doc_id bigint, source string",
+    )
+    rows = per_source_uniform_k(df, k=5).collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r.source, []).append(r.pos)
+    assert sorted(by_g.keys(), key=str) == ["a", None] or set(by_g) == {"a", None}
+    assert sorted(by_g["a"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_g[None]) == [1, 2, 3, 4, 5]
