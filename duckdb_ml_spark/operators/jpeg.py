@@ -1,32 +1,40 @@
-"""Pure-stdlib baseline JPEG codec (grayscale SOF0) for the real decode branch.
+"""Pure-stdlib baseline JPEG codec (grayscale + YCbCr color) for the real
+decode branch.
 
 VERDICT r12 "What's missing" #2: JPEG is the first codec a real multimodal
 corpus hits, and the container ships no PIL — so decode_media's non-PNG branch
 could only raise. Following the png.py precedent (pure stdlib, value-checked,
 honest about coverage), this module implements both directions of BASELINE
-sequential JPEG (ITU-T T.81) for single-component (grayscale) images:
+sequential JPEG (ITU-T T.81):
 
-- `jpeg_encode(arr, quant)` — 8-bit grayscale, dimensions padded to 8×8
-  blocks internally: level shift, 2-D DCT (JPEG's normalization IS the
-  orthonormal DCT — one matrix identity, no scipy), quantization, zigzag,
-  DC difference coding, Huffman coding with the standard Annex K luminance
-  tables, 0xFF byte stuffing, SOI/DQT/SOF0/DHT/SOS/EOI markers.
-- `jpeg_decode(data)` — the matching decoder for any baseline grayscale
-  JPEG: marker walk, DQT/DHT/SOF0/SOS parse, entropy decode (receive/extend,
-  ZRL, EOB), dequantize, inverse zigzag, IDCT, +128 clip. Returns uint8
-  (h, w).
+- `jpeg_encode(arr, quant=None, subsampling="444")` —
+  (h, w) uint8 grayscale → single-component JPEG (h, w multiples of 8), or
+  (h, w, 3) uint8 RGB → 3-component YCbCr JPEG, interleaved MCUs, with
+  4:4:4 (multiples of 8) or 4:2:0 (multiples of 16; chroma 2×2 mean-
+  subsampled) sampling — the two layouts that cover essentially every real
+  camera/web JPEG. Luma uses the Annex K luminance quant/Huffman tables,
+  chroma the chrominance ones; `quant` overrides the LUMA table (and the
+  chroma table too when it is the all-ones exactness table).
+- `jpeg_decode(data)` — the matching decoder for any baseline JPEG in those
+  shapes: marker walk, DQT/DHT/SOF0/SOS parse, interleaved-MCU entropy
+  decode (receive/extend, ZRL, EOB, per-component DC prediction), dequant,
+  IDCT, chroma upsample (sample replication), JFIF YCbCr→RGB. Returns
+  uint8 (h, w) for 1 component or (h, w, 3) RGB for 3.
 
-Deliberately NOT implemented (raise ValueError, never mis-decode): color /
-subsampled components, progressive (SOF2), arithmetic coding, restart
-intervals, 12-bit precision.
+Deliberately NOT implemented (raise ValueError, never mis-decode):
+progressive (SOF2), arithmetic coding, restart intervals, 12-bit precision,
+sampling layouts other than 1×1 per component or 2×2-luma 4:2:0, image
+dimensions that are not MCU multiples (no edge-block padding).
 
 Exactness note for the oracle-paired query (mm_decode_jpeg): JPEG is lossy in
-general, but an image made of CONSTANT 8×8 blocks encoded with an all-ones
-quantization table roundtrips EXACTLY — the only nonzero coefficient is the
-DC term 8·(v−128) (an integer, unchanged by quantize(1) + round), and the
-IDCT of a DC-only block is the constant block back. That makes a byte-exact
-DuckDB oracle possible over a REAL lossy-codec pipeline; generic images are
-covered by tolerance roundtrip pytests instead.
+general, but a GRAYSCALE image made of CONSTANT 8×8 blocks encoded with an
+all-ones quantization table roundtrips EXACTLY — the only nonzero
+coefficient is the DC term 8·(v−128) (an integer, unchanged by quantize(1) +
+round), and the IDCT of a DC-only block is the constant block back. That
+makes a byte-exact DuckDB oracle possible over a REAL lossy-codec pipeline.
+Color adds the YCbCr transform's ±1 rounding, so color roundtrips are
+tolerance-checked in pytest instead (constant color ±1, generic images by
+quant table).
 """
 
 from __future__ import annotations
@@ -47,8 +55,6 @@ ZIGZAG = np.array(
     dtype=np.int64,
 )
 
-# standard luminance quantization table (Annex K.1) — the generic default;
-# the exact-roundtrip query passes quant=np.ones((8, 8)) instead
 STD_LUMA_QUANT = np.array(
     [
         [16, 11, 10, 16, 24, 40, 51, 61],
@@ -63,10 +69,24 @@ STD_LUMA_QUANT = np.array(
     dtype=np.int64,
 )
 
-_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
-_DC_VALS = list(range(12))
-_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
-_AC_VALS = [
+STD_CHROMA_QUANT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
@@ -80,6 +100,25 @@ _AC_VALS = [
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -139,70 +178,170 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def jpeg_encode(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """uint8 grayscale (h, w) → baseline JPEG bytes (h, w multiples of 8)."""
-    if arr.ndim != 2:
-        raise ValueError("jpeg_encode: grayscale (h, w) arrays only")
-    h, w = arr.shape
+def _encode_block(bw: _BitWriter, block, q, dc_codes, ac_codes, prev_dc: int) -> int:
+    """DCT+quantize+entropy-code one level-shifted 8×8 block; returns its DC."""
+    coef = _D @ block @ _D.T
+    zz = np.round(coef / q).astype(np.int64).ravel()[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → float64 YCbCr planes (JFIF full-range)."""
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """float YCbCr planes → (h, w, 3) uint8 RGB (JFIF full-range, clipped)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) → baseline JPEG bytes.
+
+    Grayscale needs dimensions that are multiples of 8; RGB 4:4:4 the same;
+    RGB 4:2:0 multiples of 16 (no edge-block padding — honest coverage).
+    `quant` overrides the luma table; the exactness table (all ones) also
+    replaces the chroma table so the color path is near-lossless (±1 from
+    the YCbCr transform's rounding)."""
+    if arr.ndim == 2:
+        return _encode_components(
+            arr.shape[1],
+            arr.shape[0],
+            [(arr.astype(np.float64) - 128.0, 1, 1, 0, 0)],
+            [STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)],
+        )
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("jpeg_encode: (h, w) grayscale or (h, w, 3) RGB only")
+    h, w = arr.shape[:2]
+    ycc = rgb_to_ycbcr(arr)
+    qy = STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)
+    qc = STD_CHROMA_QUANT if quant is None else np.asarray(quant, np.int64)
+    if subsampling == "444":
+        comps = [
+            (ycc[..., 0] - 128.0, 1, 1, 0, 0),
+            (ycc[..., 1] - 128.0, 1, 1, 1, 1),
+            (ycc[..., 2] - 128.0, 1, 1, 1, 1),
+        ]
+    elif subsampling == "420":
+        if h % 16 or w % 16:
+            raise ValueError("jpeg_encode: 4:2:0 needs multiples of 16")
+        # 2×2 mean chroma subsample (the standard downsampling filter)
+        def down(p):
+            return p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+        comps = [
+            (ycc[..., 0] - 128.0, 2, 2, 0, 0),
+            (down(ycc[..., 1]) - 128.0, 1, 1, 1, 1),
+            (down(ycc[..., 2]) - 128.0, 1, 1, 1, 1),
+        ]
+    else:
+        raise ValueError("jpeg_encode: subsampling must be '444' or '420'")
+    return _encode_components(w, h, comps, [qy, qc])
+
+
+def _encode_components(w: int, h: int, comps, qtables) -> bytes:
+    """comps: [(level-shifted plane, hs, vs, quant_id, huff_id)]."""
     if h % 8 or w % 8:
         raise ValueError("jpeg_encode: dimensions must be multiples of 8")
-    q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
-    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
-
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = w // (8 * hmax)
+    mcus_y = h // (8 * vmax)
+    for plane, hs, vs, _, _ in comps:
+        if plane.shape != (mcus_y * 8 * vs, mcus_x * 8 * hs):
+            raise ValueError("jpeg_encode: plane/sampling mismatch")
+    huffs = [
+        (_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+         _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)),
+        (_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+         _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+    ]
     bw = _BitWriter()
-    prev_dc = 0
-    shifted = arr.astype(np.float64) - 128.0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = shifted[by : by + 8, bx : bx + 8]
-            coef = _D @ block @ _D.T
-            zz = np.round(coef / q).astype(np.int64).ravel()[ZIGZAG]
-            # DC difference
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            code, ln = dc_codes[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            # AC run-length
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                run = 0
-                if i == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+    prev_dc = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, hs, vs, qid, hid) in enumerate(comps):
+                q = qtables[qid]
+                dc_codes, ac_codes = huffs[hid]
+                for v in range(vs):
+                    for u in range(hs):
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + u) * 8
+                        block = plane[by : by + 8, bx : bx + 8]
+                        prev_dc[ci] = _encode_block(
+                            bw, block, q, dc_codes, ac_codes, prev_dc[ci]
+                        )
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
-    zz_q = q.ravel()[ZIGZAG]
-    dqt = seg(0xFFDB, bytes([0]) + bytes(int(x) & 0xFF for x in zz_q))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
-        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out = b"\xff\xd8"
+    for qid, q in enumerate(qtables[: 2 if len(comps) > 1 else 1]):
+        zz_q = q.ravel()[ZIGZAG]
+        out += seg(0xFFDB, bytes([qid]) + bytes(int(x) & 0xFF for x in zz_q))
+    sof_comps = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, qid])
+        for ci, (_, hs, vs, qid, _) in enumerate(comps)
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    if len(comps) > 1:
+        out += seg(
+            0xFFC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        )
+        out += seg(
+            0xFFC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS)
+        )
+    sos_comps = b"".join(
+        bytes([ci + 1, (hid << 4) | hid])
+        for ci, (_, _, _, _, hid) in enumerate(comps)
     )
+    out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
+    return out + bytes(bw.out) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -261,16 +400,42 @@ def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
+def _decode_block(br, dct, act, q, prev_dc: int):
+    """Entropy-decode one block; returns (pixel block +128-shifted, DC)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = _read_huff(br, dct)
+    diff = _extend(br.bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    i = 1
+    while i < 64:
+        rs = _read_huff(br, act)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = rs >> 4, rs & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _extend(br.bits(cat), cat)
+        i += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * q.ravel()[ZIGZAG]
+    return _D.T @ coef.reshape(8, 8) @ _D + 128.0, dc
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG bytes → uint8 (h, w)."""
+    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decoder table
     h = w = 0
-    comp_q = 0
-    dc_id = ac_id = 0
+    sof_comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_ids: list[tuple[int, int, int]] = []  # (id, dc, ac)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -292,11 +457,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 o += 65
         elif marker == 0xC0:  # SOF0 baseline
             _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) JPEGs")
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp_q = body[8]
+            for c in range(ncomp):
+                cid, sampl, tq = body[6 + 3 * c : 9 + 3 * c]
+                sof_comps.append((cid, sampl >> 4, sampl & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline SOF0 JPEGs supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
@@ -311,45 +474,58 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                ids = body[2 + 2 * c]
+                scan_ids.append((cid, ids >> 4, ids & 0xF))
             pos += ln
             break
         pos += ln
-    if h == 0 or w == 0:
+    if h == 0 or w == 0 or not sof_comps:
         raise ValueError("no SOF0 before scan")
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8 (no edge padding)")
-    q = quant[comp_q]
-    dct = huff[(0, dc_id)]
-    act = huff[(1, ac_id)]
+    ncomp = len(sof_comps)
+    samplings = [(hs, vs) for _, hs, vs, _ in sof_comps]
+    if ncomp == 1:
+        if samplings[0] != (1, 1):
+            raise ValueError("subsampled single-component JPEGs unsupported")
+    elif ncomp == 3:
+        if not (
+            samplings in ([(1, 1), (1, 1), (1, 1)], [(2, 2), (1, 1), (1, 1)])
+        ):
+            raise ValueError("only 4:4:4 or 4:2:0 (2×2 luma) color supported")
+    else:
+        raise ValueError("only 1- or 3-component JPEGs supported")
+    hmax = max(hs for hs, _ in samplings)
+    vmax = max(vs for _, vs in samplings)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dimensions must be MCU multiples (no edge padding)")
+    mcus_x = w // (8 * hmax)
+    mcus_y = h // (8 * vmax)
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in sof_comps}
+    comps = []  # (plane, hs, vs, q, dct, act) in SCAN order
+    for cid, dcid, acid in scan_ids:
+        hs, vs, tq = by_id[cid]
+        plane = np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs), dtype=np.float64)
+        comps.append((plane, hs, vs, quant[tq], huff[(0, dcid)], huff[(1, acid)]))
     br = _BitReader(data, pos)
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _read_huff(br, dct)
-            diff = _extend(br.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _read_huff(br, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = rs >> 4, rs & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(br.bits(cat), cat)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[ZIGZAG] = zz * q.ravel()[ZIGZAG]
-            block = _D.T @ coef.reshape(8, 8) @ _D
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                np.round(block + 128.0), 0, 255
-            ).astype(np.uint8)
-    return out
+    prev_dc = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (plane, hs, vs, q, dct, act) in enumerate(comps):
+                for v in range(vs):
+                    for u in range(hs):
+                        block, prev_dc[ci] = _decode_block(
+                            br, dct, act, q, prev_dc[ci]
+                        )
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + u) * 8
+                        plane[by : by + 8, bx : bx + 8] = block
+    if ncomp == 1:
+        return np.clip(np.round(comps[0][0]), 0, 255).astype(np.uint8)
+    y = comps[0][0]
+    cb, cr = comps[1][0], comps[2][0]
+    if samplings[0] == (2, 2):  # 4:2:0 → upsample chroma by replication
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    return ycbcr_to_rgb(y, cb, cr)

@@ -232,9 +232,13 @@ def test_jpeg_decode_rejects_unsupported():
     with pytest.raises(ValueError):
         jpeg_decode(b"\x89PNG\r\n\x1a\nnot a jpeg")
     with pytest.raises(ValueError):
-        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))  # color input
+        jpeg_encode(np.zeros((8, 8, 4), dtype=np.uint8))  # RGBA unsupported
     with pytest.raises(ValueError):
         jpeg_encode(np.zeros((10, 8), dtype=np.uint8))  # non-multiple of 8
+    with pytest.raises(ValueError):  # 4:2:0 needs multiples of 16
+        jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="420")
+    with pytest.raises(ValueError):
+        jpeg_encode(np.zeros((16, 16, 3), dtype=np.uint8), subsampling="422")
     # progressive SOF2 marker must be rejected, not mis-parsed
     good = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
@@ -287,3 +291,100 @@ def test_real_codec_jpeg_branch_without_pil(spark):
     out = decode_media(media, fake=None).collect()[0]
     feats = np.array(out.features, dtype=np.float32)
     assert np.array_equal(feats, (vals / np.float32(255.0)).astype(np.float32))
+
+
+def test_jpeg_color_roundtrips():
+    """r13 color support: 4:4:4 and 4:2:0 YCbCr JPEGs roundtrip — constant
+    color blocks within +-1 of exact under the all-ones quant table (the
+    YCbCr transform adds sub-integer rounding the grayscale theorem doesn't
+    have), smooth gradients within normal lossy bounds under Annex K."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    c = np.zeros((16, 16, 3), dtype=np.uint8)
+    c[:8, :8] = (200, 30, 90)
+    c[:8, 8:] = (10, 250, 40)
+    c[8:, :8] = (0, 0, 255)
+    c[8:, 8:] = (128, 128, 128)
+    back = jpeg_decode(jpeg_encode(c, quant=ones))
+    assert back.shape == c.shape
+    assert int(np.max(np.abs(back.astype(int) - c.astype(int)))) <= 1
+
+    c2 = np.zeros((32, 32, 3), dtype=np.uint8)
+    c2[:16, :16] = (200, 30, 90)
+    c2[:16, 16:] = (10, 250, 40)
+    c2[16:, :16] = (0, 0, 255)
+    c2[16:, 16:] = (55, 99, 180)
+    back2 = jpeg_decode(jpeg_encode(c2, quant=ones, subsampling="420"))
+    assert int(np.max(np.abs(back2.astype(int) - c2.astype(int)))) <= 1
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    smooth = np.stack(
+        [
+            (128 + 60 * np.sin(xx / 5)).astype(np.uint8),
+            (128 + 60 * np.cos(yy / 4)).astype(np.uint8),
+            (xx * 4 % 256).astype(np.uint8),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub, tol in (("444", 16), ("420", 24)):
+        b = jpeg_decode(jpeg_encode(smooth, subsampling=sub))
+        assert int(np.max(np.abs(b.astype(int) - smooth.astype(int)))) <= tol, sub
+
+
+def test_jpeg_color_pil_cross_check():
+    """libjpeg must agree with our decoder on our color encoder's output
+    within the usual IDCT/upsampling implementation spread (PIL uses the
+    fancy chroma upsampler; we replicate) — skipped without PIL."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    c = np.zeros((16, 16, 3), dtype=np.uint8)
+    c[:8, :8] = (200, 30, 90)
+    c[8:, 8:] = (10, 250, 40)
+    data = jpeg_encode(c, quant=np.ones((8, 8), dtype=np.int64))
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    ours = jpeg_decode(data)
+    assert int(np.max(np.abs(pil.astype(int) - ours.astype(int)))) <= 2
+
+
+def test_real_codec_color_jpeg_through_decode_media(spark):
+    """A color JPEG payload must flow through decode_media's stdlib branch
+    (decode to RGB, ITU-601 luma, mean-pool) without PIL — the corpus shape
+    real multimodal pipelines actually carry."""
+    import numpy as np
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL importable: JPEG decodes through PIL instead")
+    except ImportError:
+        pass
+    from duckdb_ml_spark.operators.jpeg import jpeg_encode
+    from duckdb_ml_spark.operators.multimodal import _DECODE_DIM, decode_media
+    from duckdb_ml_spark.operators.png import resize_mean, to_gray
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    payload = jpeg_encode(img, quant=np.ones((8, 8), dtype=np.int64))
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, media binary"
+    )
+    out = decode_media(media, fake=None).collect()[0]
+    feats = np.array(out.features, dtype=np.float32)
+    side = int(_DECODE_DIM**0.5)
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode
+
+    expected = (
+        resize_mean(to_gray(jpeg_decode(payload)), side, side).ravel()
+        / np.float32(255.0)
+    ).astype(np.float32)
+    assert np.array_equal(feats, expected)
