@@ -373,6 +373,29 @@ def test_write_bucketed_validates_marker_and_registration(spark, sf_dir, tmp_pat
     spark.sql("DROP TABLE IF EXISTS t_val_b")
 
 
+def test_write_bucketed_migrates_pre_r13_empty_marker(spark, sf_dir, tmp_path):
+    """Layouts written before the marker carried metadata have an EMPTY
+    marker file: validation must treat them as unknown-params and REWRITE
+    once (repopulating the marker), never re-register blind — the one-time
+    migration the r13 256x suite paid for its cached layouts."""
+    import json
+    import os
+
+    from duckdb_ml_spark.sources.readers import write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = str(tmp_path / "lay_legacy")
+    spark.sql("DROP TABLE IF EXISTS t_mig_b")
+    write_bucketed(orders, "t_mig_b", "o_orderkey", out, n_buckets=4)
+    marker = os.path.join(out, "_LAYOUT_FILE_PER_BUCKET")
+    open(marker, "w").close()  # simulate the pre-r13 empty marker
+    spark.sql("DROP TABLE IF EXISTS t_mig_b")
+    write_bucketed(orders, "t_mig_b", "o_orderkey", out, n_buckets=4)
+    assert json.load(open(marker)) == {"key": "o_orderkey", "n_buckets": 4}
+    assert spark.table("t_mig_b").count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS t_mig_b")
+
+
 def test_layout_cache_dir_fingerprints_every_source_and_evicts(tmp_path, monkeypatch):
     """r12 review + ADVICE r12 fixes pinned: (a) the cache dir changes when
     ANY source table's content changes — including a secondary input like
