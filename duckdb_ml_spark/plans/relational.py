@@ -1377,17 +1377,21 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="HLL sketch distinct-count with an accuracy-band invariant. Spark's "
     "HLL++ and DuckDB's HLL give different raw estimates (different sketches/"
-    "seeds), so the hash-checked contract is the documented property both "
-    "guarantee: estimate within 5% of exact (HLL++ default rsd=0.05). The "
-    "sketch is the 100 TB path — fixed-size, mergeable map-side partials vs "
-    "count(DISTINCT)'s full shuffle of distinct values; both are computed here "
-    "so the band is verified against ground truth per group.",
+    "seeds), so the hash-checked contract is the property both engines "
+    "guarantee with margin: estimate within 5% of exact. The Spark sketch "
+    "runs at rsd=0.01 so the band is a ≥5σ contract — at the old default "
+    "rsd=0.05 the 5% band was a ~1σ coin flip, and it landed OUTSIDE at "
+    "sf0.1's 1500-distinct groups (r13 gate finding); DuckDB's fixed HLL "
+    "error (~1.6%) sits at ~3σ. The sketch is the 100 TB path — fixed-size "
+    "(~11 KB/group at rsd 0.01), mergeable map-side partials vs "
+    "count(DISTINCT)'s full shuffle of distinct values; both are computed "
+    "here so the band is verified against ground truth per group.",
     tags=("aggregate", "approx", "sketch", "events"),
 )
 def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     exact = F.count_distinct("user_id")
-    approx = F.approx_count_distinct("user_id", 0.05)
+    approx = F.approx_count_distinct("user_id", 0.01)
     return ev.groupBy("event_type").agg(
         exact.alias("exact_users"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),

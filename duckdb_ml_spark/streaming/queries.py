@@ -32,11 +32,15 @@ def _tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load(spark, sf_dir, "events"))
 
 
+# avg derived from the ROUNDED sum, matching tumbling_counts: the 6-dp
+# round collapses both engines' sums to the identical double before the
+# division, so the final round cannot land on opposite sides of a half
+# boundary (r13 gate finding at sf0.1)
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS avg_value
+       round(round(sum(value), 6) / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2
 """
 

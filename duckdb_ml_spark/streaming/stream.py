@@ -62,16 +62,22 @@ def tumbling_counts(ev: DataFrame, width: str = "1 hour", watermark: str | None 
     """Per-(hour, event_type) event counts + value aggregates (tumbling window).
 
     Pass watermark (e.g. "2 hours") on streaming input to bound state; batch
-    input ignores it. avg is rounded: it is an aggregate, so ±1 ulp summation
-    noise between engines is absorbed (never round per-row values)."""
+    input ignores it. Aggregates are rounded to absorb ±ulp summation-order
+    noise between engines (never round per-row values). avg is DERIVED from
+    the rounded sum (round(round(sum,6)/n, 6)) instead of rounding avg()
+    directly: rounding collapses both engines' sums to the identical double
+    first, so the final round sees the same input — a directly-rounded
+    avg() hit a round-half boundary at sf0.1 (43.4728125: Spark …12 vs
+    DuckDB …13 from last-ulp summation differences; r13 gate finding)."""
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
+    sum_r = F.round(F.sum("value"), 6)
     return (
         ev.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            sum_r.alias("sum_value"),
+            F.round(sum_r / F.count(F.lit(1)), 6).alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value", "avg_value")
     )
