@@ -116,6 +116,45 @@ _WINDOW_CARRYOVER = (
     "sample_temperature",
     "sample_split_train_test",
     "sample_stratified",
+    # re-staled by the late-r13 commits (relational.py HLL band rigor,
+    # streaming avg-from-rounded-sum, jpeg color in multimodal.py) — every
+    # row green in the full local gate at sf0.001/sf0.01/sf0.1 at HEAD
+    "scan_filter_project",
+    "pricing_summary",
+    "scaling_params",
+    "minmax_scaled",
+    "array_features",
+    "range_ids",
+    "customers_by_region",
+    "segment_order_stats",
+    "customers_without_orders",
+    "parts_in_large_lineitems",
+    "top_orders_per_segment",
+    "price_quantiles_by_flag",
+    "orders_rank_distribution",
+    "set_ops_names",
+    "rollup_region_nation",
+    "distinct_segments",
+    "conditional_agg_status",
+    "orders_by_month",
+    "orders_status_pivot",
+    "events_hourly",
+    "events_json_extract",
+    "grouping_sets_customers",
+    "orders_top_global",
+    "customer_order_gaps",
+    "revenue_by_nation",
+    "orders_rank_metrics",
+    "unpivot_part_measures",
+    "customers_above_nation_avg",
+    "events_distinct_users_approx",
+    "stream_scd2_intervals",
+    "stream_interval_join",
+    "stream_dedup_events",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h",
+    "stream_sessions",
+    "stream_user_state",
     # NEW in r13 (never driver-checked): the layout-advisor probe query
     "layout_advised_scan",
     # NEW in r13: real-JPEG decode row + multimodal rows re-staled by the
