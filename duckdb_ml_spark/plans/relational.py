@@ -1389,10 +1389,21 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "approx", "sketch", "events"),
 )
 def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-first shape (r13): count_distinct + a big-state HLL in ONE agg
+    # plans through Expand (input duplicated per aggregate group, each copy
+    # updating 11 KB sketch state — 5.4 s at 64×); de-duplicating
+    # (event_type, user_id) first collapses the input to |types|·|users|
+    # rows, after which the exact count is a count(*) and the sketch runs
+    # over the support set (HLL of a multiset == HLL of its support) —
+    # 0.46 s at 64×, one scan, the pair-dedup exchange bounded by the
+    # distinct-pair count. Production sketching at 100 TB uses the sketch
+    # ALONE (map-side partials, no dedup shuffle); this query carries the
+    # exact side only to VERIFY the band against ground truth.
     ev = load(spark, sf_dir, "events")
-    exact = F.count_distinct("user_id")
+    dd = ev.groupBy("event_type", "user_id").agg(F.lit(1))
+    exact = F.count(F.lit(1))
     approx = F.approx_count_distinct("user_id", 0.01)
-    return ev.groupBy("event_type").agg(
+    return dd.groupBy("event_type").agg(
         exact.alias("exact_users"),
         (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
