@@ -8,11 +8,13 @@ honest about coverage), this module implements both directions of BASELINE
 sequential JPEG (ITU-T T.81):
 
 - `jpeg_encode(arr, quant=None, subsampling="444")` —
-  (h, w) uint8 grayscale → single-component JPEG (h, w multiples of 8), or
-  (h, w, 3) uint8 RGB → 3-component YCbCr JPEG, interleaved MCUs, with
-  4:4:4 (multiples of 8) or 4:2:0 (multiples of 16; chroma 2×2 mean-
-  subsampled) sampling — the two layouts that cover essentially every real
-  camera/web JPEG. Luma uses the Annex K luminance quant/Huffman tables,
+  (h, w) uint8 grayscale → single-component JPEG, or (h, w, 3) uint8 RGB →
+  3-component YCbCr JPEG, interleaved MCUs, with 4:4:4 or 4:2:0 (chroma
+  2×2 mean-subsampled) sampling — the two layouts that cover essentially
+  every real camera/web JPEG. ANY dimensions: non-MCU-multiple images are
+  edge-replicate padded to full MCUs with the true size in SOF0 and
+  cropped on decode (ITU-T T.81 A.2.4) — real crawls are mostly not
+  MCU multiples. Luma uses the Annex K luminance quant/Huffman tables,
   chroma the chrominance ones; `quant` overrides the LUMA table (and the
   chroma table too when it is the all-ones exactness table).
 - `jpeg_decode(data)` — the matching decoder for any baseline JPEG in those
@@ -23,8 +25,8 @@ sequential JPEG (ITU-T T.81):
 
 Deliberately NOT implemented (raise ValueError, never mis-decode):
 progressive (SOF2), arithmetic coding, restart intervals, 12-bit precision,
-sampling layouts other than 1×1 per component or 2×2-luma 4:2:0, image
-dimensions that are not MCU multiples (no edge-block padding).
+sampling layouts other than 1×1 per component or 2×2-luma 4:2:0, quant
+tables outside 1..255, AC coefficients past Annex K category 10.
 
 Exactness note for the oracle-paired query (mm_decode_jpeg): JPEG is lossy in
 general, but a GRAYSCALE image made of CONSTANT 8×8 blocks encoded with an
@@ -200,6 +202,15 @@ def _encode_block(bw: _BitWriter, block, q, dc_codes, ac_codes, prev_dc: int) ->
             bw.write(code, ln)
             run -= 16
         cat = _category(v)
+        if cat > 10:
+            # Annex K AC tables stop at category 10 (|coef| ≤ 1023); an
+            # extreme-contrast block under a tiny quant table can exceed it.
+            # Policy: raise, never mis-encode (ADVICE r13).
+            raise ValueError(
+                "jpeg_encode: AC coefficient magnitude ≥ 1024 is not "
+                "encodable with the Annex K Huffman tables; use a larger "
+                "quantization table"
+            )
         code, ln = ac_codes[(run << 4) | cat]
         bw.write(code, ln)
         bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
@@ -233,6 +244,18 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def _pad_to_mcu(arr: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad (h, w[, c]) to multiples of `mult` — the T.81
+    A.2.4 recommendation (repeating the last column/row keeps the padded
+    blocks' high-frequency content near zero, so padding costs no bits)."""
+    h, w = arr.shape[:2]
+    ph, pw = (-h) % mult, (-w) % mult
+    if not (ph or pw):
+        return arr
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, pad, mode="edge")
+
+
 def jpeg_encode(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
@@ -240,36 +263,39 @@ def jpeg_encode(
 ) -> bytes:
     """uint8 grayscale (h, w) or RGB (h, w, 3) → baseline JPEG bytes.
 
-    Grayscale needs dimensions that are multiples of 8; RGB 4:4:4 the same;
-    RGB 4:2:0 multiples of 16 (no edge-block padding — honest coverage).
-    `quant` overrides the luma table; the exactness table (all ones) also
-    replaces the chroma table so the color path is near-lossless (±1 from
-    the YCbCr transform's rounding)."""
+    Any dimensions ≥ 1: images that are not MCU multiples (8 for
+    grayscale/4:4:4, 16 for 4:2:0) are edge-replicate padded to full MCUs
+    before the DCT and the TRUE dimensions go into SOF0 — decoders (ours
+    included) crop back (ITU-T T.81 A.2.4). `quant` overrides the luma
+    table; the exactness table (all ones) also replaces the chroma table so
+    the color path is near-lossless (±1 from the YCbCr transform's
+    rounding)."""
     if arr.ndim == 2:
+        h, w = arr.shape
         return _encode_components(
-            arr.shape[1],
-            arr.shape[0],
-            [(arr.astype(np.float64) - 128.0, 1, 1, 0, 0)],
+            w,
+            h,
+            [(_pad_to_mcu(arr, 8).astype(np.float64) - 128.0, 1, 1, 0, 0)],
             [STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)],
         )
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("jpeg_encode: (h, w) grayscale or (h, w, 3) RGB only")
     h, w = arr.shape[:2]
-    ycc = rgb_to_ycbcr(arr)
     qy = STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)
     qc = STD_CHROMA_QUANT if quant is None else np.asarray(quant, np.int64)
     if subsampling == "444":
+        ycc = rgb_to_ycbcr(_pad_to_mcu(arr, 8))
         comps = [
             (ycc[..., 0] - 128.0, 1, 1, 0, 0),
             (ycc[..., 1] - 128.0, 1, 1, 1, 1),
             (ycc[..., 2] - 128.0, 1, 1, 1, 1),
         ]
     elif subsampling == "420":
-        if h % 16 or w % 16:
-            raise ValueError("jpeg_encode: 4:2:0 needs multiples of 16")
+        ycc = rgb_to_ycbcr(_pad_to_mcu(arr, 16))
+        ph, pw = ycc.shape[:2]
         # 2×2 mean chroma subsample (the standard downsampling filter)
         def down(p):
-            return p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
 
         comps = [
             (ycc[..., 0] - 128.0, 2, 2, 0, 0),
@@ -282,13 +308,19 @@ def jpeg_encode(
 
 
 def _encode_components(w: int, h: int, comps, qtables) -> bytes:
-    """comps: [(level-shifted plane, hs, vs, quant_id, huff_id)]."""
-    if h % 8 or w % 8:
-        raise ValueError("jpeg_encode: dimensions must be multiples of 8")
+    """comps: [(level-shifted plane, hs, vs, quant_id, huff_id)] — planes
+    already edge-padded to full MCUs; (w, h) are the TRUE image dimensions
+    written to SOF0 (ITU-T T.81 A.2.4: the scan carries ceil-MCU data, the
+    decoder crops)."""
+    for q in qtables:
+        if int(q.min()) < 1 or int(q.max()) > 255:
+            # 8-bit DQT entries; & 0xFF truncation would silently
+            # mis-decode (ADVICE r13) — reject instead
+            raise ValueError("jpeg_encode: quant table entries must be in 1..255")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = w // (8 * hmax)
-    mcus_y = h // (8 * vmax)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     for plane, hs, vs, _, _ in comps:
         if plane.shape != (mcus_y * 8 * vs, mcus_x * 8 * hs):
             raise ValueError("jpeg_encode: plane/sampling mismatch")
@@ -321,7 +353,7 @@ def _encode_components(w: int, h: int, comps, qtables) -> bytes:
     out = b"\xff\xd8"
     for qid, q in enumerate(qtables[: 2 if len(comps) > 1 else 1]):
         zz_q = q.ravel()[ZIGZAG]
-        out += seg(0xFFDB, bytes([qid]) + bytes(int(x) & 0xFF for x in zz_q))
+        out += seg(0xFFDB, bytes([qid]) + bytes(int(x) for x in zz_q))
     sof_comps = b"".join(
         bytes([ci + 1, (hs << 4) | vs, qid])
         for ci, (_, hs, vs, qid, _) in enumerate(comps)
@@ -498,10 +530,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError("only 1- or 3-component JPEGs supported")
     hmax = max(hs for hs, _ in samplings)
     vmax = max(vs for _, vs in samplings)
-    if h % (8 * vmax) or w % (8 * hmax):
-        raise ValueError("dimensions must be MCU multiples (no edge padding)")
-    mcus_x = w // (8 * hmax)
-    mcus_y = h // (8 * vmax)
+    # the scan always carries whole MCUs; non-multiple SOF dimensions mean
+    # the encoder padded the tail blocks and we crop after reconstruction
+    # (ITU-T T.81 A.2.4)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in sof_comps}
     comps = []  # (plane, hs, vs, q, dct, act) in SCAN order
     for cid, dcid, acid in scan_ids:
@@ -522,10 +555,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                         bx = (mx * hs + u) * 8
                         plane[by : by + 8, bx : bx + 8] = block
     if ncomp == 1:
-        return np.clip(np.round(comps[0][0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(comps[0][0][:h, :w]), 0, 255).astype(np.uint8)
     y = comps[0][0]
     cb, cr = comps[1][0], comps[2][0]
     if samplings[0] == (2, 2):  # 4:2:0 → upsample chroma by replication
         cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
         cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-    return ycbcr_to_rgb(y, cb, cr)
+    return ycbcr_to_rgb(y, cb, cr)[:h, :w]

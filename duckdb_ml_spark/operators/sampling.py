@@ -586,15 +586,26 @@ def per_source_uniform_k(
     engine (1) aggregates exact per-group counts (partial-agg shuffle of
     |groups| rows, no hashing), (2) scans once computing the hash but keeps
     only rows under the group's threshold (≈ margin·k survivors/group),
-    (3) ranks the tiny survivor set with one window and keeps rn ≤ k —
-    a bounded result (≤ groups·k ≤ {PSK_GROUP_GATE}·k rows) collected and
-    re-lifted, the engine's standard bounded-collect pattern. EXACTNESS is
-    not probabilistic: if any group yields fewer than min(k, n_g) survivors
-    (the k-th order statistic fell above the threshold — Chernoff-bounded
-    below e⁻¹⁰⁰ at margin 16) the margin escalates ×256 and finally to the
-    unfiltered scan, so the output is always exactly the true bottom-k.
+    (3) at margin 16 ranks the survivor set on the driver — a collect
+    bounded by ~margin·k·groups ≤ 16·k·{PSK_GROUP_GATE} rows in
+    expectation (ADVICE r13 corrected the old ≤ groups·k claim), which
+    saves the survivor-shuffle window stage the r13 probe measured at
+    ~0.5 s of stage overhead at 256×. EXACTNESS is not probabilistic: if
+    any group yields fewer than min(k, n_g) survivors (the k-th order
+    statistic fell above the threshold — Chernoff-bounded below e⁻¹⁰⁰ at
+    margin 16) the margin escalates to 4096 — ranked DISTRIBUTEDLY with a
+    window over the still-tiny survivor set, never collected (ADVICE r13:
+    4096·k·groups on the driver is an OOM hazard), sufficiency re-checked
+    from a ≤|groups|-row count agg — and finally to the unfiltered
+    window scan, so the output is always exactly the true bottom-k.
     At 100 TB this is the difference between sorting the corpus and
     scanning it once: rank work is O(survivors), not O(rows).
+
+    Cached size maps are VALIDATED against the data (ADVICE r13): the
+    threshold lookup keeps every row whose group is absent from the map
+    (coalesce to keep-all), so a group added after the cache was built
+    surfaces in the survivor set instead of silently vanishing; on
+    detection the cache entry is dropped and the function recomputes.
 
     Above PSK_GROUP_GATE distinct groups the result is no longer
     bounded-by-design and the two-pass keyed_global_rank form runs instead
@@ -605,6 +616,7 @@ def per_source_uniform_k(
     )
     skey = (cache_key, group_col, "psk_sizes")
     sizes = _PSK_SIZES_CACHE.get(skey) if cache_key is not None else None
+    from_cache = sizes is not None
     if sizes is None:
         # gate probe rides the same agg: limit(GATE+1) short-circuits the
         # collect if the group column is high-cardinality
@@ -661,7 +673,8 @@ def per_source_uniform_k(
             StructField("pos", LongType(), False),
         ]
     )
-    for margin in (16, 4096):
+
+    def _thresholded(margin: int) -> DataFrame:
         thr = F.create_map(
             *[
                 x
@@ -672,26 +685,62 @@ def per_source_uniform_k(
                 )
             ]
         )
-        cand = t.where(F.col("__h") <= thr[F.col(group_col)])
-        # survivors ≈ margin·k per group in expectation (Binomial, tightly
-        # concentrated under a uniform hash) — small enough to rank on the
-        # driver, which saves the survivor-shuffle window stage the r13
-        # probe measured at ~0.5 s of pure stage overhead at 256×
-        surv = cand.select(group_col, id_col, "__h").collect()
-        by_g: dict = {}
-        for r in surv:
-            by_g.setdefault(r[0], []).append((r[2], r[1]))
-        if all(len(by_g.get(g, ())) >= min(k, n) for g, n in sizes.items()):
-            got = []
-            for g in by_g:
-                for pos, (_, i) in enumerate(sorted(by_g[g])[:k], start=1):
-                    got.append((g, i, pos))
-            return spark.createDataFrame(got, out_schema)
+        # coalesce keep-all arm: a group ABSENT from the size map (stale
+        # cache — ADVICE r13) keeps every row instead of being silently
+        # dropped by the NULL map lookup, so staleness is DETECTABLE from
+        # the survivors; with fresh sizes the arm is dead code
+        return t.where(
+            F.col("__h") <= F.coalesce(thr[F.col(group_col)], F.lit(1 << 60))
+        )
+
+    # margin-16 pass: survivors ≈ 16·k per group in expectation (Binomial,
+    # tightly concentrated under a uniform hash) — small enough to rank on
+    # the driver, which saves the survivor-shuffle window stage the r13
+    # probe measured at ~0.5 s of pure stage overhead at 256×
+    surv = _thresholded(16).select(group_col, id_col, "__h").collect()
+    by_g: dict = {}
+    for r in surv:
+        by_g.setdefault(r[0], []).append((r[2], r[1]))
+    if from_cache and any(g not in sizes for g in by_g):
+        # the cached size map is stale — a group exists in the data that it
+        # has no threshold for. Drop the entry and recompute from scratch
+        # (one retry; the fresh map cannot be stale against the same scan).
+        _PSK_SIZES_CACHE.pop(skey, None)
+        return per_source_uniform_k(
+            df, k=k, id_col=id_col, group_col=group_col, salt=salt,
+            cache_key=cache_key,
+        )
+    if all(len(by_g.get(g, ())) >= min(k, n) for g, n in sizes.items()):
+        got = []
+        for g in by_g:
+            for pos, (_, i) in enumerate(sorted(by_g[g])[:k], start=1):
+                got.append((g, i, pos))
+        return spark.createDataFrame(got, out_schema)
+
+    # margin-4096 escalation (P < e⁻¹⁰⁰ per group that margin 16 missed the
+    # k-th order statistic): ~4096·k·groups expected survivors is a
+    # driver-OOM hazard (ADVICE r13), so this pass ranks DISTRIBUTEDLY —
+    # sufficiency from a ≤|groups|-row count agg, then one window over the
+    # survivor set (still ≪ the corpus)
+    from pyspark.sql import Window
+
+    cand = _thresholded(4096)
+    cnts = {
+        r[0]: r[1]
+        for r in cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if all(cnts.get(g, 0) >= min(k, n) for g, n in sizes.items()) and not any(
+        g not in sizes for g in cnts
+    ):
+        w = Window.partitionBy(group_col).orderBy("__h", id_col)
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(group_col, id_col, F.col("__rn").cast("bigint").alias("pos"))
+        )
     # margin 4096 still insufficient (P < e⁻¹⁰⁰⁰⁰ under a uniform hash, i.e.
     # an adversarial id→hash distribution): the exact distributed rank form
     # never collects more than the final top-k
-    from pyspark.sql import Window
-
     w = Window.partitionBy(group_col).orderBy("__h", id_col)
     return (
         t.withColumn("__rn", F.row_number().over(w))

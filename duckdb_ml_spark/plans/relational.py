@@ -1401,7 +1401,14 @@ def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact side only to VERIFY the band against ground truth.
     ev = load(spark, sf_dir, "events")
     dd = ev.groupBy("event_type", "user_id").agg(F.lit(1))
-    exact = F.count(F.lit(1))
+    # count(user_id), not count(*): on the deduped pair set a NULL user_id
+    # survives as its own row, and count(*) would tally it as a distinct
+    # user while the oracle's count(DISTINCT user_id) — and Spark's own
+    # approx_count_distinct — ignore NULLs (ADVICE r13). count(col) skips
+    # NULLs, and grouping the pair-dedup on event_type (not a pre-filter)
+    # keeps all-NULL event types in the output with exact_users = 0,
+    # matching the oracle's GROUP BY.
+    exact = F.count("user_id")
     approx = F.approx_count_distinct("user_id", 0.01)
     return dd.groupBy("event_type").agg(
         exact.alias("exact_users"),

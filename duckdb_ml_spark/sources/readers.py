@@ -477,7 +477,20 @@ def write_bucketed(
         if loc and _os.path.realpath(loc.removeprefix("file:")) == _os.path.realpath(
             out_dir
         ):
-            return
+            # the registered table points at this dir, but the CALLER's
+            # (key, n_buckets) must still match what the layout was written
+            # with — a same-session second call with different args would
+            # otherwise silently keep the old layout while the caller
+            # believes its requested one exists (ADVICE r13). Validate
+            # against the marker exactly like the re-register path does.
+            _m = _os.path.join(out_dir, "_LAYOUT_FILE_PER_BUCKET")
+            try:
+                _meta = _json.load(open(_m))
+            except (ValueError, OSError):
+                _meta = {}
+            if _meta.get("key") == key and _meta.get("n_buckets") == n_buckets:
+                return
+            # args disagree with the written layout: drop and rewrite below
         ss.sql(f"DROP TABLE IF EXISTS {name}")
     # layout marker: layouts written before the repartition fix hold
     # multi-file buckets (no sort guarantee) — never re-register those.

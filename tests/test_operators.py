@@ -1913,3 +1913,77 @@ def test_per_source_k_null_group_key(spark):
     assert sorted(by_g.keys(), key=str) == ["a", None] or set(by_g) == {"a", None}
     assert sorted(by_g["a"]) == [1, 2, 3, 4, 5]
     assert sorted(by_g[None]) == [1, 2, 3, 4, 5]
+
+
+def test_per_source_k_stale_size_cache_detected(spark, monkeypatch):
+    """ADVICE r13 (medium): a dataset reusing a cache_key that gains a NEW
+    group must NOT silently drop that group — the threshold branch's map
+    lookup would filter every row of a group absent from the cached size
+    map. The coalesce keep-all arm surfaces the group in the survivors and
+    the function recomputes, so the output covers every group in the data."""
+    import duckdb_ml_spark.plans.orderstats as orderstats
+    from duckdb_ml_spark.operators.sampling import (
+        _PSK_SIZES_CACHE,
+        per_source_uniform_k,
+    )
+
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)  # force threshold path
+    key = ("test-stale-psk",)
+    _PSK_SIZES_CACHE.pop((key, "source", "psk_sizes"), None)
+    df1 = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    out1 = per_source_uniform_k(df1, k=3, cache_key=key).collect()
+    assert {r.source for r in out1} == {"a", "b"}
+    assert (key, "source", "psk_sizes") in _PSK_SIZES_CACHE
+    # same cache_key, new group "c" (and more rows in a/b): the stale map
+    # has no threshold for "c"
+    df2 = spark.createDataFrame(
+        [(i, ("a", "b", "c")[i % 3]) for i in range(300)],
+        "doc_id bigint, source string",
+    )
+    out2 = per_source_uniform_k(df2, k=3, cache_key=key).collect()
+    by_g: dict = {}
+    for r in out2:
+        by_g.setdefault(r.source, []).append(r.pos)
+    assert set(by_g) == {"a", "b", "c"}
+    for g in ("a", "b", "c"):
+        assert sorted(by_g[g]) == [1, 2, 3]
+    # the cache entry was refreshed to the new data's sizes
+    refreshed = _PSK_SIZES_CACHE[(key, "source", "psk_sizes")]
+    assert set(refreshed) == {"a", "b", "c"}
+    _PSK_SIZES_CACHE.pop((key, "source", "psk_sizes"), None)
+
+
+def test_per_source_k_margin_escalation_distributed(spark, monkeypatch):
+    """ADVICE r13 (low): the margin-4096 escalation must rank distributedly
+    (no survivor collect). Force escalation by shrinking margin-16's
+    threshold via a poisoned size cache (sizes claim groups are much larger
+    than reality is impossible — instead sizes match but we shrink k's
+    threshold by inflating cached n), then require the exact bottom-k."""
+    import duckdb_ml_spark.plans.orderstats as orderstats
+    from duckdb_ml_spark.operators.sampling import (
+        _PSK_SIZES_CACHE,
+        per_source_uniform_k,
+    )
+
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)
+    key = ("test-escalate-psk",)
+    skey = (key, "source", "psk_sizes")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "doc_id bigint, source string",
+    )
+    # ground truth from the (cache-free) window form
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 10**9)
+    want = sorted(map(tuple, per_source_uniform_k(df, k=4).collect()))
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)
+    # inflated cached sizes (same groups, 1000× the rows): margin-16
+    # threshold becomes ~16·k/200000 — too tight, escalates to 4096, which
+    # at 4096·4/200000 of 2^60 still keeps enough with high probability;
+    # if not, the final window fallback still returns the exact answer
+    _PSK_SIZES_CACHE[skey] = {"a": 200_000, "b": 200_000}
+    got = sorted(map(tuple, per_source_uniform_k(df, k=4, cache_key=key).collect()))
+    assert got == want
+    _PSK_SIZES_CACHE.pop(skey, None)

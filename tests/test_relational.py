@@ -941,3 +941,28 @@ def test_ntile_from_rank_exhaustive_small_n(spark):
     }
     for rn, n in pairs:
         assert got[(rn, n)] == ref_ntile(rn, n), (rn, n)
+
+
+def test_distinct_users_approx_null_semantics(spark, tmp_path):
+    """ADVICE r13 (medium): the dedup-first rewrite must not count a NULL
+    user_id as a distinct user — count(user_id) on the deduped pair set
+    matches count(DISTINCT user_id) NULL semantics, and an all-NULL event
+    type stays in the output with exact_users = 0 (band trivially true)."""
+    import datetime
+
+    from duckdb_ml_spark.plans.relational import events_distinct_users_approx
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = (
+        [("click", i % 3, ts) for i in range(30)]          # users {0,1,2}
+        + [("click", None, ts)] * 5                         # NULLs: ignored
+        + [("ghost", None, ts)] * 4                         # all-NULL type
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id bigint, ts timestamp")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.exact_users, r.approx_within_5pct)
+        for r in events_distinct_users_approx(spark, str(tmp_path)).collect()
+    }
+    assert out["click"] == (3, True)
+    assert out["ghost"] == (0, True)

@@ -359,6 +359,15 @@ def test_write_bucketed_validates_marker_and_registration(spark, sf_dir, tmp_pat
     write_bucketed(orders, "t_val_b", "o_orderkey", out, n_buckets=8)
     assert spark.table("t_val_b").count() == orders.count()
 
+    # ADVICE r13: a SAME-SESSION second call (table still registered at the
+    # matching location) with different n_buckets must also rewrite — the
+    # old early-return skipped the marker validation entirely
+    write_bucketed(orders, "t_val_b", "o_orderkey", out, n_buckets=4)
+    assert json.load(open(marker)) == {"key": "o_orderkey", "n_buckets": 4}
+    detail = spark.sql("DESCRIBE FORMATTED t_val_b").collect()
+    nb = next(r[1] for r in detail if r[0] == "Num Buckets")
+    assert nb.strip() == "4"
+
     # (b) registered name now asked to live at a NEW location: the dangling
     # registration is dropped and the table re-registered at out2
     out2 = str(tmp_path / "lay2")
