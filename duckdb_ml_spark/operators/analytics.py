@@ -519,37 +519,64 @@ def active_streaks(orders: DataFrame) -> DataFrame:
     Output: (o_custkey, n_active_months, n_streaks, longest_streak) — all
     exact integers.
 
-    r13 SINGLE-EXCHANGE CODEGEN plan. History: the r8 form shuffled twice
-    (distinct on (customer, month), then a customer-only re-partition for
-    the dense_rank islands window — 2.2× vs DuckDB at 1024×); the r9 form
-    collapsed to one exchange (groupBy collect_set) but computed the streak
-    statistics with HOF array lambdas (zip_with/slice/aggregate), which run
-    INTERPRETED — the r13 floor probe measured them at 1.7 s of the 2.5 s
-    total at 256× on just 15k output rows (count() had hidden this: Catalyst
-    prunes the HOF columns under count, the harness's noop-write does not).
+    r14 EPOCH-BITMASK plan — the probe6 "collect_set distinct-machinery
+    floor" was beatable after all. History: r8 shuffled twice (distinct,
+    then a dense_rank window — 2.2× vs DuckDB at 1024×); r9/r13 collapsed
+    to one exchange via groupBy(cust).collect_set(month), but collect_set
+    is an ObjectAggregate: the hot map-side pass runs in
+    ObjectHashAggregateExec, OUTSIDE whole-stage codegen, maintaining a
+    per-group set object per input row — probe6 measured that agg at 8.47 s
+    of the 8.86 s total at 2048×, and the flat dedup-first variant (hash
+    distinct, still object-heavy downstream) only reached 8.65 s.
 
-    Shape: ONE groupBy(o_custkey) collects the DISTINCT month-index set per
-    customer (collect_set — partial-aggregated map-side, so the shuffle
-    carries ≤ |months| ints per customer; the month domain is calendar-
-    bounded, a decade is 120 ints). The streak statistics then come from
-    posexplode + two rollups that ride the agg's existing hash partitioning
-    (groupBy(cust, isl) and groupBy(cust) both cluster on a superset of
-    o_custkey → ZERO further exchanges, asserted in tests/test_analytics):
-    pos-in-sorted-distinct-array replaces dense_rank, so isl = month − pos
-    is the classic islands key, all in whole-stage codegen. The exploded
-    relation is |customers|·|months| ≤ 120 rows/customer — e.g. 1.8M rows
-    at 256× where the input is 384M.
+    Shape: the distinct-month SET of a calendar-bounded domain fits in a
+    few 64-bit words, so the heavy aggregation is groupBy(o_custkey,
+    mbase = mi − mi%64).agg(bit_or(1L << mi%64)) — a DECLARATIVE aggregate
+    whose state is ONE long: partial merge is a register OR inside
+    whole-stage codegen, and the shuffle carries ≤⌈span/64⌉ longs per
+    customer. A second, TINY exchange (|customers|·epochs rows) feeds the
+    cross-epoch prefix-count window (prev = months in earlier epochs);
+    month rows are then re-materialized in codegen — explode(sequence
+    0..63) filtered by shiftright(bits,i)&1, NO interpreted HOF lambdas
+    (the r13 measurement: interpreted lambdas cost ~1 µs/element;
+    posexplode/rollup in codegen is 10×cheaper) — with the sorted-distinct
+    rank pos = prev + bit_count(bits & ~(-1L << i)) replacing dense_rank,
+    so isl = month − pos is the classic islands key. The two rollups ride
+    the window's hash(o_custkey) clustering: zero further exchanges.
+
+    Measured (min-of-3 noop-write, local[32]): 256× 1.60→1.21 s; 2048×
+    10.04→4.68 s vs the collect_set form (~1.5× vs DuckDB's 3.1 s oracle —
+    the r13 verdict's 2.83× weak row, closed; bench/STREAKS_PROBE_r14.json).
 
     mi = year·12 + month directly on o_orderdate: the previous
     date_trunc('month') pre-pass changed nothing (year/month of the
     truncated month equal year/month of the date) and cost +0.44 s/384M
     rows in the r13 probe."""
     mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("int")
-    g = orders.select("o_custkey", mi.alias("mi")).groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("mi")).alias("ms")
+    t = orders.select("o_custkey", mi.alias("mi"))
+    b = t.groupBy(
+        "o_custkey", (F.col("mi") - F.col("mi") % 64).alias("mbase")
+    ).agg(F.expr("bit_or(shiftleft(1L, mi % 64))").alias("bits"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("mbase")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    e = g.select("o_custkey", F.posexplode("ms").alias("pos", "m"))
-    isl = e.select("o_custkey", (F.col("m") - F.col("pos")).alias("isl"))
+    b = b.withColumn("nb", F.expr("bit_count(bits)")).withColumn(
+        "prev", F.coalesce(F.sum("nb").over(w), F.lit(0))
+    )
+    e = b.select(
+        "o_custkey",
+        "mbase",
+        "bits",
+        "prev",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+    ).where(F.expr("(shiftright(bits, i) & 1) = 1"))
+    # rank of this month among the customer's distinct months: months in
+    # earlier epochs + set bits below i in this word (~(-1L << i) is the
+    # overflow-safe low-i mask; 1L << 63 − 1 would trip ANSI)
+    pos = F.expr("prev + bit_count(bits & ~shiftleft(-1L, i))")
+    isl = e.select("o_custkey", (F.col("mbase") + F.col("i") - pos).alias("isl"))
     per = isl.groupBy("o_custkey", "isl").agg(F.count(F.lit(1)).alias("len"))
     return per.groupBy("o_custkey").agg(
         F.sum("len").cast("bigint").alias("n_active_months"),

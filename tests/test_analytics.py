@@ -242,9 +242,12 @@ def test_sessionize_single_exchange(spark):
 
 
 def test_active_streaks_single_exchange_and_equivalent(spark):
-    """r9 (VERDICT r8 item 8): the sorted-month-array plan must (a) shuffle
-    exactly once and (b) agree row-for-row with the two-shuffle islands
-    form on real data."""
+    """r14 epoch-bitmask plan contract: (a) exactly TWO exchanges — the
+    big declarative bit_or agg on (cust, mbase) and the tiny cross-epoch
+    window repartition on cust (≤⌈span/64⌉ rows/customer); (b) the HEAVY
+    aggregation runs in whole-stage codegen (HashAggregate), never
+    ObjectHashAggregate (the collect_set form's object-per-row floor,
+    probe6/probe7); (c) row-identical to the two-shuffle islands form."""
     from duckdb_ml_spark.operators.analytics import (
         active_streaks,
         active_streaks_window,
@@ -254,7 +257,8 @@ def test_active_streaks_single_exchange_and_equivalent(spark):
     plan = (
         active_streaks(orders)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "ObjectHashAggregate" not in plan, plan
     a = {tuple(r) for r in active_streaks(orders).collect()}
     b = {tuple(r) for r in active_streaks_window(orders).collect()}
     assert a == b
