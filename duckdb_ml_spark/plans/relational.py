@@ -1043,11 +1043,11 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# revenue_by_nation layout gate (r12): above 1 GB of lineitem parquet the
-# oc join rides a bucketed+sorted orderkey layout of both narrow sides
-# (zero-exchange SMJ; bench/REVENUE_FLOOR_x256_r12.json). Module constant so
-# the forced-branch pytest can zero it.
-_REV_BUCKET_GATE_BYTES = 1 << 30
+# revenue_by_nation layout gate (r12 → r14): above 1 GB of lineitem parquet
+# the oc join rides a bucketed+sorted orderkey layout of both narrow sides
+# (zero-exchange SMJ; bench/REVENUE_FLOOR_x256_r12.json). Since r14 the
+# decision lives in the SHARED advisor (plans.scale.layout_advise /
+# _BUCKET_LAYOUT_GATE_BYTES — monkeypatch that to force the branch).
 
 
 @_register(
@@ -1161,8 +1161,20 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # config (session.py) accepts against the orderkey buckets. The one-time
     # bucketed write re-registers from disk across sessions (write_bucketed).
     # sf0.1 lineitem is ~70 MB — far below the gate; the driver-gate plan and
-    # hash are unchanged.
-    if _lsz >= _REV_BUCKET_GATE_BYTES:
+    # hash are unchanged. r14 (VERDICT r13 item 5): the decision routes
+    # through the shared layout advisor (same 1 GB gate + the hot-key check
+    # the inline form skipped — bucketing would NOT mitigate a hot orderkey,
+    # so 'salted' keeps the shuffle path); verdicts memoize per cache_key.
+    from duckdb_ml_spark.plans.scale import layout_advise
+
+    _advice = layout_advise(
+        li,
+        "l_orderkey",
+        workload="join",
+        table_bytes=_lsz,
+        cache_key=(sf_dir, "lineitem", "rowcount"),
+    )
+    if _advice["layout"] == "bucketed":
         from duckdb_ml_spark.sources.readers import bucketed_table, parquet_num_rows
 
         # row-aware bucket count (~4M li_asia rows per bucket; ASIA suppliers

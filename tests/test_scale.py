@@ -314,9 +314,11 @@ def test_revenue_bucketed_branch_equals_plain(spark, sf_dir, monkeypatch):
     subset-co-partitioning config must accept the orderkey buckets even after
     Catalyst folds the nation filter back into the join keys)."""
     import duckdb_ml_spark.plans.relational as rel
+    import duckdb_ml_spark.plans.scale as scale
 
     plain = {tuple(r) for r in rel.revenue_by_nation(spark, sf_dir).collect()}
-    monkeypatch.setattr(rel, "_REV_BUCKET_GATE_BYTES", 0)
+    # r14: the gate lives in the shared advisor now (layout_advise)
+    monkeypatch.setattr(scale, "_BUCKET_LAYOUT_GATE_BYTES", 0)
     out = rel.revenue_by_nation(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # no exchange may carry the orderkey (the join must be bucket-aligned);
