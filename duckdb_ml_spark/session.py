@@ -131,6 +131,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bar: its carriage-return repaints interleave
+        # with stdout when a harness captures both streams, which corrupted
+        # the one-line JSON contract bench.py prints (BENCH_r02..r13 all
+        # carry parsed:null for exactly this reason; r01 — before the suite
+        # grew long enough to overlap a repaint — parsed fine).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
 

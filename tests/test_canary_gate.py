@@ -34,3 +34,30 @@ def test_retired_canaries_not_registered():
     names = set(entrymod.queries())
     assert "canary_events_ts_sum" not in names
     assert "canary_null_bool" not in names
+
+
+def test_plan_cache_resets_on_session_change(spark):
+    """VERDICT r13 nit: the queries() plan cache keyed on id(spark) must not
+    accumulate entries for dead sessions — a new session id resets it."""
+    import __spark_entry__ as entrymod
+
+    entrymod._PLAN_CACHE.clear()
+    entrymod._PLAN_CACHE_SESSION[0] = None
+    qs = entrymod.queries()
+    qs["range_ids"](spark, "/root/testdata/sf0.001")
+    n1 = len(entrymod._PLAN_CACHE)
+    assert n1 >= 1 and entrymod._PLAN_CACHE_SESSION[0] == id(spark)
+
+    class _Fake:  # a different session identity; builder never executes it
+        pass
+
+    fake = _Fake()
+    try:
+        qs["range_ids"](fake, "/root/testdata/sf0.001")
+    except Exception:
+        pass  # the builder will choke on the fake session — irrelevant here
+    assert entrymod._PLAN_CACHE_SESSION[0] == id(fake)
+    # the real-session entries are GONE (no cross-session growth)
+    assert all(k[0] == id(fake) for k in entrymod._PLAN_CACHE)
+    entrymod._PLAN_CACHE.clear()
+    entrymod._PLAN_CACHE_SESSION[0] = None
