@@ -451,3 +451,96 @@ def test_real_codec_color_jpeg_through_decode_media(spark):
         / np.float32(255.0)
     ).astype(np.float32)
     assert np.array_equal(feats, expected)
+
+
+def test_wav_g711_matches_audioop_reference():
+    """operators/wav.py G.711: expansion AND compression byte-identical to
+    the CPython audioop reference over the full domain (µ-law both ways,
+    A-law expand) — the exactness the mm_decode_mulaw oracle rests on."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        audioop = pytest.importorskip("audioop")
+    from duckdb_ml_spark.operators.wav import (
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    codes = bytes(range(256))
+    ref = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2").astype(np.int64)
+    assert np.array_equal(mulaw_expand(np.frombuffer(codes, dtype=np.uint8)), ref)
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2").astype(np.int64)
+    assert np.array_equal(alaw_expand(np.frombuffer(codes, dtype=np.uint8)), ref_a)
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    ref_c = np.frombuffer(audioop.lin2ulaw(x.astype("<i2").tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(mulaw_compress(x), ref_c)
+
+
+def test_wav_container_roundtrips_all_formats():
+    """RIFF walk + every supported payload format roundtrips within its
+    codec's quantization bound; unsupported shapes raise."""
+    import numpy as np
+    import pytest
+
+    from duckdb_ml_spark.operators.wav import wav_build, wav_decode, wav_encode
+
+    s = (np.sin(np.linspace(0, 20, 500)) * 20000).astype(np.int64)
+    for fmt, tol in (
+        ("pcm16", 0), ("pcm8", 256), ("float32", 0),
+        ("mulaw", 600), ("alaw", 600), ("ima_adpcm", 4000),
+    ):
+        rate, ch, out = wav_decode(wav_encode(s, 8000, fmt))
+        assert (rate, ch) == (8000, 1)
+        o = out[: len(s), 0]
+        if fmt == "float32":
+            assert np.allclose(o, s.astype(np.float64))
+        else:
+            assert len(out) >= len(s)
+            assert int(np.abs(o - s).max()) <= tol, fmt
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"\x89PNG\r\n\x1a\nnope")
+    with pytest.raises(ValueError, match="format tag"):
+        wav_decode(wav_build(b"\x00\x00", 2, 1, 8000, 4))  # MS-ADPCM
+    with pytest.raises(ValueError, match="mono"):
+        wav_decode(wav_build(b"\x00" * 16, 0x11, 2, 8000, 4, block_align=8))
+    # WAVE_FORMAT_EXTENSIBLE unwraps to its sub-format (PCM16 here)
+    import struct
+
+    pcm = s.astype("<i2").tobytes()
+    # base fmt (16) + cbSize 22 + valid-bits + channel mask + GUID whose
+    # first two bytes are the real sub-format tag (PCM = 1)
+    fmt_ext = (
+        struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 0)
+        + struct.pack("<H", 1)
+        + b"\x00" * 14
+    )
+    raw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_ext) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, out = wav_decode(raw)
+    assert np.array_equal(out[:, 0], s)
+
+
+def test_decode_media_riff_branch(spark):
+    """The real decode seam's audio arm: a WAV payload routes through
+    wav_decode and yields the 16-bin mean-pooled features."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.multimodal import decode_media
+    from duckdb_ml_spark.operators.wav import wav_encode
+
+    s = np.full(160, 16384, dtype=np.int64)  # constant half-scale signal
+    payload = wav_encode(s, 8000, "pcm16")
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id bigint, media binary")
+    row = decode_media(df, fake=None).collect()[0]
+    feats = np.array(row.features)
+    assert feats.shape == (16,)
+    assert np.allclose(feats, 0.5, atol=1e-4)
