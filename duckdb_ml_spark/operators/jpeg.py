@@ -24,7 +24,7 @@ sequential JPEG (ITU-T T.81):
   uint8 (h, w) for 1 component or (h, w, 3) RGB for 3.
 
 Deliberately NOT implemented (raise ValueError, never mis-decode):
-progressive (SOF2), arithmetic coding, restart intervals, 12-bit precision,
+progressive (SOF2), arithmetic coding, 12-bit precision,
 sampling layouts other than 1×1 per component or 2×2-luma 4:2:0, quant
 tables outside 1..255, AC coefficients past Annex K category 10.
 
@@ -175,6 +175,11 @@ class _BitWriter:
         if self.n:
             self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
 
+    def marker(self, m: int) -> None:
+        """Emit a bare marker (RSTn) — byte-aligned, never stuffed."""
+        self.flush()
+        self.out += bytes((0xFF, m))
+
 
 def _category(v: int) -> int:
     return int(abs(v)).bit_length()
@@ -260,6 +265,7 @@ def jpeg_encode(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int | None = None,
 ) -> bytes:
     """uint8 grayscale (h, w) or RGB (h, w, 3) → baseline JPEG bytes.
 
@@ -277,6 +283,7 @@ def jpeg_encode(
             h,
             [(_pad_to_mcu(arr, 8).astype(np.float64) - 128.0, 1, 1, 0, 0)],
             [STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)],
+            restart_interval,
         )
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("jpeg_encode: (h, w) grayscale or (h, w, 3) RGB only")
@@ -304,14 +311,17 @@ def jpeg_encode(
         ]
     else:
         raise ValueError("jpeg_encode: subsampling must be '444' or '420'")
-    return _encode_components(w, h, comps, [qy, qc])
+    return _encode_components(w, h, comps, [qy, qc], restart_interval)
 
 
-def _encode_components(w: int, h: int, comps, qtables) -> bytes:
+def _encode_components(
+    w: int, h: int, comps, qtables, restart_interval: int | None = None
+) -> bytes:
     """comps: [(level-shifted plane, hs, vs, quant_id, huff_id)] — planes
     already edge-padded to full MCUs; (w, h) are the TRUE image dimensions
     written to SOF0 (ITU-T T.81 A.2.4: the scan carries ceil-MCU data, the
-    decoder crops)."""
+    decoder crops). restart_interval (DRI): RSTn every N MCUs, DC
+    predictors reset — what every camera emits for error resilience."""
     for q in qtables:
         if int(q.min()) < 1 or int(q.max()) > 255:
             # 8-bit DQT entries; & 0xFF truncation would silently
@@ -332,8 +342,14 @@ def _encode_components(w: int, h: int, comps, qtables) -> bytes:
     ]
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
+    mcu_idx = 0
+    n_mcus = mcus_x * mcus_y
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.marker(0xD0 + ((mcu_idx // restart_interval - 1) % 8))
+                prev_dc = [0] * len(comps)
+            mcu_idx += 1
             for ci, (plane, hs, vs, qid, hid) in enumerate(comps):
                 q = qtables[qid]
                 dc_codes, ac_codes = huffs[hid]
@@ -372,6 +388,8 @@ def _encode_components(w: int, h: int, comps, qtables) -> bytes:
         bytes([ci + 1, (hid << 4) | hid])
         for ci, (_, _, _, _, hid) in enumerate(comps)
     )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
     return out + bytes(bw.out) + b"\xff\xd9"
 
@@ -403,6 +421,17 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Byte-align (drop entropy pad bits) and consume one RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("jpeg: expected RST marker at restart boundary")
+        self.pos += 2
 
 
 def _extend(v: int, cat: int) -> int:
@@ -463,6 +492,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
+    restart_interval = 0
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → decoder table
     h = w = 0
@@ -503,8 +533,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 o += 17 + nv
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for c in range(ns):
@@ -543,8 +573,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         comps.append((plane, hs, vs, quant[tq], huff[(0, dcid)], huff[(1, acid)]))
     br = _BitReader(data, pos)
     prev_dc = [0] * ncomp
+    mcu_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart()
+                prev_dc = [0] * ncomp
+            mcu_idx += 1
             for ci, (plane, hs, vs, q, dct, act) in enumerate(comps):
                 for v in range(vs):
                     for u in range(hs):

@@ -544,3 +544,39 @@ def test_decode_media_riff_branch(spark):
     feats = np.array(row.features)
     assert feats.shape == (16,)
     assert np.allclose(feats, 0.5, atol=1e-4)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support (r14): restart markers every N MCUs with DC
+    predictor resets must roundtrip identically to the no-DRI stream, for
+    grayscale and 4:2:0 color, including a non-divisible MCU count; when
+    PIL is present its libjpeg must agree byte-for-byte on the constant-
+    block exact case."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.jpeg import jpeg_decode, jpeg_encode
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    rng = np.random.RandomState(11)
+    v = rng.randint(0, 256, (5, 7), dtype=np.uint8)  # 35 MCUs, R=4 ∤ 35
+    img = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+    plain = jpeg_encode(img, quant=ones)
+    dri = jpeg_encode(img, quant=ones, restart_interval=4)
+    assert dri != plain and b"\xff\xdd" in dri  # DRI segment present
+    assert np.array_equal(jpeg_decode(dri), img)  # constant blocks: exact
+    # color 4:2:0, generic pixels, R=3: same tolerance as the no-DRI path
+    c = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    out_plain = jpeg_decode(jpeg_encode(c, quant=ones, subsampling="420"))
+    out_dri = jpeg_decode(
+        jpeg_encode(c, quant=ones, subsampling="420", restart_interval=3)
+    )
+    assert np.array_equal(out_dri, out_plain)
+    try:
+        import io
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(dri)))
+        assert np.array_equal(arr, img)
+    except ImportError:
+        pass
