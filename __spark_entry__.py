@@ -15,110 +15,90 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-13 window (VERDICT r12 item 1) — CARRYOVER DRAIN: CORRECTNESS_r12 was
-# 45/45 hash-green + 4 rows-only-by-design, so every r13 slot goes to the
-# declared rotation queue from r12's _WINDOW_CARRYOVER, in its committed
-# order (oldest last-green first per the ledger: the r9 dedup/text/pipeline
-# block, then the r10/r11 sim/stream rows, then the rows re-staled by r12
-# module commits — sources/sinks/bpe/scale). Taking the queue verbatim keeps
-# the rotation auditable: r13 window == r12 carryover[0:50].
-# The 4 rows that do not fit (the sink_* quartet, youngest in the queue)
-# carry to r14, together with any rows re-staled by r13 commits — the
-# carryover list below grows during the round as modules are touched;
-# tests/test_check_ledger.py asserts stale ⊆ window ∪ carryover at HEAD.
-# The 5 env-drift canaries are no longer parked here: they are modeled as
-# EXEMPT_ENV_SENTINELS in tools/check_ledger.py (ADVICE r12), so a real
-# canary.py plan edit WILL stale them into the rotation again.
+# Round-14 window (VERDICT r13 item 1) — CARRYOVER DRAIN, risk-ordered:
+# (1) the three never-driver-checked rows (mm_decode_jpeg,
+#     layout_advised_scan from r13; mm_decode_mulaw is NEW this round);
+# (2) the three rows whose PLANS materially changed in r14 and whose r13
+#     green therefore certifies the wrong plan: dedup_editdist_verify
+#     (memoized prefix checkpoint), orders_active_streaks (epoch-bitmask
+#     agg), skew_salted_join (layout_advise routing);
+# (3) the sink_* quartet the r13 window could not fit;
+# (4) the remaining queue oldest-last-green first (r9 → r10 → r11), closing
+#     with the r12 rows whose modules r14 touched most directly
+#     (events_distinct_users_approx NULL fix, revenue_by_nation advisor
+#     routing, the scale.py layouts, the dedup family).
+# Rows that do not fit stay in _WINDOW_CARRYOVER (below), which also
+# collects rows re-staled by later r14 commits; tests/test_check_ledger.py
+# asserts stale ⊆ window ∪ carryover at HEAD. The 5 env-drift canaries are
+# modeled as EXEMPT_ENV_SENTINELS in tools/check_ledger.py (ADVICE r12).
 _CHECK_PRIORITY = (
-    "source_parquet_roundtrip",
-    "source_xml_roundtrip",
-    "cube_status_priority",
+    "mm_decode_jpeg",
+    "layout_advised_scan",
+    "mm_decode_mulaw",
     "dedup_editdist_verify",
-    "dedup_span_fraction",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_keep_docs",
-    "dedup_incremental",
-    "dedup_keep_best",
-    "dedup_embedding_lsh_pairs",
-    "text_unigram_logprob",
-    "text_repetition_signals",
-    "text_source_quality",
-    "text_keywords_topk",
-    "text_token_stats",
-    "text_quality_score",
     "orders_active_streaks",
-    "pipeline_curate",
-    "pipeline_containment",
-    "decontaminate_train",
-    "pack_sequences",
-    "pack_sequences_bpe",
-    "pack_greedy_nosplit",
-    "pack_manifest_spans",
     "skew_salted_join",
-    "dq_key_skew",
-    "stream_topk_types",
-    "dedup_clusters_distributed",
-    "sim_tfidf_rescore",
-    "sim_hybrid_rrf",
-    "sim_knn_join",
-    "sim_topk_ivf",
-    "sim_topk_ivf_index",
-    "text_countmin_freq",
-    "text_chunk_stride",
-    "stream_countmin_users",
-    "orders_winsorized_stats",
-    "price_quantiles_approx_band",
-    "skew_salted_agg",
-    "text_bpe_real",
-    "text_bpe_counts_budget",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_text_roundtrip",
-    "source_partitioned_pruned",
-    "source_schema_evolution",
-    "source_bucketed_join",
-)
-
-# Rotation queue for r14+: rows that did not fit the 50-slot r13 window,
-# plus rows re-staled by r13 commits to their registering modules (appended
-# during the round as changes land; every append is green in the local gate
-# replica at HEAD before commit). tests/test_check_ledger.py asserts
-# stale ⊆ window ∪ carryover, so this list is a genuine scheduling queue —
-# env-drift canaries live in tools/check_ledger.py:EXEMPT_ENV_SENTINELS now.
-_WINDOW_CARRYOVER = (
     "sink_compaction",
     "sink_merge_upsert",
     "sink_token_shards",
     "sink_token_shards_capped",
-    # re-staled by r13 commits (all green in the local gate replica at HEAD
-    # when appended): bpe.py oracle-truncation fix, scale.py eviction fix,
-    # analytics.py streaks rewrite, sampling.py bottom-k/curriculum rewrites
-    "bpe_merge_table",
-    "layout_zorder_scan",
-    "layout_bloom_scan",
-    "events_funnel",
-    "events_retention",
-    "events_gap_fill",
-    "events_anomaly_robust",
-    "events_sessionize",
-    "events_scd2_intervals",
-    "sample_per_source_k",
-    "sample_curriculum",
+    "mm_audio_energy",
+    "mm_decode_png",
     "sample_group_split",
-    "sample_epoch_shuffle",
-    "sample_mixture_resample",
-    "sample_token_budget",
-    "sample_length_buckets",
+    "sample_curriculum",
     "sample_importance",
-    "sample_temperature",
+    "sample_length_buckets",
+    "sample_per_source_k",
+    "sample_token_budget",
+    "dedup_minhash_signatures",
+    "dedup_semantic_sampled",
+    "emb_contrastive_pairs",
+    "events_anomaly_robust",
+    "events_funnel",
+    "events_gap_fill",
+    "events_retention",
+    "events_scd2_intervals",
+    "events_sessionize",
+    "mm_decode_features",
+    "mm_image_resize",
+    "mm_metadata",
+    "mm_sample_frames",
+    "mm_type_stats",
+    "sample_epoch_shuffle",
     "sample_split_train_test",
     "sample_stratified",
-    # re-staled by the late-r13 commits (relational.py HLL band rigor,
-    # streaming avg-from-rounded-sum, jpeg color in multimodal.py) — every
-    # row green in the full local gate at sf0.001/sf0.01/sf0.1 at HEAD
+    "sample_temperature",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "stream_scd2_intervals",
+    "stream_sessions",
+    "stream_sliding_2h",
+    "stream_tumbling_hourly",
+    "stream_user_state",
+    "events_distinct_users_approx",
+    "revenue_by_nation",
+    "layout_zorder_scan",
+    "layout_bloom_scan",
+    "dedup_exact_keys",
+    "dedup_semantic",
+    "dedup_simhash",
+)
+
+# Rotation queue for r15+: rows that did not fit the 50-slot r14 window,
+# plus rows re-staled by r14 commits to their registering modules (appended
+# during the round as changes land; every append is green in the local gate
+# replica at HEAD before commit). tests/test_check_ledger.py asserts
+# stale ⊆ window ∪ carryover, so this list is a genuine scheduling queue —
+# env-drift canaries live in tools/check_ledger.py:EXEMPT_ENV_SENTINELS.
+# Ordering: oldest-last-green first (r12 dedup/bpe rows re-staled by the
+# r14 dedup commit, then the r12 relational block re-staled by the r14
+# HLL/advisor commits, then the r13-green rows re-staled by the r14
+# readers/scale/relational commits).
+_WINDOW_CARRYOVER = (
+    "dedup_embedding_lsh_sigs",
+    "dedup_embedding_pairs",
+    "sample_mixture_resample",
+    "bpe_merge_table",
     "scan_filter_project",
     "pricing_summary",
     "scaling_params",
@@ -143,30 +123,32 @@ _WINDOW_CARRYOVER = (
     "grouping_sets_customers",
     "orders_top_global",
     "customer_order_gaps",
-    "revenue_by_nation",
     "orders_rank_metrics",
     "unpivot_part_measures",
     "customers_above_nation_avg",
-    "events_distinct_users_approx",
-    "stream_scd2_intervals",
-    "stream_interval_join",
-    "stream_dedup_events",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h",
-    "stream_sessions",
-    "stream_user_state",
-    # NEW in r13 (never driver-checked): the layout-advisor probe query
-    "layout_advised_scan",
-    # NEW in r13: real-JPEG decode row + multimodal rows re-staled by the
-    # decode_media JPEG-dispatch commit (all green in the local replica)
-    "mm_decode_jpeg",
-    "mm_metadata",
-    "mm_type_stats",
-    "mm_decode_features",
-    "mm_sample_frames",
-    "mm_image_resize",
-    "mm_audio_energy",
-    "mm_decode_png",
+    "cube_status_priority",
+    "dedup_clusters",
+    "dedup_clusters_distributed",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_keep_docs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_span_fraction",
+    "dq_key_skew",
+    "orders_winsorized_stats",
+    "price_quantiles_approx_band",
+    "skew_salted_agg",
+    "source_bucketed_join",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_parquet_roundtrip",
+    "source_partitioned_pruned",
+    "source_schema_evolution",
+    "source_text_roundtrip",
+    "source_xml_roundtrip",
 )
 
 
