@@ -23,8 +23,18 @@ sequential JPEG (ITU-T T.81):
   IDCT, chroma upsample (sample replication), JFIF YCbCr→RGB. Returns
   uint8 (h, w) for 1 component or (h, w, 3) RGB for 3.
 
+r14 adds PROGRESSIVE (SOF2) support: `jpeg_decode` handles full spectral
+selection + successive approximation (multi-scan coefficient accumulation,
+EOBn runs, AC refinement correction bits, DRI restarts, dummy-block
+interleaved vs true-grid non-interleaved scans per T.81 A.2.2/Annex G), and
+`jpeg_encode_progressive` emits a libjpeg-style scan script (DC Al=1 →
+per-component AC 1..63 at Al=1 → DC/AC refinements to Al=0; EOB runs capped
+at 1 so the Annex K tables cover every symbol). A progressive stream decodes
+bit-identically to the baseline stream built from the same coefficients —
+pinned in tests across gray/4:4:4/4:2:0 and padded dimensions.
+
 Deliberately NOT implemented (raise ValueError, never mis-decode):
-progressive (SOF2), arithmetic coding, 12-bit precision,
+arithmetic coding, 12-bit precision, hierarchical (SOF5+),
 sampling layouts other than 1×1 per component or 2×2-luma 4:2:0, quant
 tables outside 1..255, AC coefficients past Annex K category 10.
 
@@ -522,8 +532,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, sampl, tq = body[6 + 3 * c : 9 + 3 * c]
                 sof_comps.append((cid, sampl >> 4, sampl & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline SOF0 JPEGs supported")
+        elif marker == 0xC2:  # progressive: its own multi-scan decoder
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 / progressive SOF2 supported")
         elif marker == 0xC4:  # DHT (may hold several tables)
             o = 0
             while o < len(body):
@@ -597,3 +609,520 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
         cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
     return ycbcr_to_rgb(y, cb, cr)[:h, :w]
+
+
+# --- progressive JPEG (SOF2) ----------------------------------------------------
+#
+# T.81 Annex G: coefficients arrive over MULTIPLE scans — spectral selection
+# (each AC scan covers a zigzag band [Ss..Se] of ONE component; DC scans may
+# interleave components) and successive approximation (the first scan of a
+# band delivers coef >> Al, later scans one refinement bit each, Ah → Al).
+# The decoder accumulates dequantization inputs per (component, block) and
+# runs the IDCT once after the last scan. The encoder below emits a standard
+# libjpeg-style scan script but caps EOB runs at 1 (plain EOB0) so the
+# Annex K Huffman tables cover every symbol — no custom table construction.
+
+
+def _scan_end(data: bytes, pos: int) -> int:
+    """Index just past the entropy-coded segment starting at pos (stops at
+    any marker that is not stuffing or RSTn)."""
+    i = pos
+    n = len(data)
+    while i < n - 1:
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _refine_nonzero(br: _BitReader, zz: np.ndarray, ks, p1: int) -> None:
+    """Append one correction bit to each nonzero coefficient in ks order."""
+    for j in ks:
+        if zz[j]:
+            if br.bit():
+                if zz[j] > 0 and not (zz[j] & p1):
+                    zz[j] += p1
+                elif zz[j] < 0 and not (-zz[j] & p1):
+                    zz[j] -= p1
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = 0
+    sof_comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # cid → (by, bx, 64) zigzag-order ints
+    dims: dict[int, tuple[int, int]] = {}  # MCU-padded grid (interleaved scans)
+    true_dims: dict[int, tuple[int, int]] = {}  # ceil grid (non-interleaved)
+    eob_state = {"run": 0}
+
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = np.frombuffer(body[o + 1 : o + 65], dtype=np.uint8)
+                quant[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC2:
+            _, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            for c in range(ncomp):
+                cid, sampl, tq = body[6 + 3 * c : 9 + 3 * c]
+                sof_comps.append((cid, sampl >> 4, sampl & 0xF, tq))
+            hmax = max(c[1] for c in sof_comps)
+            vmax = max(c[2] for c in sof_comps)
+            mx_ = -(-w // (8 * hmax))
+            my_ = -(-h // (8 * vmax))
+            for cid, hs, vs, _ in sof_comps:
+                cw = -(-(w * hs) // hmax)
+                ch = -(-(h * vs) // vmax)
+                true_dims[cid] = (-(-ch // 8), -(-cw // 8))
+                dims[cid] = (my_ * vs, mx_ * hs)  # incl. dummy blocks
+                coefs[cid] = np.zeros(
+                    (my_ * vs, mx_ * hs, 64), dtype=np.int64
+                )
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _huff_decoder(bits, list(body[o + 17 : o + 17 + nv]))
+                o += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            scan_ids = []
+            ns = body[0]
+            for c in range(ns):
+                scan_ids.append((body[1 + 2 * c], body[2 + 2 * c]))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            dstart = pos + ln
+            dend = _scan_end(data, dstart)
+            _progressive_scan(
+                data, dstart, scan_ids, ss, se, ah, al,
+                sof_comps, coefs, dims, true_dims, huff, h, w,
+                restart_interval, eob_state,
+            )
+            pos = dend
+            continue
+        pos += ln
+    if not sof_comps or h == 0:
+        raise ValueError("progressive: no SOF2 header")
+
+    # dequant + IDCT per component, then the baseline path's color handling
+    planes = []
+    for cid, hs, vs, tq in sof_comps:
+        by, bx = dims[cid]
+        q = quant[tq].ravel()
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        zz_all = coefs[cid]
+        for yb in range(by):
+            for xb in range(bx):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = zz_all[yb, xb] * q[ZIGZAG]
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    _D.T @ coef.reshape(8, 8) @ _D + 128.0
+                )
+        planes.append(plane)
+    if len(sof_comps) == 1:
+        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+    if len(sof_comps) != 3:
+        raise ValueError("progressive: 1- or 3-component only")
+    samplings = [(hs, vs) for _, hs, vs, _ in sof_comps]
+    y, cb, cr = planes
+    if samplings == [(2, 2), (1, 1), (1, 1)]:
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    elif samplings != [(1, 1), (1, 1), (1, 1)]:
+        raise ValueError("progressive: only 4:4:4 or 4:2:0 (2×2 luma)")
+    return ycbcr_to_rgb(y[: cb.shape[0], : cb.shape[1]], cb, cr)[:h, :w]
+
+
+def _progressive_scan(
+    data, dstart, scan_ids, ss, se, ah, al,
+    sof_comps, coefs, dims, true_dims, huff, h, w, restart_interval,
+    eob_state,
+):
+    br = _BitReader(data, dstart)
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in sof_comps}
+    hmax = max(c[1] for c in sof_comps)
+    vmax = max(c[2] for c in sof_comps)
+    eob_state["run"] = 0  # EOB runs never cross a scan
+
+    if ss == 0:  # DC scan (interleaved over scan_ids, MCU order)
+        if se != 0:
+            raise ValueError("progressive: DC scan with Se != 0")
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        if len(scan_ids) == 1:
+            # non-interleaved DC: block raster over the component's TRUE
+            # grid (no dummy blocks in non-interleaved scans, T.81 A.2.2)
+            cid = scan_ids[0][0]
+            hs, vs, _ = by_id[cid]
+            mcus_y, mcus_x = true_dims[cid]
+            units = [(cid, 1, 1, huff.get((0, scan_ids[0][1] >> 4)))]
+        else:
+            units = [
+                (cid, by_id[cid][0], by_id[cid][1], huff.get((0, ids >> 4)))
+                for cid, ids in scan_ids
+            ]
+        prev_dc = {cid: 0 for cid, *_ in units}
+        mcu_idx = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    br.restart()
+                    prev_dc = {cid: 0 for cid in prev_dc}
+                mcu_idx += 1
+                for cid, hs, vs, dct in units:
+                    zz_all = coefs[cid]
+                    for v in range(vs):
+                        for u in range(hs):
+                            yb, xb = my * vs + v, mx * hs + u
+                            # interleaved scans CODE dummy blocks too —
+                            # skipping them would desync the bit stream
+                            if ah == 0:  # first DC scan
+                                cat = _read_huff(br, dct)
+                                diff = _extend(br.bits(cat), cat) if cat else 0
+                                prev_dc[cid] += diff
+                                zz_all[yb, xb, 0] = prev_dc[cid] << al
+                            else:  # DC refinement: one raw bit
+                                if br.bit():
+                                    zz_all[yb, xb, 0] |= 1 << al
+        return
+
+    # AC scan: exactly one component, block raster order
+    if len(scan_ids) != 1:
+        raise ValueError("progressive: AC scan must be non-interleaved")
+    cid, ids = scan_ids[0]
+    act = huff.get((1, ids & 0xF))
+    zz_all = coefs[cid]
+    cby, cbx = true_dims[cid]
+    p1, m1 = 1 << al, -(1 << al)
+    blk_idx = 0
+    for yb in range(cby):
+        for xb in range(cbx):
+            if restart_interval and blk_idx and blk_idx % restart_interval == 0:
+                br.restart()
+                eob_state["run"] = 0
+            blk_idx += 1
+            zz = zz_all[yb, xb]
+            if ah == 0:  # first scan of this band
+                if eob_state["run"] > 0:
+                    eob_state["run"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(br, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eob_state["run"] = (1 << r) - 1
+                        if r:
+                            eob_state["run"] += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive: AC run past band end")
+                    zz[k] = _extend(br.bits(s), s) << al
+                    k += 1
+            else:  # refinement scan
+                if eob_state["run"] > 0:
+                    eob_state["run"] -= 1
+                    _refine_nonzero(br, zz, range(ss, se + 1), p1)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(br, act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0 and r != 15:  # EOBn
+                        eob_state["run"] = (1 << r) - 1
+                        if r:
+                            eob_state["run"] += br.bits(r)
+                        _refine_nonzero(br, zz, range(k, se + 1), p1)
+                        break
+                    if s == 0:  # ZRL: pass 16 zero-HISTORY positions
+                        newval = 0
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "progressive: refinement magnitude must be 1"
+                            )
+                        newval = p1 if br.bit() else m1
+                    # advance r zero-history positions (refining nonzero
+                    # coefficients on the way), then place newval
+                    while k <= se:
+                        if zz[k]:
+                            if br.bit():
+                                if zz[k] > 0 and not (zz[k] & p1):
+                                    zz[k] += p1
+                                elif zz[k] < 0 and not (-zz[k] & p1):
+                                    zz[k] -= p1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+
+
+def _component_zz_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shifted padded plane → (by, bx, 64) quantized zigzag coefs."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((by, bx, 64), dtype=np.int64)
+    for yb in range(by):
+        for xb in range(bx):
+            block = plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+            coef = _D @ block @ _D.T
+            out[yb, xb] = np.round(coef / q).astype(np.int64).ravel()[ZIGZAG]
+    return out
+
+
+def _emit_ac_first(bw, zz, ss, se, al, ac_codes) -> None:
+    """First scan of an AC band (Ah=0): point-transformed values, zero runs,
+    EOB runs capped at 1 (plain EOB0) so Annex K covers every symbol."""
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = _category(v)
+        if s > 10:
+            raise ValueError("jpeg: AC coefficient past Annex K category 10")
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, ln = ac_codes[0x00]  # EOB0
+        bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, zz, ss, se, ah, al, ac_codes) -> None:
+    """Refinement scan of an AC band (Ah=Al+1): mirrors the decoder's
+    positional walk — newly-nonzero coefficients via (r<<4)|1 + sign bit,
+    zero-history zeros as the run length, nonzero-history coefficients as
+    correction bits flushed in encounter order after each symbol."""
+    queue: list = []  # events since last emit: "z" or ("b", bit)
+
+    def flush_bits(events):
+        for ev in events:
+            if ev != "z":
+                bw.write(ev[1], 1)
+
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        mag = abs(c)
+        v = mag >> al
+        hist = mag >> ah
+        if hist != 0:
+            queue.append(("b", v & 1))
+        elif v == 0:
+            queue.append("z")
+        else:  # newly nonzero at this precision (|v| is necessarily 1)
+            while sum(1 for ev in queue if ev == "z") >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL covers 16 zero-history slots
+                bw.write(code, ln)
+                z_seen = 0
+                window = []
+                while z_seen < 16:
+                    ev = queue.pop(0)
+                    if ev == "z":
+                        z_seen += 1
+                    else:
+                        window.append(ev)
+                flush_bits(window)
+            r = sum(1 for ev in queue if ev == "z")
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if c > 0 else 0, 1)  # sign of the new ±1<<Al
+            flush_bits(queue)
+            queue = []
+    if queue:
+        code, ln = ac_codes[0x00]  # EOB0: rest of band is zeros+corrections
+        bw.write(code, ln)
+        flush_bits(queue)
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) → PROGRESSIVE (SOF2) JPEG:
+    spectral selection (DC scan, then per-component AC 1..63) AND
+    successive approximation (every band lands at Al=1 first, one
+    refinement scan completes it) — the scan structure libjpeg emits,
+    minus EOBn run accumulation (EOB0 only, so the Annex K tables cover
+    all symbols). Same padding/quant/subsampling contract as jpeg_encode;
+    decodes (here and in libjpeg) to the identical pixels as the baseline
+    stream built from the same coefficients."""
+    if arr.ndim == 2:
+        h, w = arr.shape
+        qy = STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)
+        comps = [(_pad_to_mcu(arr, 8).astype(np.float64) - 128.0, 1, 1, 0, 0)]
+        qtables = [qy]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        h, w = arr.shape[:2]
+        qy = STD_LUMA_QUANT if quant is None else np.asarray(quant, np.int64)
+        qc = STD_CHROMA_QUANT if quant is None else np.asarray(quant, np.int64)
+        qtables = [qy, qc]
+        if subsampling == "444":
+            ycc = rgb_to_ycbcr(_pad_to_mcu(arr, 8))
+            comps = [
+                (ycc[..., 0] - 128.0, 1, 1, 0, 0),
+                (ycc[..., 1] - 128.0, 1, 1, 1, 1),
+                (ycc[..., 2] - 128.0, 1, 1, 1, 1),
+            ]
+        elif subsampling == "420":
+            ycc = rgb_to_ycbcr(_pad_to_mcu(arr, 16))
+            ph, pw = ycc.shape[:2]
+
+            def down(p):
+                return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+            comps = [
+                (ycc[..., 0] - 128.0, 2, 2, 0, 0),
+                (down(ycc[..., 1]) - 128.0, 1, 1, 1, 1),
+                (down(ycc[..., 2]) - 128.0, 1, 1, 1, 1),
+            ]
+        else:
+            raise ValueError("jpeg: subsampling must be '444' or '420'")
+    else:
+        raise ValueError("jpeg: (h, w) grayscale or (h, w, 3) RGB only")
+    for q in qtables:
+        if int(q.min()) < 1 or int(q.max()) > 255:
+            raise ValueError("jpeg: quant table entries must be in 1..255")
+
+    zz = [_component_zz_blocks(plane, qtables[qid]) for plane, _, _, qid, _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # non-interleaved scans cover only the TRUE block grid (dummy MCU-pad
+    # blocks are coded in interleaved scans only, T.81 A.2.2)
+    true_grid = [
+        (-(-(-(-(h * vs) // vmax)) // 8), -(-(-(-(w * hs) // hmax)) // 8))
+        for _, hs, vs, _, _ in comps
+    ]
+    huffs = [
+        (_huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+         _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)),
+        (_huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+         _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+    ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    for qid, q in enumerate(qtables[: 2 if len(comps) > 1 else 1]):
+        zq = q.ravel()[ZIGZAG]
+        out += seg(0xFFDB, bytes([qid]) + bytes(int(x) for x in zq))
+    sof = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, qid])
+        for ci, (_, hs, vs, qid, _) in enumerate(comps)
+    )
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, len(comps)) + sof)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    if len(comps) > 1:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS))
+        out += seg(0xFFC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS))
+
+    def sos(ids: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(ids)])
+        for cid, tabs in ids:
+            body += bytes([cid, tabs])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC, Al=1
+    bw = _BitWriter()
+    prev = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, _, hid) in enumerate(comps):
+                dc_codes = huffs[hid][0]
+                for v in range(vs):
+                    for u in range(hs):
+                        dc = int(zz[ci][my * vs + v, mx * hs + u, 0]) >> 1
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        cat = _category(diff)
+                        code, ln = dc_codes[cat]
+                        bw.write(code, ln)
+                        if cat:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                            )
+    bw.flush()
+    out += sos(
+        [(ci + 1, (hid << 4) | hid) for ci, (_, _, _, _, hid) in enumerate(comps)],
+        0, 0, 0, 1,
+    ) + bytes(bw.out)
+
+    # per-component AC band 1..63, first at Al=1 then refined to Al=0
+    for ci, (_, hs, vs, _, hid) in enumerate(comps):
+        bw = _BitWriter()
+        by, bx = true_grid[ci]
+        for yb in range(by):
+            for xb in range(bx):
+                _emit_ac_first(bw, zz[ci][yb, xb], 1, 63, 1, huffs[hid][1])
+        bw.flush()
+        out += sos([(ci + 1, (hid << 4) | hid)], 1, 63, 0, 1) + bytes(bw.out)
+
+    # DC refinement (interleaved, Ah=1 → Al=0): one raw bit per block
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, hs, vs, _, _) in enumerate(comps):
+                for v in range(vs):
+                    for u in range(hs):
+                        bw.write(int(zz[ci][my * vs + v, mx * hs + u, 0]) & 1, 1)
+    bw.flush()
+    out += sos(
+        [(ci + 1, (hid << 4) | hid) for ci, (_, _, _, _, hid) in enumerate(comps)],
+        0, 0, 1, 0,
+    ) + bytes(bw.out)
+
+    # AC refinements (Ah=1 → Al=0)
+    for ci, (_, _, _, _, hid) in enumerate(comps):
+        bw = _BitWriter()
+        by, bx = true_grid[ci]
+        for yb in range(by):
+            for xb in range(bx):
+                _emit_ac_refine(bw, zz[ci][yb, xb], 1, 63, 1, 0, huffs[hid][1])
+        bw.flush()
+        out += sos([(ci + 1, (hid << 4) | hid)], 1, 63, 1, 0) + bytes(bw.out)
+
+    return out + b"\xff\xd9"

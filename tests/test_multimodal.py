@@ -259,11 +259,14 @@ def test_jpeg_decode_rejects_unsupported():
     worst = np.where(sign > 0, 255, 0).astype(np.uint8)
     out = jpeg_decode(jpeg_encode(worst, quant=np.ones((8, 8), dtype=np.int64)))
     assert int(np.max(np.abs(out.astype(int) - worst.astype(int)))) <= 1
-    # progressive SOF2 marker must be rejected, not mis-parsed
+    # lossless SOF3 must be rejected, not mis-parsed (SOF2 is supported
+    # since r14 — a baseline stream relabeled SOF2 now fails structurally,
+    # its SOS being no valid progressive scan header)
     good = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
-    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(bad)
+        jpeg_decode(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    with pytest.raises(ValueError):
+        jpeg_decode(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
 
 
 def test_jpeg_edge_padding_roundtrip():
@@ -580,3 +583,70 @@ def test_jpeg_restart_intervals_roundtrip():
         assert np.array_equal(arr, img)
     except ImportError:
         pass
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 support (r14): a progressive stream carries the same quantized
+    coefficients as the baseline stream, so decode must be BIT-IDENTICAL to
+    the baseline roundtrip — across grayscale / 4:4:4 / 4:2:0, all-ones and
+    Annex K quant, MCU-multiple and padded dimensions (the spec's dummy-
+    block interleaved vs true-grid non-interleaved distinction)."""
+    import numpy as np
+
+    from duckdb_ml_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    ones = np.ones((8, 8), dtype=np.int64)
+    cases = [
+        (rng.randint(0, 256, (16, 24), dtype=np.uint8), dict(quant=ones)),
+        (rng.randint(0, 256, (10, 13), dtype=np.uint8), dict(quant=ones)),
+        (rng.randint(0, 256, (24, 16), dtype=np.uint8), {}),
+        (rng.randint(0, 256, (16, 16, 3), dtype=np.uint8),
+         dict(quant=ones, subsampling="444")),
+        (rng.randint(0, 256, (17, 15, 3), dtype=np.uint8),
+         dict(quant=ones, subsampling="420")),
+        (rng.randint(0, 256, (33, 31, 3), dtype=np.uint8),
+         dict(subsampling="420")),
+    ]
+    for img, kw in cases:
+        base = jpeg_decode(jpeg_encode(img, **kw))
+        prog = jpeg_decode(jpeg_encode_progressive(img, **kw))
+        assert np.array_equal(prog, base), (img.shape, kw)
+    # marker sanity: the stream really is SOF2 with multiple scans
+    data = jpeg_encode_progressive(cases[0][0], quant=ones)
+    assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 4
+
+
+def test_jpeg_progressive_pil_cross_checks():
+    """When PIL/libjpeg is importable: (a) libjpeg decodes our progressive
+    stream to the same pixels as our decoder; (b) our decoder handles a
+    PIL-SAVED progressive JPEG (libjpeg's own scan script with EOBn runs
+    and optimized Huffman tables) of a constant-block image exactly."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+    from duckdb_ml_spark.operators.jpeg import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    v = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    img = np.kron(v, np.ones((8, 8), dtype=np.uint8))
+    ours = jpeg_encode_progressive(img, quant=ones)
+    arr = np.asarray(Image.open(io.BytesIO(ours)))
+    assert np.array_equal(arr, jpeg_decode(ours))
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(
+        buf, format="JPEG", progressive=True, quality=100
+    )
+    dec = jpeg_decode(buf.getvalue())
+    assert dec.shape == img.shape
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
