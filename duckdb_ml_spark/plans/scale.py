@@ -844,31 +844,49 @@ def _layout_advise_impl(
         }
     from duckdb_ml_spark.operators.dedup import _cached_count
 
-    n = _cached_count(df, cache_key)
-    agg = df.agg(F.approx_count_distinct(key).alias("ndv")).head()
-    ndv = int(agg["ndv"]) or 1
-    stats.update(n_rows=n, ndv_approx=ndv)
-    if n > 0 and workload in ("join", "agg"):
-        top = (
-            df.sample(fraction=min(1.0, HOT_SAMPLE_FRACTION * 32), seed=7)
-            .groupBy(key)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc(key))
-            .limit(1)
-            .collect()
+    # ONE stats job over a sample — never a full-table count or ndv
+    # aggregate on the common path: the r14 64× probe measured the full
+    # approx_count_distinct + count over the 384M-row derived lineitem at
+    # ~5 s of cold advisor cost that the plain byte gate never paid
+    # (revenue_by_nation 2.56 → 4.86 s min-of-2). The sampled grouped agg
+    # yields BOTH the hot-key estimate and a sound partitioned prefilter
+    # (sample ndv ≤ table ndv, so sample ndv > PARTITION_NDV_MAX certainly
+    # rules 'partitioned' out); only a genuinely low-cardinality key — the
+    # rare case — escalates to the exact full-table ndv + row count.
+    # ×4 (0.4%), not the old ×32: a ≥ HOT_KEY_ROWS key still lands ~4000
+    # samples (detection certain), and the sampled shuffle is 8× smaller —
+    # the 64× probe read 0.84 s warm at ×32 vs 0.57 s at ×4
+    frac = min(1.0, HOT_SAMPLE_FRACTION * 4)
+    row = (
+        df.sample(fraction=frac, seed=7)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.approx_count_distinct(key).alias("ndv"),
+            F.max("c").alias("top"),
         )
-        if top:
-            frac = min(1.0, HOT_SAMPLE_FRACTION * 32)
-            est_top = int(top[0]["c"] / frac)
-            stats["est_top_key_rows"] = est_top
-            if est_top >= HOT_KEY_ROWS:
-                return {
-                    "layout": "salted",
-                    "reason": f"hot key would serialize ~{est_top} rows onto "
-                    "one task (≥ HOT_KEY_ROWS) — salt at query time; no "
-                    "static layout fixes skew (adaptive_salted_join)",
-                    "stats": stats,
-                }
+        .head()
+    )
+    ndv_sample = int(row["ndv"] or 0)
+    stats["ndv_sample"] = ndv_sample
+    if workload in ("join", "agg") and row["top"] is not None:
+        est_top = int(row["top"] / frac)
+        stats["est_top_key_rows"] = est_top
+        if est_top >= HOT_KEY_ROWS:
+            return {
+                "layout": "salted",
+                "reason": f"hot key would serialize ~{est_top} rows onto "
+                "one task (≥ HOT_KEY_ROWS) — salt at query time; no "
+                "static layout fixes skew (adaptive_salted_join)",
+                "stats": stats,
+            }
+    n = 0
+    ndv = max(ndv_sample, PARTITION_NDV_MAX + 1)
+    if ndv_sample <= PARTITION_NDV_MAX:
+        n = _cached_count(df, cache_key)
+        agg = df.agg(F.approx_count_distinct(key).alias("ndv")).head()
+        ndv = int(agg["ndv"]) or 1
+        stats.update(n_rows=n, ndv_approx=ndv)
     if workload == "lookup":
         span = key_span_fraction(table_path, key) if table_path else None
         stats["key_span_fraction"] = span

@@ -488,7 +488,12 @@ def test_layout_advise_regimes(spark, sf_dir, tmp_path, monkeypatch):
     a = layout_advise(skewed, "k", workload="join")
     assert a["layout"] == "salted", a
 
-    # 3. low-NDV key with enough rows per value → partitioned
+    # 3. low-NDV key with enough rows per value → partitioned. The hot gate
+    # goes back to its real value first: case 2 scaled it to 50 rows, and
+    # at unit-test corpus sizes the sampled estimator's extrapolation
+    # (~tens of rows from a handful of samples) legitimately crosses 50 —
+    # production separation is 1M vs ~4k samples of a genuinely hot key.
+    monkeypatch.setattr(scale, "HOT_KEY_ROWS", 1_000_000)
     monkeypatch.setattr(scale, "PARTITION_MIN_ROWS_PER_VALUE", 10)
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     a = layout_advise(docs, "source", workload="agg")
