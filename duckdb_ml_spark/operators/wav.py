@@ -167,6 +167,23 @@ def ima_adpcm_encode_block(samples: np.ndarray) -> bytes:
     return struct.pack("<hBB", int(s[0]), 0, 0) + body
 
 
+def ima_adpcm_encode_stereo(left: np.ndarray, right: np.ndarray) -> bytes:
+    """One stereo IMA block: both channel headers, then the channels'
+    nibble streams interleaved as 4-byte words (the MS stereo layout the
+    decoder expects) — test/golden counterpart of the stereo decode path."""
+    bl = ima_adpcm_encode_block(left)
+    br = ima_adpcm_encode_block(right)
+    db, dr = bl[4:], br[4:]
+    n = max(len(db), len(dr))
+    pad = (-n) % 4
+    db = db + b"\x00" * (n + pad - len(db))
+    dr = dr + b"\x00" * (n + pad - len(dr))
+    body = bytearray()
+    for w in range(0, len(db), 4):
+        body += db[w : w + 4] + dr[w : w + 4]
+    return bl[:4] + br[:4] + bytes(body)
+
+
 # --- container ------------------------------------------------------------------
 
 
@@ -314,27 +331,51 @@ def wav_decode(data: bytes):
             flat = flat[: n_samples * channels]
         return rate, channels, shape(flat)
     if fmt_tag == 0x11:  # IMA / DVI ADPCM
-        if channels != 1:
-            raise ValueError(
-                "wav: stereo IMA-ADPCM (interleaved 4-byte words) not "
-                "implemented — mono only"
+        if channels == 1:
+            ba = block_align or len(payload)
+            blocks = []
+            total = n_samples if n_samples is not None else 1 << 62
+            got = 0
+            for off in range(0, len(payload), ba):
+                blk = payload[off : off + ba]
+                if len(blk) < 4:
+                    break
+                want = min(total - got, 1 + (len(blk) - 4) * 2)
+                dec = _ima_decode_block(blk, want)
+                blocks.append(dec)
+                got += len(dec)
+                if got >= total:
+                    break
+            flat = (
+                np.concatenate(blocks) if blocks else np.zeros(0, dtype=np.int64)
             )
-        ba = block_align or len(payload)
-        blocks = []
-        total = n_samples if n_samples is not None else 1 << 62
-        got = 0
-        for off in range(0, len(payload), ba):
-            blk = payload[off : off + ba]
-            if len(blk) < 4:
-                break
-            want = min(total - got, 1 + (len(blk) - 4) * 2)
-            dec = _ima_decode_block(blk, want)
-            blocks.append(dec)
-            got += len(dec)
-            if got >= total:
-                break
-        flat = (
-            np.concatenate(blocks) if blocks else np.zeros(0, dtype=np.int64)
-        )
-        return rate, channels, shape(flat)
+            return rate, channels, shape(flat)
+        if channels == 2:
+            # stereo layout (MS spec): per block, a 4-byte header per
+            # channel (L then R), then the data interleaves 4-byte words —
+            # 8 nibbles left, 8 nibbles right, repeating
+            ba = block_align or len(payload)
+            total = n_samples if n_samples is not None else 1 << 62
+            left: list = []
+            right: list = []
+            for off in range(0, len(payload), ba):
+                blk = payload[off : off + ba]
+                if len(blk) < 8:
+                    break
+                data_part = blk[8:]
+                lb, rb = bytearray(), bytearray()
+                for w in range(0, len(data_part), 8):
+                    lb += data_part[w : w + 4]
+                    rb += data_part[w + 4 : w + 8]
+                want = min(total - len(left), 1 + len(lb) * 2)
+                left.extend(_ima_decode_block(blk[0:4] + bytes(lb), want))
+                right.extend(_ima_decode_block(blk[4:8] + bytes(rb), want))
+                if len(left) >= total:
+                    break
+            n_fr = min(len(left), len(right))
+            out = np.empty((n_fr, 2), dtype=np.int64)
+            out[:, 0] = left[:n_fr]
+            out[:, 1] = right[:n_fr]
+            return rate, 2, out
+        raise ValueError("wav: IMA-ADPCM supports mono or stereo only")
     raise ValueError(f"wav: unsupported format tag 0x{fmt_tag:x}")

@@ -509,8 +509,9 @@ def test_wav_container_roundtrips_all_formats():
         wav_decode(b"\x89PNG\r\n\x1a\nnope")
     with pytest.raises(ValueError, match="format tag"):
         wav_decode(wav_build(b"\x00\x00", 2, 1, 8000, 4))  # MS-ADPCM
-    with pytest.raises(ValueError, match="mono"):
-        wav_decode(wav_build(b"\x00" * 16, 0x11, 2, 8000, 4, block_align=8))
+    with pytest.raises(ValueError, match="mono or stereo"):
+        # 3-channel ADPCM stays out of coverage (stereo is supported r14)
+        wav_decode(wav_build(b"\x00" * 24, 0x11, 3, 8000, 4, block_align=12))
     # WAVE_FORMAT_EXTENSIBLE unwraps to its sub-format (PCM16 here)
     import struct
 
@@ -650,3 +651,54 @@ def test_jpeg_progressive_pil_cross_checks():
     dec = jpeg_decode(buf.getvalue())
     assert dec.shape == img.shape
     assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 2
+
+
+def test_wav_stereo_adpcm_and_wide_pcm():
+    """r14 follow-up coverage: stereo IMA-ADPCM (interleaved 4-byte words,
+    per-channel headers/state) decodes each channel within the mono ADPCM
+    tolerance; 24/32-bit PCM and float64 container paths roundtrip."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_ml_spark.operators.wav import (
+        ima_adpcm_encode_stereo,
+        wav_build,
+        wav_decode,
+    )
+
+    t = np.linspace(0, 16, 400)
+    L = (np.sin(t) * 18000).astype(np.int64)
+    R = (np.cos(t * 1.3) * 12000).astype(np.int64)
+    blk = ima_adpcm_encode_stereo(L, R)
+    wav = wav_build(blk, 0x11, 2, 8000, 4, n_samples=len(L), block_align=len(blk))
+    rate, ch, out = wav_decode(wav)
+    assert (rate, ch) == (8000, 2) and len(out) >= len(L)
+    assert int(np.abs(out[: len(L), 0] - L).max()) <= 4000
+    assert int(np.abs(out[: len(R), 1] - R).max()) <= 4000
+    # channels must not bleed: a silent right channel stays near zero
+    blk2 = ima_adpcm_encode_stereo(L, np.zeros_like(R))
+    _, _, out2 = wav_decode(
+        wav_build(blk2, 0x11, 2, 8000, 4, n_samples=len(L), block_align=len(blk2))
+    )
+    assert int(np.abs(out2[: len(L), 1]).max()) <= 64
+    assert int(np.abs(out2[: len(L), 0] - L).max()) <= 4000
+
+    # 24-bit PCM: 3-byte little-endian signed, incl. negatives
+    vals = np.array([0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321])
+    payload = b"".join(
+        struct.pack("<i", int(v))[:3] for v in vals
+    )
+    rate, ch, out = wav_decode(wav_build(payload, 1, 1, 44100, 24, block_align=3))
+    assert np.array_equal(out[:, 0], vals)
+    # 32-bit PCM and float64
+    v32 = np.array([0, 2**31 - 1, -(2**31), 42], dtype=np.int64)
+    rate, ch, out = wav_decode(
+        wav_build(v32.astype("<i4").tobytes(), 1, 1, 8000, 32, block_align=4)
+    )
+    assert np.array_equal(out[:, 0], v32)
+    f64 = np.array([0.0, -1.5, 3.25e10, 7e-3])
+    rate, ch, out = wav_decode(
+        wav_build(f64.astype("<f8").tobytes(), 3, 1, 8000, 64, block_align=8)
+    )
+    assert np.array_equal(out[:, 0], f64)
