@@ -15,86 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # The correctness driver checks the FIRST 50 queries()-dict entries per round.
-# Round-14 window (VERDICT r13 item 1) — CARRYOVER DRAIN, risk-ordered:
-# (1) the three never-driver-checked rows (mm_decode_jpeg,
-#     layout_advised_scan from r13; mm_decode_mulaw is NEW this round);
-# (2) the three rows whose PLANS materially changed in r14 and whose r13
-#     green therefore certifies the wrong plan: dedup_editdist_verify
-#     (memoized prefix checkpoint), orders_active_streaks (epoch-bitmask
-#     agg), skew_salted_join (layout_advise routing);
-# (3) the sink_* quartet the r13 window could not fit;
-# (4) the remaining queue oldest-last-green first (r9 → r10 → r11), closing
-#     with the r12 rows whose modules r14 touched most directly
-#     (events_distinct_users_approx NULL fix, revenue_by_nation advisor
-#     routing, the scale.py layouts, the dedup family).
+# Round-15 window (VERDICT r14 item 1) — FINAL CARRYOVER DRAIN: the first 50
+# rows of the r14-declared queue, verbatim in its committed order
+# (oldest-last-green first: the r12 dedup/bpe/sampling rows, the r12
+# relational block, then the r13-green rows re-staled by r14 commits).
+# After this window the only stale rows are the 4 deferred source_* rows in
+# _WINDOW_CARRYOVER plus anything r15 commits re-stale — single-digit tail,
+# completing driver certification of the whole registry.
 # Rows that do not fit stay in _WINDOW_CARRYOVER (below), which also
-# collects rows re-staled by later r14 commits; tests/test_check_ledger.py
+# collects rows re-staled by later r15 commits; tests/test_check_ledger.py
 # asserts stale ⊆ window ∪ carryover at HEAD. The 5 env-drift canaries are
 # modeled as EXEMPT_ENV_SENTINELS in tools/check_ledger.py (ADVICE r12).
 _CHECK_PRIORITY = (
-    "mm_decode_jpeg",
-    "layout_advised_scan",
-    "mm_decode_mulaw",
-    "dedup_editdist_verify",
-    "orders_active_streaks",
-    "skew_salted_join",
-    "sink_compaction",
-    "sink_merge_upsert",
-    "sink_token_shards",
-    "sink_token_shards_capped",
-    "mm_audio_energy",
-    "mm_decode_png",
-    "sample_group_split",
-    "sample_curriculum",
-    "sample_importance",
-    "sample_length_buckets",
-    "sample_per_source_k",
-    "sample_token_budget",
-    "dedup_minhash_signatures",
-    "dedup_semantic_sampled",
-    "emb_contrastive_pairs",
-    "events_anomaly_robust",
-    "events_funnel",
-    "events_gap_fill",
-    "events_retention",
-    "events_scd2_intervals",
-    "events_sessionize",
-    "mm_decode_features",
-    "mm_image_resize",
-    "mm_metadata",
-    "mm_sample_frames",
-    "mm_type_stats",
-    "sample_epoch_shuffle",
-    "sample_split_train_test",
-    "sample_stratified",
-    "sample_temperature",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "stream_scd2_intervals",
-    "stream_sessions",
-    "stream_sliding_2h",
-    "stream_tumbling_hourly",
-    "stream_user_state",
-    "events_distinct_users_approx",
-    "revenue_by_nation",
-    "layout_zorder_scan",
-    "layout_bloom_scan",
-    "dedup_exact_keys",
-    "dedup_semantic",
-    "dedup_simhash",
-)
-
-# Rotation queue for r15+: rows that did not fit the 50-slot r14 window,
-# plus rows re-staled by r14 commits to their registering modules (appended
-# during the round as changes land; every append is green in the local gate
-# replica at HEAD before commit). tests/test_check_ledger.py asserts
-# stale ⊆ window ∪ carryover, so this list is a genuine scheduling queue —
-# env-drift canaries live in tools/check_ledger.py:EXEMPT_ENV_SENTINELS.
-# Ordering: oldest-last-green first (r12 dedup/bpe rows re-staled by the
-# r14 dedup commit, then the r12 relational block re-staled by the r14
-# HLL/advisor commits, then the r13-green rows re-staled by the r14
-# readers/scale/relational commits).
-_WINDOW_CARRYOVER = (
     "dedup_embedding_lsh_sigs",
     "dedup_embedding_pairs",
     "sample_mixture_resample",
@@ -145,6 +77,16 @@ _WINDOW_CARRYOVER = (
     "source_jsonl_roundtrip",
     "source_orc_roundtrip",
     "source_parquet_roundtrip",
+)
+
+# Rotation queue for r16+: the 4 rows that did not fit the 50-slot r15
+# window, plus rows re-staled by r15 commits to their registering modules
+# (appended during the round as changes land; every append is green in the
+# local gate replica at HEAD before commit). tests/test_check_ledger.py
+# asserts stale ⊆ window ∪ carryover, so this list is a genuine scheduling
+# queue — env-drift canaries live in tools/check_ledger.py:
+# EXEMPT_ENV_SENTINELS.
+_WINDOW_CARRYOVER = (
     "source_partitioned_pruned",
     "source_schema_evolution",
     "source_text_roundtrip",
