@@ -336,6 +336,22 @@ _SIG_CACHE: dict = {}
 # editdist prefix-table checkpoints, keyed (session, sf_dir, prefix_len) —
 # same immutable-corpus memo contract as _SIG_CACHE (r14 regression probe)
 _EDITDIST_PFX_CACHE: dict = {}
+# single-session reset (ADVICE r14): id(spark) keys are unbounded in a
+# long-lived driver that cycles sessions, and CPython id() reuse after GC
+# could resurrect a DEAD session's entry (for _EDITDIST_PFX_CACHE that is a
+# localCheckpointed DataFrame pinned to the dead JVM state) — so when a new
+# session id appears, both session-keyed caches reset wholesale, the same
+# pattern as __spark_entry__._PLAN_CACHE. Alternating-session workloads
+# re-pay the memo build, never correctness.
+_SESSION_CACHE_ID: list = [None]
+
+
+def _reset_session_caches(spark: SparkSession) -> None:
+    sid = id(spark)
+    if _SESSION_CACHE_ID[0] != sid:
+        _SIG_CACHE.clear()
+        _EDITDIST_PFX_CACHE.clear()
+        _SESSION_CACHE_ID[0] = sid
 
 
 def _collect_signatures(spark: SparkSession, sf_dir: str):
@@ -352,6 +368,7 @@ def _collect_signatures(spark: SparkSession, sf_dir: str):
     docstring above describes."""
     import numpy as np
 
+    _reset_session_caches(spark)
     key = (id(spark), sf_dir)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
@@ -1708,6 +1725,7 @@ def editdist_verify_lsh(
     if rows is not None:
         cand = spark.createDataFrame(rows or [], "doc_a bigint, doc_b bigint")
         ids = sorted({a for a, _ in rows} | {b for _, b in rows})
+        _reset_session_caches(spark)
         pkey = (id(spark), sf_dir, prefix_len)
         p = _EDITDIST_PFX_CACHE.get(pkey)
         if p is None:

@@ -413,9 +413,15 @@ class _BitReader:
 
     def bit(self) -> int:
         if self.n == 0:
+            # bounds-checked (ADVICE r14): a truncated stream must surface as
+            # the module's ValueError contract, never IndexError
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: truncated stream")
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: truncated stream")
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # unstuff
@@ -436,6 +442,8 @@ class _BitReader:
         """Byte-align (drop entropy pad bits) and consume one RSTn marker."""
         self.acc = 0
         self.n = 0
+        if self.pos + 1 >= len(self.data):  # ADVICE r14: ValueError, not IndexError
+            raise ValueError("jpeg: truncated stream")
         if (
             self.data[self.pos] != 0xFF
             or not 0xD0 <= self.data[self.pos + 1] <= 0xD7

@@ -601,11 +601,19 @@ def per_source_uniform_k(
     At 100 TB this is the difference between sorting the corpus and
     scanning it once: rank work is O(survivors), not O(rows).
 
-    Cached size maps are VALIDATED against the data (ADVICE r13): the
-    threshold lookup keeps every row whose group is absent from the map
-    (coalesce to keep-all), so a group added after the cache was built
-    surfaces in the survivor set instead of silently vanishing; on
-    detection the cache entry is dropped and the function recomputes.
+    Cached size maps are VALIDATED against the data (ADVICE r13/r14), with
+    a precise guarantee: (a) a group ABSENT from the map keeps every row
+    (coalesce keep-all arm) and is detected in the survivor set; (b) a
+    cached group whose survivor count EXCEEDS its cached size — impossible
+    under a fresh map, since survivors ⊆ the group's rows — is likewise
+    detected; both drop the entry and recompute. Growth that evades both
+    detectors cannot corrupt values: a stale SMALLER size only raises that
+    group's threshold (the survivor set becomes a downward-closed superset,
+    whose bottom-k is exactly the true bottom-k), and any cached size below
+    16·k hits the keep-all threshold cap (h < 2^60 always) — so staleness
+    erodes only the probabilistic escalation margin (16 → 16·n_old/n_new),
+    never the output. Shrinkage likewise only triggers extra escalation
+    passes (sufficiency is re-checked against observed survivors).
 
     Above PSK_GROUP_GATE distinct groups the result is no longer
     bounded-by-design and the two-pass keyed_global_rank form runs instead
@@ -701,10 +709,16 @@ def per_source_uniform_k(
     by_g: dict = {}
     for r in surv:
         by_g.setdefault(r[0], []).append((r[2], r[1]))
-    if from_cache and any(g not in sizes for g in by_g):
-        # the cached size map is stale — a group exists in the data that it
-        # has no threshold for. Drop the entry and recompute from scratch
-        # (one retry; the fresh map cannot be stale against the same scan).
+    if from_cache and (
+        any(g not in sizes for g in by_g)
+        or any(len(v) > sizes.get(g, 0) for g, v in by_g.items())
+    ):
+        # the cached size map is stale — a group exists that it has no
+        # threshold for, or a group produced MORE survivors than its cached
+        # total row count (impossible under a fresh map: survivors ⊆ group,
+        # so this deterministically catches grown groups — ADVICE r14).
+        # Drop the entry and recompute from scratch (one retry; the fresh
+        # map cannot be stale against the same scan).
         _PSK_SIZES_CACHE.pop(skey, None)
         return per_source_uniform_k(
             df, k=k, id_col=id_col, group_col=group_col, salt=salt,

@@ -12,12 +12,13 @@ Covered (the formats a crawled WAV corpus actually contains):
 - G.711 µ-law (fmt 7) and A-law (fmt 6): ITU-T G.711 segment expansion —
   the expansion is a pure integer formula, which is what makes the
   mm_decode_mulaw driver row value-exact against a DuckDB SQL oracle.
-- IMA/DVI ADPCM (fmt 0x11), mono: block header (predictor, step index) +
-  4-bit nibbles, the classic stateful decode (step/index tables).
+- IMA/DVI ADPCM (fmt 0x11), mono AND stereo: per-channel block header
+  (predictor, step index) + 4-bit nibbles with stereo's interleaved 4-byte
+  word layout, the classic stateful decode (step/index tables).
 
-Deliberately NOT implemented (raise ValueError, never mis-decode): MS-ADPCM
-(fmt 2), GSM, MP3-in-WAV, stereo IMA-ADPCM's interleaved 4-byte word
-layout, compressed fmt tags not listed above.
+Deliberately NOT implemented (raise ValueError, never mis-decode): GSM,
+MP3-in-WAV, compressed fmt tags not listed above. (MS-ADPCM fmt 2 gained a
+real decoder in r15 — see msadpcm_decode below.)
 
 Decoded samples come back as int16-range integers for integer/voice codecs
 (exactly the reference C expansion values) and float64 for IEEE-float
@@ -184,6 +185,137 @@ def ima_adpcm_encode_stereo(left: np.ndarray, right: np.ndarray) -> bytes:
     return bl[:4] + br[:4] + bytes(body)
 
 
+# --- Microsoft ADPCM (fmt 2) ----------------------------------------------------
+# From the public Microsoft "Multimedia Standards Update" WAVE spec: 7
+# standard coefficient pairs, a 16-entry delta-adaptation table, per-block
+# header (per channel: predictor index u8, initial delta s16, the two seed
+# samples s16 NEWER-then-OLDER), then 4-bit codes high-nibble-first,
+# channels alternating per nibble. All '/' in the spec pseudo-code is C
+# integer division (truncate toward zero) — _c_div below; delta stays
+# positive so its adaptation divide is sign-free.
+
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232))
+
+
+def _c_div(a: int, b: int) -> int:
+    """C integer division: truncate toward zero (Python // floors)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def msadpcm_decode_block(blk: bytes, channels: int, max_samples: int) -> np.ndarray:
+    """One MS-ADPCM block → (n_frames, channels) int64 samples (int16
+    range). The two header seed samples are emitted first (older iSamp2,
+    then iSamp1), exactly as the spec's output ordering."""
+    hdr = 7 * channels
+    if len(blk) < hdr:
+        raise ValueError("wav: truncated MS-ADPCM block")
+    preds = list(blk[:channels])
+    if any(p >= len(_MS_COEFS) for p in preds):
+        raise ValueError("wav: MS-ADPCM predictor index out of range")
+    off = channels
+    delta = [
+        struct.unpack_from("<h", blk, off + 2 * c)[0] for c in range(channels)
+    ]
+    off += 2 * channels
+    samp1 = [
+        struct.unpack_from("<h", blk, off + 2 * c)[0] for c in range(channels)
+    ]
+    off += 2 * channels
+    samp2 = [
+        struct.unpack_from("<h", blk, off + 2 * c)[0] for c in range(channels)
+    ]
+    coef1 = [_MS_COEFS[p][0] for p in preds]
+    coef2 = [_MS_COEFS[p][1] for p in preds]
+    out = [[samp2[c], samp1[c]] for c in range(channels)]
+    ch = 0
+    done = False
+    for byte in blk[hdr:]:
+        for nib in (byte >> 4, byte & 0x0F):  # high nibble first
+            pred = _c_div(samp1[ch] * coef1[ch] + samp2[ch] * coef2[ch], 256)
+            signed = nib - 16 if nib >= 8 else nib
+            pred += signed * delta[ch]
+            pred = max(-32768, min(32767, pred))
+            samp2[ch] = samp1[ch]
+            samp1[ch] = pred
+            delta[ch] = max(16, (int(_MS_ADAPT[nib]) * delta[ch]) // 256)
+            out[ch].append(pred)
+            ch = (ch + 1) % channels
+            if len(out[channels - 1]) >= max_samples:
+                done = True
+                break
+        if done:
+            break
+    n_fr = min(min(len(o) for o in out), max_samples)
+    arr = np.empty((n_fr, channels), dtype=np.int64)
+    for c in range(channels):
+        arr[:, c] = out[c][:n_fr]
+    return arr
+
+
+def msadpcm_encode_block(chans: list[np.ndarray]) -> bytes:
+    """Encode one MS-ADPCM block (list of per-channel int16-range arrays,
+    equal lengths ≥ 2) — the test/golden counterpart of the decoder. Picks
+    each channel's best coefficient pair by total reconstruction error and
+    seeds the initial delta from the early prediction residuals, like the
+    reference encoder; codes are produced by the exact decoder recursion."""
+    channels = len(chans)
+    n = len(chans[0])
+    best: list[tuple] = []
+    for s in chans:
+        s = np.clip(np.asarray(s, dtype=np.int64), -32768, 32767)
+        trials = []
+        for pi, (c1, c2) in enumerate(_MS_COEFS):
+            d0 = max(
+                16,
+                int(
+                    np.mean(
+                        np.abs(
+                            s[2:10].astype(np.int64)
+                            - np.array(
+                                [
+                                    _c_div(int(s[i - 1]) * c1 + int(s[i - 2]) * c2, 256)
+                                    for i in range(2, min(10, n))
+                                ],
+                                dtype=np.int64,
+                            )
+                        )
+                    )
+                    // 4
+                )
+                if n > 2
+                else 16,
+            )
+            samp2, samp1, delta = int(s[0]), int(s[1]), d0
+            nibs, err = [], 0
+            for x in s[2:]:
+                pred = _c_div(samp1 * c1 + samp2 * c2, 256)
+                code = max(-8, min(7, _c_div(int(x) - pred, delta)))
+                rec = max(-32768, min(32767, pred + code * delta))
+                err += abs(int(x) - rec)
+                nibs.append(code & 0x0F)
+                samp2, samp1 = samp1, rec
+                delta = max(16, (int(_MS_ADAPT[code & 0x0F]) * delta) // 256)
+            trials.append((err, pi, d0, nibs))
+        e, pi, d0, nibs = min(trials, key=lambda t: (t[0], t[1]))
+        best.append((pi, d0, int(s[1]), int(s[0]), nibs))
+    hdr = bytes(b[0] for b in best)
+    hdr += b"".join(struct.pack("<h", b[1]) for b in best)
+    hdr += b"".join(struct.pack("<h", b[2]) for b in best)  # iSamp1 (newer)
+    hdr += b"".join(struct.pack("<h", b[3]) for b in best)  # iSamp2 (older)
+    stream = [nib for i in range(n - 2) for (_, _, _, _, nibs) in best for nib in [nibs[i]]]
+    if len(stream) % 2:
+        stream.append(0)
+    body = bytes(
+        (stream[i] << 4) | stream[i + 1] for i in range(0, len(stream), 2)
+    )
+    return hdr + body
+
+
 # --- container ------------------------------------------------------------------
 
 
@@ -252,6 +384,11 @@ def wav_encode(
         return wav_build(
             block, 0x11, 1, rate, 4, n_samples=len(s),
             block_align=len(block),
+        )
+    if fmt == "ms_adpcm":
+        block = msadpcm_encode_block([np.asarray(s)])
+        return wav_build(
+            block, 2, 1, rate, 4, n_samples=len(s), block_align=len(block)
         )
     raise ValueError(f"wav_encode: unknown fmt {fmt!r}")
 
@@ -378,4 +515,28 @@ def wav_decode(data: bytes):
             out[:, 1] = right[:n_fr]
             return rate, 2, out
         raise ValueError("wav: IMA-ADPCM supports mono or stereo only")
+    if fmt_tag == 2:  # Microsoft ADPCM
+        if channels not in (1, 2):
+            raise ValueError("wav: MS-ADPCM supports mono or stereo only")
+        ba = block_align or len(payload)
+        total = n_samples if n_samples is not None else 1 << 62
+        frames: list = []
+        got = 0
+        for off in range(0, len(payload), ba):
+            blk = payload[off : off + ba]
+            if len(blk) < 7 * channels:
+                break
+            # 2 seed frames + 2 codes/byte spread across channels
+            per_blk = 2 + (len(blk) - 7 * channels) * 2 // channels
+            dec = msadpcm_decode_block(blk, channels, min(total - got, per_blk))
+            frames.append(dec)
+            got += len(dec)
+            if got >= total:
+                break
+        out = (
+            np.concatenate(frames, axis=0)
+            if frames
+            else np.zeros((0, channels), dtype=np.int64)
+        )
+        return rate, channels, out
     raise ValueError(f"wav: unsupported format tag 0x{fmt_tag:x}")

@@ -828,11 +828,23 @@ def _layout_advise_impl(
       none        — below every layout gate: a plain shuffle is cheapest
                     (the write would cost more than it saves).
 
-    Statistics: one count+approx_count_distinct agg (cached via cache_key),
-    a HOT_SAMPLE_FRACTION sample for the hot-key estimate (the
-    adaptive_salted_join profile), parquet-footer clustering for lookup
-    workloads, and the on-disk byte size for the bucket gate. Nothing scans
-    data twice; the footer pass reads no data at all."""
+    Statistics: ONE sampled grouped agg (0.4%) yields both ndv_sample and
+    the hot-key estimate; parquet-footer clustering for lookup workloads;
+    on-disk byte size for the bucket gate. Nothing scans data twice; the
+    footer pass reads no data at all.
+
+    The returned stats dict's fields are OPTIONAL beyond "workload"
+    (ADVICE r14): "ndv_sample" (+ "est_top_key_rows" for join/agg) appear
+    whenever the sampled agg runs; the EXACT "n_rows"/"ndv_approx" appear
+    only when ndv_sample ≤ PARTITION_NDV_MAX escalates to the full-table
+    pass (the rare low-cardinality case). Consumers must .get() them.
+    Estimator variance: est_top extrapolates a 0.4% sample, so a key with
+    true count near HOT_KEY_ROWS lands ~HOT_KEY_ROWS/250 sampled rows
+    (±~3% relative sd) and borderline keys can flip salted↔hash across
+    samples — acceptable because both layouts are value-correct and within
+    ~2× of each other at the boundary, while a ≥2·HOT_KEY_ROWS key is
+    detected with near certainty; verdicts are memoized per cache_key, so
+    one session never flip-flops."""
     stats: dict = {"workload": workload}
     if workload in ("range2d", "range") and second_key:
         stats["second_key"] = second_key

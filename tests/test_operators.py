@@ -1987,3 +1987,61 @@ def test_per_source_k_margin_escalation_distributed(spark, monkeypatch):
     got = sorted(map(tuple, per_source_uniform_k(df, k=4, cache_key=key).collect()))
     assert got == want
     _PSK_SIZES_CACHE.pop(skey, None)
+
+
+def test_per_source_k_grown_group_stale_cache_detected(spark, monkeypatch):
+    """ADVICE r14 (medium): a reused cache_key whose corpus grows rows in
+    EXISTING groups (no new group) must still produce the exact bottom-k.
+    The survivor-overflow detector (survivors > cached group size, which is
+    impossible under a fresh map) marks the cache stale and recomputes."""
+    import duckdb_ml_spark.plans.orderstats as orderstats
+    from duckdb_ml_spark.operators.sampling import (
+        _PSK_SIZES_CACHE,
+        per_source_uniform_k,
+    )
+
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 1)  # force threshold path
+    key = ("test-grown-psk",)
+    skey = (key, "source", "psk_sizes")
+    _PSK_SIZES_CACHE.pop(skey, None)
+    df1 = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id bigint, source string",
+    )
+    out1 = per_source_uniform_k(df1, k=3, cache_key=key).collect()
+    assert {r.source for r in out1} == {"a", "b"}
+    assert _PSK_SIZES_CACHE[skey] == {"a": 20, "b": 20}
+    # same cache_key, SAME groups, 10x the rows: cached sizes now lie small
+    df2 = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "doc_id bigint, source string",
+    )
+    got = sorted(map(tuple, per_source_uniform_k(df2, k=3, cache_key=key).collect()))
+    monkeypatch.setattr(orderstats, "RANK_WINDOW_GATE", 10**9)
+    _PSK_SIZES_CACHE.pop(skey, None)
+    want = sorted(map(tuple, per_source_uniform_k(df2, k=3).collect()))
+    assert got == want
+    # and the cache entry was refreshed to the grown sizes
+    assert _PSK_SIZES_CACHE.get(skey, {}).get("a") in (None, 200)
+    _PSK_SIZES_CACHE.pop(skey, None)
+
+
+def test_dedup_session_caches_reset_on_new_session(spark, sf_dir):
+    """ADVICE r14 (low): the id(spark)-keyed dedup caches (_SIG_CACHE,
+    _EDITDIST_PFX_CACHE) must reset when a NEW session id appears — the
+    same single-session pattern as __spark_entry__._PLAN_CACHE — so a dead
+    session's localCheckpointed prefix DataFrame can never be resurrected
+    by CPython id() reuse."""
+    from duckdb_ml_spark.operators import dedup
+
+    dedup._reset_session_caches(spark)
+    dedup._collect_signatures(spark, sf_dir)
+    assert any(k[0] == id(spark) for k in dedup._SIG_CACHE)
+    dedup._EDITDIST_PFX_CACHE[(id(spark), sf_dir, 32)] = object()
+
+    class _Fake:  # a different "session" object → different id
+        pass
+
+    dedup._reset_session_caches(_Fake())
+    assert dedup._SIG_CACHE == {} and dedup._EDITDIST_PFX_CACHE == {}
+    dedup._reset_session_caches(spark)  # restore for later tests
