@@ -91,6 +91,8 @@ _WINDOW_CARRYOVER = (
     "source_schema_evolution",
     "source_text_roundtrip",
     "source_xml_roundtrip",
+    # NEW r15 (never driver-checked; local gate green at sf0.001+sf0.01):
+    "events_hll_sketch_only",
 )
 
 
