@@ -91,8 +91,38 @@ _WINDOW_CARRYOVER = (
     "source_schema_evolution",
     "source_text_roundtrip",
     "source_xml_roundtrip",
-    # NEW r15 (never driver-checked; local gate green at sf0.001+sf0.01):
+    # NEW r15 (never driver-checked; local gate green at sf0.001+sf0.01+sf0.1):
     "events_hll_sketch_only",
+    # r14-green rows re-staled by the r15 ADVICE/HLL commits to their
+    # registering modules (module-touch granularity; every row re-verified
+    # PASS in the local gate replica after the changes landed):
+    # relational.py (HLL row registration):
+    "events_distinct_users_approx",
+    "revenue_by_nation",
+    # dedup.py (session-cache reset):
+    "dedup_editdist_verify",
+    "dedup_exact_keys",
+    "dedup_minhash_signatures",
+    "dedup_semantic",
+    "dedup_semantic_sampled",
+    "dedup_simhash",
+    "emb_contrastive_pairs",
+    # sampling.py (survivor-overflow stale detector):
+    "sample_curriculum",
+    "sample_epoch_shuffle",
+    "sample_group_split",
+    "sample_importance",
+    "sample_length_buckets",
+    "sample_per_source_k",
+    "sample_split_train_test",
+    "sample_stratified",
+    "sample_temperature",
+    "sample_token_budget",
+    # plans/scale.py (advisor stats docstring):
+    "layout_advised_scan",
+    "layout_bloom_scan",
+    "layout_zorder_scan",
+    "skew_salted_join",
 )
 
 
