@@ -32,6 +32,24 @@ def _materialize(df) -> int:
     return 0
 
 
+# Rows whose min-of-3 readings spread >2× ACROSS the four same-HEAD r14
+# windows (a host contention spike can cover three consecutive runs): timed
+# min-of-5 on BOTH engines (tools/duck_bench.py imports this set). Derived
+# from bench/BENCH_PAIRED_r14{a,b,c,d}.json; see NOTES.md "bench variance
+# classes" (r15) for the spread table and the re-derivation snippet.
+HIGH_VARIANCE_ROWS = frozenset(
+    {
+        "layout_advised_scan",
+        "mm_decode_mulaw",
+        "mm_decode_jpeg",
+        "text_countmin_freq",
+        "sample_epoch_shuffle",
+        "sim_topk_ivf_index",
+        "events_gap_fill",
+    }
+)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -120,11 +138,17 @@ def main() -> int:
     # Default 3 (was 2): back-to-back paired suites still differed ±10% with
     # min-of-2 because a spike can cover both runs; tools/duck_bench.py uses
     # the same default so both sides of the ratio get identical treatment.
+    # HIGH_VARIANCE_ROWS get min-of-5 on BOTH sides (VERDICT r14 item 7):
+    # across the four same-HEAD r14 windows these rows' min-of-3 readings
+    # still spread >2× (text_countmin_freq 0.34-0.85 s; the mm_decode pair,
+    # layout_advised_scan and sim_topk_ivf_index spiked together in single
+    # windows), i.e. a contention spike covered all three runs. Variance
+    # table: NOTES.md "bench variance classes" (r15).
     RUNS = int(os.environ.get("BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0
-        for _ in range(RUNS):
+        for _ in range(max(RUNS, 5) if name in HIGH_VARIANCE_ROWS else RUNS):
             t0 = time.perf_counter()
             try:
                 _materialize(fn(spark, sf_dir))

@@ -52,11 +52,15 @@ def main() -> int:
             except Exception:
                 pass
 
+    from bench import HIGH_VARIANCE_ROWS  # min-of-5 rows, same set both engines
+
     con = duckdb_connection(args.sf_dir)
     times: dict[str, float] = {}
     for name, sql in oracles.items():
         best = -1.0
-        for _ in range(args.runs):
+        for _ in range(
+            max(args.runs, 5) if name in HIGH_VARIANCE_ROWS else args.runs
+        ):
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
