@@ -308,7 +308,16 @@ def decontaminate_bloom(
     join, whose probe side shrinks from the whole corpus stream to
     near-contaminated rows only. The verify join itself is left unhinted:
     AQE picks broadcast while the eval set fits and a shuffle join beyond —
-    by then its train side is the reduced survivor stream."""
+    by then its train side is the reduced survivor stream.
+
+    CURRENT bound, re-probed r15 (bench/BLOOMFLOOR_x256_r15.json, replacing
+    the r9-era explanation): at 256× the survivor fraction is 0.9876 — the
+    derived corpus contaminates ~everything, the prefilter prunes 1.2%, so
+    this plan is structurally exact + probe cost THERE (exact 12.1 s, md5
+    bloom 30.1 s = 2.5× vs oracle, xxhash64 production form 19.1 s = 1.6×;
+    the md5 recipe alone costs ~5.5 s of the stream and exists only for
+    oracle parity). On the realistic fixed-eval shape the xxhash64 bloom is
+    1.7× FASTER than exact (BLOOM_VS_EXACT_x256_r10)."""
     ev_sh = eval_shingles.select("shingle").distinct()
     filt = bloom_filter_words(ev_sh, n_words, hash_fn)
     # ≤ n_words rows by construction (64 KB at the default) — bounded at ANY
