@@ -136,9 +136,10 @@ _WINDOW_CARRYOVER = (
     "pack_stats",
     "pipeline_containment",
     "pipeline_curate",
-    # NEW r15 (never driver-checked; GIF/BMP arms of the decode seam —
-    # local gate green at sf0.001+sf0.01+sf0.1 before commit):
+    # NEW r15 (never driver-checked; GIF/BMP + FLAC arms of the decode
+    # seam — local gate green at sf0.001+sf0.01+sf0.1 before commit):
     "mm_decode_gif",
+    "mm_decode_flac",
     # operators/multimodal.py rows re-staled by the GIF/BMP dispatch commit;
     # re-verified PASS in the local gate replica at HEAD:
     "mm_audio_energy",

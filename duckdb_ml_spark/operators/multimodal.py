@@ -176,6 +176,27 @@ def decode_media(
                         )
                         feats[j] = (pooled / 32768.0).astype(np.float32)
                         continue
+                    if raw[:4] == b"fLaC":
+                        # lossless-audio arm (r15): real FLAC decode
+                        # (Rice/fixed/LPC predictors, CRC-8/16 + MD5
+                        # verified), then the same 16-bin pooled features
+                        # as the RIFF arm
+                        from duckdb_ml_spark.operators.flac import flac_decode
+
+                        _, _, smp = flac_decode(raw)
+                        mono = smp[:, 0].astype(np.float64) if smp.size else np.zeros(1)
+                        n = len(mono)
+                        cut = (np.arange(dim + 1) * n) // dim
+                        pooled = np.array(
+                            [
+                                mono[cut[k] : cut[k + 1]].mean()
+                                if cut[k + 1] > cut[k]
+                                else 0.0
+                                for k in range(dim)
+                            ]
+                        )
+                        feats[j] = (pooled / 32768.0).astype(np.float32)
+                        continue
                     if raw[:6] in (b"GIF87a", b"GIF89a"):
                         # dispatched BEFORE the PIL branch deliberately:
                         # np.asarray(PIL.Image.open(gif)) yields raw palette
@@ -687,6 +708,82 @@ def _mulaw_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flac_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-audio-codec driver row (r15): wrap each payload's bytes
+    as signed 8-bit PCM (byte − 128), encode to genuine FLAC (fixed
+    predictors + multi-partition Rice coding, operators/flac.py), run the
+    full decoder — frame sync, CRC-8/CRC-16 verification, STREAMINFO MD5
+    check, Rice de-mapping, predictor reconstruction — and aggregate the
+    decoded PCM per document in the Arrow kernel. FLAC is lossless, so the
+    decode is sample-exact by construction and the oracle is the pure
+    integer formula ord(byte) − 128 — the audio twin of the GIF row's
+    lossless construction, but reached through real entropy coding (the
+    mulaw row's expansion is a table formula; this one round-trips Rice
+    codes and predictor state). Block size varies by content so frames-per-
+    stream and partition orders differ across documents."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches):
+        from duckdb_ml_spark.operators.flac import flac_decode, flac_encode
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ns, sums, mins, maxs, rms = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(payload)
+                if not raw:  # zero samples → zero rows (oracle convention)
+                    continue
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                stream = flac_encode(
+                    s, depth=8, block_size=192 if raw[0] & 1 else 256
+                )
+                _, _, smp = flac_decode(stream)  # MD5 + CRCs verified
+                pcm = smp[:, 0]
+                ids.append(did)
+                ns.append(len(pcm))
+                sums.append(int(pcm.sum()))
+                mins.append(int(pcm.min()))
+                maxs.append(int(pcm.max()))
+                rms.append(float(np.sqrt((pcm * pcm).sum() / len(pcm))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "n_samples": ns, "sum_pcm": sums,
+                    "min_pcm": mins, "max_pcm": maxs, "rms": rms,
+                }
+            )
+
+    # single-file corpus → spread the pure-Python Rice coder across cores
+    par = spark.sparkContext.defaultParallelism
+    return (
+        media_table(spark, sf_dir)
+        .select("doc_id", "media")
+        .repartition(par)
+        .mapInPandas(
+            gen,
+            "doc_id bigint, n_samples bigint, sum_pcm bigint, "
+            "min_pcm bigint, max_pcm bigint, rms double",
+        )
+    )
+
+
+_FLAC_ORACLE = """
+WITH s AS (
+    SELECT doc_id, ord(substr(text, i, 1)) - 128 AS pcm
+    FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+)
+SELECT doc_id, count(*)::BIGINT AS n_samples, sum(pcm)::BIGINT AS sum_pcm,
+       min(pcm)::BIGINT AS min_pcm, max(pcm)::BIGINT AS max_pcm,
+       sqrt(sum(pcm * pcm)::DOUBLE / count(*)) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 _MULAW_ORACLE = """
 WITH b AS (
     SELECT doc_id, 255 - ord(substr(text, i, 1)) AS u
@@ -760,6 +857,14 @@ QUERIES: dict[str, QuerySpec] = {
         "8x8 blocks, all-ones quant -> DC-only, exact) -> "
         "decode_media(fake=None) (Huffman + dequant + IDCT + resize), "
         "value-checked per byte against the same oracle as the PNG row.",
+        tags=("multimodal", "udf", "codec"),
+    ),
+    "mm_decode_flac": QuerySpec(
+        "mm_decode_flac", _flac_roundtrip_q, _FLAC_ORACLE,
+        doc="REAL lossless audio codec path: payload bytes as signed 8-bit "
+        "PCM -> stdlib FLAC encode (fixed predictors + Rice partitions) -> "
+        "full decode (CRC-8/16 + MD5 verified) -> per-doc PCM stats, "
+        "value-exact vs the integer formula ord(byte)-128.",
         tags=("multimodal", "udf", "codec"),
     ),
     "mm_decode_gif": QuerySpec(
