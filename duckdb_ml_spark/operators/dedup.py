@@ -725,10 +725,18 @@ def dedup_clusters(
       one recompute of the pair pipeline after the failed bounded probe.)"""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     spark = nodes.sparkSession
-    probe = e.limit(max_collect_edges + 1).collect()
-    if len(probe) <= max_collect_edges:
-        comp = _union_find_map((row.src, row.dst) for row in probe)
-        return _apply_component_map(nodes, comp, id_col)
+    if max_collect_edges > 0:
+        # probe only when the bounded arm is reachable — with the gate forced
+        # off (max_collect_edges=0, the benched scale row) the old
+        # unconditional limit(1).collect() executed the whole upstream pair
+        # pipeline (LSH banding sits behind aggregations, so limit cannot
+        # short-circuit) purely to learn what the caller already decided
+        # (r15 optimization round, guide §1.2: don't compute things you
+        # throw away — one full pipeline job removed)
+        probe = e.limit(max_collect_edges + 1).collect()
+        if len(probe) <= max_collect_edges:
+            comp = _union_find_map((row.src, row.dst) for row in probe)
+            return _apply_component_map(nodes, comp, id_col)
     e = e.persist()  # distributed path: edges feed every propagation round
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
     labels = (
@@ -737,6 +745,20 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
+    # Convergence via the label-sum invariant (r15 optimization round, guide
+    # §2.4: remove shuffles outright): new_label(n) = min(old_label(n),
+    # neighbor labels) ≤ old_label(n), so a round changed something IFF the
+    # label sum strictly decreased — one map-side-partial aggregate on the
+    # persisted labels instead of the old join+filter+count (a per-round
+    # shuffle join of two node-sized relations). decimal(38,0) keeps the sum
+    # exact at any node count × id magnitude (bigint sum could overflow at
+    # 10⁹ nodes of 10¹²-scale ids).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -744,15 +766,12 @@ def dedup_clusters(
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label")).persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     e.unpersist(blocking=False)
     edges.unpersist(blocking=False)
     return nodes.select(id_col).join(

@@ -306,8 +306,17 @@ def _png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(png_encode(grid.reshape(side, side), int(head[0] % 5) if len(head) else 0))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "media": payloads})
 
-    pngs = media_table(spark, sf_dir).select("doc_id", "media").mapInPandas(
-        enc, "doc_id bigint, media binary"
+    # single-file corpus → spread across cores (r15 optimization round: the
+    # same measured reason as the JPEG row below — documents.parquet is ONE
+    # file, so an unrepartitioned mapInPandas ran the whole pure-Python
+    # zlib-encode + PNG-decode corpus on ONE task; every other codec row
+    # already carried this repartition)
+    par = spark.sparkContext.defaultParallelism
+    pngs = (
+        media_table(spark, sf_dir)
+        .select("doc_id", "media")
+        .repartition(par)
+        .mapInPandas(enc, "doc_id bigint, media binary")
     )
     dec = decode_media(pngs, fake=None)
     return dec.select(

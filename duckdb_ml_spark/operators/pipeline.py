@@ -346,10 +346,22 @@ def decontaminate_bloom(
 
 
 def _decontam_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash_fn="xxhash64" (r15 optimization round): the registered row now runs
+    # the PRODUCTION hash — one JVM xxhash64 per shingle instead of
+    # md5+substr+conv (guide §4.1: prefer codegen built-ins; the md5 recipe
+    # alone cost ~5.5 s of the 256× stream, bench/BLOOMFLOOR_x256_r15.json:
+    # full query 30.1 s md5 vs 19.1 s xxhash64). Output is hash-identical
+    # under either filter hash BY CONSTRUCTION — Bloom filters have no false
+    # negatives and the exact verify join removes every false positive — so
+    # the row keeps sharing _DECONTAM_ORACLE verbatim
+    # (test_decontaminate_bloom_equals_exact pins bloom == exact under BOTH
+    # hash forms). The md5-portable form stays available for an SQL-twin
+    # filter replication.
     sh = corpus_shingles(spark, sf_dir)
     return decontaminate_bloom(
         sh.where(F.col("doc_id") % EVAL_MOD != 0),
         sh.where(F.col("doc_id") % EVAL_MOD == 0),
+        hash_fn="xxhash64",
     )
 
 
