@@ -320,21 +320,23 @@ def write_token_shards(
         from duckdb_ml_spark.operators.dedup import _cached_count
         from duckdb_ml_spark.plans.orderstats import RANK_WINDOW_GATE, keyed_prefix_sum
 
-        def _count(batches):
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        "source": pdf["source"],
-                        "__nt": [
-                            sum(1 for w in (ws if ws is not None else []) if w in vocab)
-                            for ws in pdf["__w"]
-                        ],
-                    }
-                )
-
-        counts = docs.select("doc_id", "source", "__w").mapInPandas(
-            _count, "doc_id bigint, source string, __nt bigint"
+        # in-lexicon token count per doc, entirely in JVM codegen (r15
+        # optimization round, guide §4.1: the old mapInPandas `_count` kernel
+        # shipped every word array across the Python boundary a SECOND time —
+        # the whole pass is size(filter(w IN lexicon)), a built-in
+        # higher-order expression over the same tokens() column, so the
+        # counts stage now has no Python seam at all). coalesce keeps the
+        # old kernel's null-text → 0 semantics (size(NULL) is NULL).
+        vocab_words = sorted(vocab)
+        counts = docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(
+                F.size(F.filter(F.col("__w"), lambda w: w.isin(*vocab_words))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__nt"),
         )
         # ONE doc count serves both decisions below (ADVICE r8 low: the old
         # shape let keyed_prefix_sum's mode='auto' run counts.count() — a
@@ -406,8 +408,9 @@ def write_token_shards(
         pdf = pdf.sort_values("doc_id")
         ids: list = []
         n_docs = 0
+        vg = vocab.get  # one dict lookup per word, not membership + fetch
         for words in pdf["__w"]:
-            doc_ids = [vocab[w] for w in (words if words is not None else []) if w in vocab]
+            doc_ids = [v for w in (words if words is not None else []) if (v := vg(w)) is not None]
             if doc_ids:
                 n_docs += 1
                 ids.extend(doc_ids)
@@ -498,6 +501,12 @@ def read_token_shards_manifest(
         pad_id = token_pad_id()
 
     def gen(batches):
+        # id → decimal-string lookup table, grown on demand: ",".join over a
+        # fancy-indexed object array replaces a per-token Python str() call
+        # (r15 optimization round, guide §4.2 — measured 0.074 → 0.013 s over
+        # the sf0.1 stream). Sized to the data so a foreign shard with ids
+        # past the LUT still decodes identically instead of erroring.
+        lut = np.array([str(i) for i in range(max(pad_id + 1, 1))], dtype=object)
         for pdf in batches:
             out = {
                 "source": [], "shard_i": [], "n_tokens": [], "n_seqs": [],
@@ -531,7 +540,11 @@ def read_token_shards_manifest(
                 out["shard_i"].append(shard_i)
                 out["n_tokens"].append(n)
                 out["n_seqs"].append(n_seqs)
-                out["stream"].append(",".join(str(int(i)) for i in ids[:n]))
+                if n and int(ids[:n].max()) >= len(lut):
+                    lut = np.array(
+                        [str(i) for i in range(int(ids[:n].max()) + 1)], dtype=object
+                    )
+                out["stream"].append(",".join(lut[ids[:n]].tolist()) if n else "")
             yield pd.DataFrame(out)
 
     decode_schema = (
