@@ -387,6 +387,48 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+def pq_rerank_pairs(pairs_df: DataFrame, q_ids, Q,
+                    id_col: str = "vec_id", arr_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact sequential-fold cosine for the
+    PROPOSED (query, candidate) pairs only. Uses vec._seq_cosine_pairs, whose
+    per-pair operation sequence is bit-identical to _seq_cosine_matrix /
+    cosine_scores_vs_broadcast entries, so swapping the all-pairs-then-filter
+    shape for this pair kernel cannot move a rank."""
+    import numpy as np
+    import pandas as pd
+
+    spark = pairs_df.sparkSession
+    from duckdb_ml_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast((np.asarray(q_ids), Q))
+
+    def gen(batches):
+        from duckdb_ml_spark.operators.vec import _seq_cosine_pairs
+
+        ids_q, Qb = bc.value
+        pos = {int(q): i for i, q in enumerate(ids_q)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[arr_col].to_numpy()).astype(np.float64)
+            J = np.fromiter(
+                (pos[int(q)] for q in pdf["query_id"]), dtype=np.int64, count=len(pdf)
+            )
+            cos = _seq_cosine_pairs(X, Qb, np.arange(len(pdf)), J)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    return pairs_df.select("query_id", id_col, arr_col).mapInPandas(
+        gen, "query_id bigint, neighbor_id bigint, cos double"
+    )
+
+
 def _pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ SERVING query: ADC shortlist from the code table, exact-cosine
     rerank of only the SHORTLIST candidates, top-k out. This is the
@@ -399,12 +441,19 @@ def _pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, so a quantizer regression turns BOTH rows red coherently rather
     than this one silently drifting).
 
-    Plan: code table streams once through the ADC kernel (no vectors), the
-    ≤ N_QUERIES·SHORTLIST candidate ids semi-join the embedding scan
-    (isin-pushed filter), and the rerank scores only those rows against the
-    broadcast query matrix — float I/O is shortlist-sized, not corpus-sized."""
+    Plan (r15 optimization round, guide §2.4/§1.2): the shortlist lineage has
+    exactly ONE consumer. The old shape consumed it twice — once as a
+    distinct-id semi-join to fetch candidate vectors and once as a pair
+    semi-join to scope the rerank — and each consumer re-executed the whole
+    encode+ADC subtree (measured: the duplicated subtree was ~0.3 s of the
+    1.3 s row at sf0.1; at 100 TB it is a second full corpus encode pass).
+    Now the ≤ N_QUERIES·SHORTLIST proposed pairs broadcast onto the embedding
+    scan (bounded by construction), and a pair kernel computes the exact
+    sequential-fold cosine per proposed pair — _seq_cosine_pairs guarantees
+    values bit-identical to cosine_scores_vs_broadcast's matrix entries, so
+    ranks (and the oracle hash) are unchanged."""
     from duckdb_ml_spark.operators.similarity import N_QUERIES, TOP_K
-    from duckdb_ml_spark.operators.vec import collect_matrix, cosine_scores_vs_broadcast
+    from duckdb_ml_spark.operators.vec import collect_matrix
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES)
@@ -414,17 +463,11 @@ def _pq_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = pq_adc_shortlist(codes, q_ids, Q, books).select(
         "query_id", "neighbor_id"
     )
-    cand = emb.join(
-        shortlist.select(F.col("neighbor_id").alias("vec_id")).distinct(),
+    pairs = emb.join(
+        F.broadcast(shortlist.select("query_id", F.col("neighbor_id").alias("vec_id"))),
         "vec_id",
-        "left_semi",
     )
-    rer = cosine_scores_vs_broadcast(cand, q_ids, Q, "vec_id").select(
-        "query_id", F.col("row_id").alias("neighbor_id"), "cos"
-    )
-    # score only (query, candidate) pairs the shortlist actually proposed —
-    # a candidate of query A must not leak into query B's rerank
-    rer = rer.join(shortlist, ["query_id", "neighbor_id"], "left_semi")
+    rer = pq_rerank_pairs(pairs, q_ids, Q)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         rer.withColumn("rank", F.row_number().over(w))
