@@ -140,6 +140,10 @@ _WINDOW_CARRYOVER = (
     # seam — local gate green at sf0.001+sf0.01+sf0.1 before commit):
     "mm_decode_gif",
     "mm_decode_flac",
+    # operators/pq.py rows re-staled by the r15 single-consumer rerank
+    # lineage commit; both re-verified PASS at sf0.01+sf0.1 before commit:
+    "sim_pq_recall_band",
+    "sim_topk_pq_rerank",
     # operators/multimodal.py rows re-staled by the GIF/BMP dispatch commit;
     # re-verified PASS in the local gate replica at HEAD:
     "mm_audio_energy",
