@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_ml_spark import artifacts, nn, registry
-from duckdb_ml_spark.functions import _as_matrix
+from duckdb_ml_spark.functions import _arrow_list_to_matrix, _as_matrix
 
 _RESULT_SCHEMA = "payload binary, n long"
 
@@ -43,6 +43,26 @@ def _collect_xy(pdfs: Iterator[pd.DataFrame], in_dim: int, out_dim: int):
             continue
         xs.append(_as_matrix(pdf["__x"], in_dim, "features"))
         ys.append(_as_matrix(pdf["__y"], out_dim, "targets"))
+    if not xs:
+        return None, None
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def _collect_xy_arrow(batches, in_dim: int, out_dim: int):
+    """Arrow RecordBatch stream → [n, dim] float32 matrices via the FLAT list
+    child buffers (same validation as _as_matrix, no per-row Python objects —
+    the r15 guide §4.1 seam fix; values are bit-identical to the pandas path
+    since the source columns are already array<float>)."""
+    xs, ys = [], []
+    xi = yi = None
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        if xi is None:
+            xi = b.schema.names.index("__x")
+            yi = b.schema.names.index("__y")
+        xs.append(_arrow_list_to_matrix(b.column(xi), in_dim, "features"))
+        ys.append(_arrow_list_to_matrix(b.column(yi), out_dim, "targets"))
     if not xs:
         return None, None
     return np.concatenate(xs), np.concatenate(ys)
@@ -73,16 +93,24 @@ def ml_train_distributed(
         init_b = spark.sparkContext.broadcast(pickle.dumps(init))
         cfg_json = cfg.to_json()
 
-        def _train_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            x, y = _collect_xy(pdfs, in_dim, out_dim)
+        def _train_partition(batches):
+            import pyarrow as pa
+
+            x, y = _collect_xy_arrow(batches, in_dim, out_dim)
             if x is None:
                 return
             local = pickle.loads(init_b.value)
             local_cfg = nn.TrainingConfig.from_json(cfg_json)
             nn.train_reg(parse_spec_cached(spec_json), local, x, y, local_cfg, test_frac=0.0)
-            yield pd.DataFrame({"payload": [pickle.dumps(local)], "n": [len(x)]})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pickle.dumps(local)], type=pa.binary()),
+                    pa.array([len(x)], type=pa.int64()),
+                ],
+                names=["payload", "n"],
+            )
 
-        rows = xy.mapInPandas(_train_partition, schema=_RESULT_SCHEMA).collect()
+        rows = xy.mapInArrow(_train_partition, schema=_RESULT_SCHEMA).collect()
         if not rows:
             raise ValueError("ml_train_distributed: empty input")
         total = sum(r.n for r in rows)
