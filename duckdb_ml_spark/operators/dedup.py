@@ -739,10 +739,20 @@ def dedup_clusters(
             return _apply_component_map(nodes, comp, id_col)
     e = e.persist()  # distributed path: edges feed every propagation round
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    # Fused init (r15 optimization round, guide §2.4): label₀(n) =
+    # min(n, min neighbor id) IS the output of propagation round 1 from the
+    # identity labeling, computed here with ONE groupBy shuffle over the
+    # symmetrized edges instead of the old distinct() (same shuffle) PLUS a
+    # full join+union+groupBy round. The remaining trajectory is identical,
+    # shifted one round earlier — same fixpoint, one corpus-scale join round
+    # fewer at any scale.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__m")).alias("label"),
+        )
         .persist()
     )
     # Convergence via the label-sum invariant (r15 optimization round, guide
