@@ -204,12 +204,27 @@ def register_all(spark: SparkSession) -> None:
     }
     specs = {mname: parse_spec(sj) for mname, (sj, _) in snapshot.items()}
 
-    @F.pandas_udf(ArrayType(FloatType()))
-    def _ml_pred(names: pd.Series, features: pd.Series) -> pd.Series:
+    # arrow_udf (4.1+), not pandas_udf: the SQL-callable surface stays a
+    # vectorized scalar UDF (the reference's SQL form), but batches cross the
+    # boundary as Arrow arrays — the feature lists stay in the flat child
+    # buffer instead of materializing one ndarray per row on BOTH the input
+    # and output conversion (guide §4.3; same seam fix ml_pred's mapInArrow
+    # kernel got in r11). Predictions are bit-identical: same float32
+    # matrices into the same nn.forward.
+    import pyarrow as pa
+
+    # explicit ArrowUDFType.SCALAR: the module uses `from __future__ import
+    # annotations`, so the pa.Array hints are strings the type-hint inference
+    # cannot resolve here
+    @F.arrow_udf(ArrayType(FloatType()), F.ArrowUDFType.SCALAR)
+    def _ml_pred(names, features):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         if len(names) == 0:
-            return pd.Series([], dtype=object)
-        mname = names.iloc[0]
-        if not (names == mname).all():
+            return pa.array([], type=pa.list_(pa.float32()))
+        mname = names[0].as_py()
+        if names.null_count or pc.any(pc.not_equal(names, pa.scalar(mname))).as_py():
             # the reference silently scores every row in a chunk with the FIRST
             # row's model (lib.rs:213-219) — silent corruption; error instead
             raise ValueError(
@@ -220,9 +235,13 @@ def register_all(spark: SparkSession) -> None:
             raise ValueError(f"ml_pred: unknown model '{mname}' (re-run register_all?)")
         spec_json, params = snapshot[mname]
         spec = specs[mname]
-        x = _as_matrix(features, spec.input_dim, "features")
+        x = _arrow_list_to_matrix(features, spec.input_dim, "features")
         out, _ = nn.forward(spec, params, x, training=False)
-        return pd.Series(list(out))
+        n, d = out.shape
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(out.ravel().astype(np.float32, copy=False), type=pa.float32()),
+        )
 
     spark.udf.register("ml_pred", _ml_pred)
 
