@@ -588,18 +588,23 @@ def read_token_shards_manifest(
             F.md5(F.col("stream").cast("binary")).alias("shard_md5"),
         )
 
-    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("shard_i")
-        stream = ",".join(s for s in pdf["stream"] if s)
-        return pd.DataFrame(
-            {
-                "source": [pdf["source"].iloc[0]],
-                "n_tokens": [int(pdf["n_tokens"].sum())],
-                "n_seqs": [int(pdf["n_seqs"].sum())],
-                "stream_md5": [hashlib.md5(stream.encode()).hexdigest()],
-            }
-        )
+    # Per-source reassembly in pure JVM codegen (r15 optimization round,
+    # guide §4.1): the old applyInPandas `_assemble` shipped every decoded
+    # stream string across the Python boundary a SECOND time just to sort,
+    # concat and md5 — all expressible as built-ins. array_sort on
+    # (shard_i, stream) structs orders by the unique shard index, the
+    # filter drops all-padding shards' empty streams exactly like the old
+    # `if s`, and md5(cast(string as binary)) hashes the same UTF-8 bytes
+    # hashlib did — output bit-identical (pytest-pinned vs the oracle).
+    from pyspark.sql import functions as F
 
-    return decoded.groupBy("source").applyInPandas(
-        _assemble, "source string, n_tokens bigint, n_seqs bigint, stream_md5 string"
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("shard_i", "stream"))),
+        lambda s: s["stream"],
+    )
+    stream_all = F.array_join(F.filter(ordered, lambda s: s != F.lit("")), ",")
+    return decoded.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_seqs").alias("n_seqs"),
+        F.md5(stream_all.cast("binary")).alias("stream_md5"),
     )
