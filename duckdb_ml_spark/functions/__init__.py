@@ -105,41 +105,37 @@ def make_pred_udf(spec_json: str, params: list[dict[str, np.ndarray]]):
 def ml_pred(df: DataFrame, name: str, features_col: str = "features", output_col: str = "prediction") -> DataFrame:
     """Append a prediction ArrayType(Float) column using the named registry model.
 
-    mapInArrow, not pandas_udf: feature lists stay in Arrow's flat child
-    buffer end-to-end (reshape in, ListArray.from_arrays out), so scoring
-    moves NO per-row Python objects — measured ~4× faster than the pandas
-    path at 600k rows. Other columns pass through the batch untouched."""
+    arrow_udf (4.1+), not mapInArrow (r15 optimization round, guide §4.1):
+    the former mapInArrow kernel shipped EVERY column of the batch through
+    the Python worker (ids, targets, whatever the caller carries) because
+    an opaque map sees the whole row; as an ArrowEvalPython expression only
+    the features column crosses the boundary — other columns stay in the
+    JVM and remain visible to column pruning. Feature lists still travel as
+    Arrow flat child buffers both ways (reshape in, ListArray.from_arrays
+    out — zero per-row Python objects), and the forward pass is unchanged,
+    so predictions are bit-identical to the mapInArrow form."""
     from duckdb_ml_spark.session import ensure_shipped
 
     ensure_shipped(df.sparkSession)
     spec_json, params = registry.snapshot_params(name)
     spec = parse_spec(spec_json)
     in_dim = spec.input_dim
-    from pyspark.sql.types import StructField, StructType
 
-    # StructType.add mutates in place — build a fresh schema object
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(output_col, ArrayType(FloatType()))]
-    )
-    fidx = df.columns.index(features_col)
-
-    def score(batches):
+    # explicit ArrowUDFType.SCALAR — `from __future__ import annotations`
+    # makes pa.Array hints unresolvable strings for the hint inference
+    @F.arrow_udf(ArrayType(FloatType()), F.ArrowUDFType.SCALAR)
+    def _pred(features):
         import pyarrow as pa
 
-        for batch in batches:
-            x = _arrow_list_to_matrix(batch.column(fidx), in_dim, "features")
-            out, _ = nn.forward(spec, params, x, training=False)
-            n, d = out.shape
-            pred = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
-                pa.array(out.ravel().astype(np.float32, copy=False), type=pa.float32()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)] + [pred],
-                names=list(batch.schema.names) + [output_col],
-            )
+        x = _arrow_list_to_matrix(features, in_dim, "features")
+        out, _ = nn.forward(spec, params, x, training=False)
+        n, d = out.shape
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(out.ravel().astype(np.float32, copy=False), type=pa.float32()),
+        )
 
-    return df.mapInArrow(score, out_schema)
+    return df.withColumn(output_col, _pred(F.col(features_col)))
 
 
 def ml_train(
