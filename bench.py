@@ -46,6 +46,15 @@ HIGH_VARIANCE_ROWS = frozenset(
         "sample_epoch_shuffle",
         "sim_topk_ivf_index",
         "events_gap_fill",
+        # r15 optimization-round additions (same derivation rule, applied to
+        # the five r15 windows; NOTES.md "bench variance classes"): single-
+        # window spikes with unchanged code — orders_rank_distribution read
+        # 2.53 s in exactly one window vs 0.30-0.61 in the other four (and
+        # 0.49 isolated minutes later); sim_knn_join read 4.30 s in one
+        # window vs 0.67-1.19 elsewhere, repeating its documented
+        # 1.67→5.36 s r14-era swing.
+        "orders_rank_distribution",
+        "sim_knn_join",
     }
 )
 
