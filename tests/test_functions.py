@@ -107,6 +107,74 @@ def test_sql_registered_ml_pred(spark):
     assert len(rows) == 3 and all(len(r.p) == 1 for r in rows)
 
 
+def test_ml_pred_expression_matches_driver_forward(spark):
+    """The arrow_udf scoring expression (r15: replaced the mapInArrow
+    kernel) must be bit-identical to a driver-side nn.forward over the
+    same float32 matrix — pins the flat-buffer reshape path."""
+    fn.ml_create("mexpr", SPEC, seed=7)
+    df = _xy_df(spark, 512, seed=3)
+    got = [
+        r.prediction
+        for r in fn.ml_pred(df, "mexpr").select("prediction").collect()
+    ]
+    spec_json, params = registry.snapshot_params("mexpr")
+    spec = parse_spec(spec_json)
+    x = np.asarray(
+        [r.features for r in df.select("features").collect()], dtype=np.float32
+    )
+    want, _ = nn.forward(spec, params, x, training=False)
+    assert np.array_equal(
+        np.asarray(got, dtype=np.float32), want.astype(np.float32)
+    )
+
+
+def test_sql_ml_pred_matches_dataframe_ml_pred(spark):
+    """SQL-registered arrow_udf form == DataFrame-API form on the same
+    features (both r15 Arrow paths score through the same kernel math)."""
+    fn.ml_create("mpar", SPEC, seed=11)
+    fn.register_all(spark)
+    df = _xy_df(spark, 256, seed=5)
+    df.createOrReplaceTempView("__mpar_in")
+    via_sql = [
+        r.p
+        for r in spark.sql(
+            "SELECT ml_pred('mpar', features) AS p FROM __mpar_in"
+        ).collect()
+    ]
+    via_api = [
+        r.prediction
+        for r in fn.ml_pred(df, "mpar").select("prediction").collect()
+    ]
+    assert via_sql == via_api
+
+
+def test_collect_xy_arrow_matches_pandas_path():
+    """The distributed trainer's Arrow flat-buffer collection (r15) must
+    produce the exact matrices the pandas object path produced."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from duckdb_ml_spark.functions import _as_matrix
+    from duckdb_ml_spark.functions.distributed import _collect_xy, _collect_xy_arrow
+
+    rng = np.random.default_rng(0)
+    feats = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    targs = rng.uniform(-1, 1, size=(100, 1)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "__x": pa.array([row.tolist() for row in feats], type=pa.list_(pa.float32())),
+            "__y": pa.array([row.tolist() for row in targs], type=pa.list_(pa.float32())),
+        }
+    )
+    batches = tbl.to_batches(max_chunksize=32)
+    ax, ay = _collect_xy_arrow(iter(batches), 3, 1)
+    pdf = tbl.to_pandas()
+    px, py = _collect_xy(iter([pdf.iloc[:40], pdf.iloc[40:]]), 3, 1)
+    assert np.array_equal(ax, px) and np.array_equal(ay, py)
+    # empty stream -> (None, None), matching the pandas path
+    assert _collect_xy_arrow(iter([]), 3, 1) == (None, None)
+
+
 def test_ml_drop(spark):
     fn.ml_create("gone", SPEC)
     assert fn.ml_drop("gone") is True
