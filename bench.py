@@ -154,6 +154,30 @@ def main() -> int:
     # windows), i.e. a contention spike covered all three runs. Variance
     # table: NOTES.md "bench variance classes" (r15).
     RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+    # Contention sentinel (VERDICT r15 item 7): the host shows multi-minute
+    # contention episodes that can cover a whole min-of-N window, which past
+    # rounds could only diagnose after the fact by re-running rows. A fixed
+    # ~40 ms probe job (same shape every time: hash-agg over a generated
+    # range, noop sink) runs between rows; rows whose surrounding sentinel
+    # readings spike ≥3× the window's median sentinel are flagged in the
+    # output (`sentinel_flagged`) so a contaminated window is machine-visible
+    # instead of a footnote. Measurement methodology for the queries
+    # themselves is UNCHANGED (same timed action, same min-of-N, sentinel
+    # runs outside every timing window).
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def _sentinel() -> float:
+        t0 = time.perf_counter()
+        _materialize(
+            spark.range(0, 1_000_000, 1, 8).select(
+                F.sum(F.xxhash64("id")).alias("h")
+            )
+        )
+        return time.perf_counter() - t0
+
+    _sentinel()  # JIT/codegen warm so reading #1 matches the rest
+    sentinels: list[float] = [_sentinel()]
     times: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0
@@ -177,6 +201,18 @@ def main() -> int:
                 except Exception:
                     pass
         times[name] = round(best, 3) if best >= 0 else -1.0
+        sentinels.append(_sentinel())
+
+    # flag rows whose window overlapped a contention episode: either
+    # surrounding sentinel ≥3× the window median (floor 0.15 s so an
+    # all-fast window never flags on µs jitter)
+    med = sorted(sentinels)[len(sentinels) // 2]
+    gate = max(3.0 * med, 0.15)
+    flagged = [
+        name
+        for i, name in enumerate(times)
+        if sentinels[i] > gate or sentinels[i + 1] > gate
+    ]
 
     ok = {k: v for k, v in times.items() if v >= 0}
     result = {
